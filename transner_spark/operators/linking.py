@@ -1,0 +1,216 @@
+"""Entity linking on Spark: broadcast exact match + inverted-index n-gram
+Jaccard fuzzy match against the alias dictionary.
+
+Scale design:
+- the alias dictionary is a dimension table → both the exact join and the
+  gram-index join are ``broadcast()`` hash joins: the (potentially
+  enormous) mention side never shuffles for the join itself;
+- linking operates on DISTINCT normalized surfaces, not raw mentions —
+  the distinct is the pipeline's first shuffle and collapses the Zipfian
+  mention distribution (the hot "mario rossi" key becomes ONE row), which
+  is itself the skew mitigation for this stage;
+- mention-side n-gram generation is pure Catalyst (``sequence`` +
+  ``substr`` inside ``transform``) — no Python in this stage;
+- normalization of alias surfaces (accent strip etc.) happens driver-side
+  with the SAME kernel function mentions were normalized with
+  (kernels/triples.normalize_surface), so keys agree bit-for-bit;
+- for alias dictionaries too large to broadcast, swap the broadcast hint
+  for a shuffled hash join + AQE skew handling; the gram inverted index
+  itself is the LSH-free blocking structure and scales linearly.
+
+Tie-breaks replicate kernels/linking.py exactly: score desc, entity_key
+asc, alias asc; duplicate normalized aliases resolve to min entity_key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from transner_spark.config import PipelineConfig
+from transner_spark.data.aliases import build_alias_rows
+from transner_spark.kernels.linking import char_ngrams
+from transner_spark.kernels.oracle import STRUCTURAL_TYPES
+from transner_spark.kernels.triples import normalize_surface
+
+
+def node_surfaces(triples: DataFrame) -> DataFrame:
+    """Distinct non-structural normalized node surfaces."""
+    structural = list(STRUCTURAL_TYPES)
+    subs = triples.where(~F.col("subj_type").isin(structural)).select(
+        F.col("subj_norm").alias("norm_key")
+    )
+    objs = triples.where(~F.col("obj_type").isin(structural)).select(
+        F.col("obj_norm").alias("norm_key")
+    )
+    return subs.unionByName(objs).where(F.col("norm_key") != "").distinct()
+
+
+def exact_alias_dim(spark: SparkSession) -> DataFrame:
+    """norm_alias → min entity_key (driver-built: the dictionary is a dim)."""
+    best: dict[str, str] = {}
+    for entity_key, alias, _ty in build_alias_rows():
+        norm = normalize_surface(alias)
+        if norm not in best or best[norm] > entity_key:
+            best[norm] = entity_key
+    return spark.createDataFrame(
+        sorted(best.items()), "norm_alias string, entity_key string"
+    )
+
+
+def alias_gram_dim(spark: SparkSession, n: int) -> DataFrame:
+    """Inverted gram index over the alias dictionary (exploded, broadcast)."""
+    rows = []
+    for alias_id, (entity_key, alias, _ty) in enumerate(build_alias_rows()):
+        norm = normalize_surface(alias)
+        grams = char_ngrams(norm, n)
+        for gram in grams:
+            rows.append((alias_id, entity_key, alias, len(grams), gram))
+    return spark.createDataFrame(
+        rows, "alias_id long, entity_key string, alias string, a_n int, gram string"
+    )
+
+
+def with_grams(df: DataFrame, src_col: str, n: int) -> DataFrame:
+    """Adds ``grams`` (array<string>, distinct) and ``n_grams`` — pure
+    Catalyst equivalent of kernels/linking.char_ngrams."""
+    df = df.withColumn("_padded", F.concat(F.lit("^"), F.col(src_col), F.lit("$")))
+    grams = F.when(
+        F.length("_padded") < n, F.array(F.col("_padded"))
+    ).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.length("_padded") - (n - 1)),
+                lambda i: F.col("_padded").substr(i, F.lit(n)),
+            )
+        )
+    )
+    return (
+        df.withColumn("grams", grams)
+        .withColumn("n_grams", F.size("grams"))
+        .drop("_padded")
+    )
+
+
+def link_surfaces(
+    spark: SparkSession,
+    surfaces: DataFrame,
+    cfg: PipelineConfig | None = None,
+) -> DataFrame:
+    """surfaces(norm_key) → links(norm_key, entity_key, score, method)."""
+    cfg = cfg or PipelineConfig()
+
+    exact_dim = exact_alias_dim(spark)
+    exact = surfaces.join(
+        F.broadcast(exact_dim),
+        surfaces["norm_key"] == exact_dim["norm_alias"],
+        "left",
+    ).select(
+        "norm_key",
+        "entity_key",
+        F.when(F.col("entity_key").isNotNull(), F.lit(1.0))
+        .otherwise(F.lit(0.0))
+        .alias("score"),
+        F.when(F.col("entity_key").isNotNull(), F.lit("exact"))
+        .otherwise(F.lit("none"))
+        .alias("method"),
+    )
+
+    if cfg.link_exact_only:
+        return exact
+
+    residual = exact.where(F.col("method") == "none").select("norm_key")
+    n = cfg.link_ngram
+
+    mention_grams = with_grams(residual, "norm_key", n).select(
+        "norm_key",
+        F.col("n_grams").alias("m_n"),
+        F.explode("grams").alias("gram"),
+    )
+    pair_scores = (
+        mention_grams.join(F.broadcast(alias_gram_dim(spark, n)), "gram")
+        .groupBy("norm_key", "alias_id", "entity_key", "alias", "m_n", "a_n")
+        .agg(F.count(F.lit(1)).alias("inter"))
+        .withColumn(
+            "score",
+            F.col("inter") / (F.col("m_n") + F.col("a_n") - F.col("inter")),
+        )
+        .where(F.col("score") >= cfg.link_jaccard_threshold)
+    )
+    w = Window.partitionBy("norm_key").orderBy(
+        F.col("score").desc(), F.col("entity_key").asc(), F.col("alias").asc()
+    )
+    fuzzy = (
+        pair_scores.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("norm_key", "entity_key", "score", F.lit("fuzzy").alias("method"))
+    )
+    unmatched = residual.join(
+        fuzzy.select("norm_key"), "norm_key", "left_anti"
+    ).select(
+        "norm_key",
+        F.lit(None).cast("string").alias("entity_key"),
+        F.lit(0.0).alias("score"),
+        F.lit("none").alias("method"),
+    )
+    return (
+        exact.where(F.col("method") == "exact")
+        .unionByName(fuzzy)
+        .unionByName(unmatched)
+    )
+
+
+def link_surfaces_lsh(
+    spark: SparkSession,
+    surfaces: DataFrame,
+    cfg: PipelineConfig | None = None,
+    num_hash_tables: int = 8,
+) -> DataFrame:
+    """MinHash-LSH candidate generation (pyspark.ml) — the scale path for
+    alias dictionaries too large for a broadcast gram index.
+
+    approxSimilarityJoin prunes candidate pairs probabilistically; the
+    survivors are re-scored with the SAME exact n-gram Jaccard as the
+    deterministic path, so precision is identical and only recall is
+    probabilistic. Used by the benchmark; correctness tests pin the
+    deterministic path.
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    cfg = cfg or PipelineConfig()
+    n = cfg.link_ngram
+
+    alias_rows = [
+        (i, ek, al, normalize_surface(al))
+        for i, (ek, al, _ty) in enumerate(build_alias_rows())
+    ]
+    aliases = spark.createDataFrame(
+        alias_rows, "alias_id long, entity_key string, alias string, norm string"
+    )
+    a = with_grams(aliases, "norm", n)
+    m = with_grams(surfaces, "norm_key", n)
+
+    tf = HashingTF(inputCol="grams", outputCol="features", numFeatures=1 << 18)
+    a_feat = tf.transform(a).where(F.size("grams") > 0)
+    m_feat = tf.transform(m).where(F.size("grams") > 0)
+
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes",
+                     numHashTables=num_hash_tables, seed=42)
+    model = lsh.fit(a_feat)
+    pairs = model.approxSimilarityJoin(
+        m_feat, a_feat, 1.0 - cfg.link_jaccard_threshold, distCol="jaccard_dist"
+    )
+    scored = pairs.select(
+        F.col("datasetA.norm_key").alias("norm_key"),
+        F.col("datasetB.entity_key").alias("entity_key"),
+        F.col("datasetB.alias").alias("alias"),
+        (F.lit(1.0) - F.col("jaccard_dist")).alias("score"),
+    ).where(F.col("score") >= cfg.link_jaccard_threshold)
+    w = Window.partitionBy("norm_key").orderBy(
+        F.col("score").desc(), F.col("entity_key").asc(), F.col("alias").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("norm_key", "entity_key", "score", F.lit("lsh").alias("method"))
+    )

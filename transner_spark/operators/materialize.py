@@ -1,0 +1,97 @@
+"""Edge materialization: resolve triples through canonical ids and
+aggregate to a weighted edge table partitioned by subject-hash bucket.
+
+Skew strategy (north rule: "partitioned by subject-hash with salting"):
+- the canon map is joined with ``broadcast()`` when it is dim-sized (the
+  common case — it holds DISTINCT surfaces, not mentions); for huge maps
+  pass ``broadcast_canon=False`` to get a shuffled join, where AQE's skew
+  join splitting handles the hot canonical ids;
+- the aggregation itself is protected by an explicit two-phase salted
+  aggregate: partial (subj, pred, obj, salt) groups first — bounding any
+  single reducer's share of a hot edge to 1/salt — then the tiny partial
+  set re-aggregates. Spark's map-side partial aggregation already makes
+  plain count/min/max skew-tolerant, so salting is a flag (default on,
+  cost is one extra narrow agg over partials);
+- output written ``partitionBy(bucket)`` where
+  ``bucket = pmod(hash(subj_id), edge_buckets)`` — readers that filter on
+  subject hit exactly one partition (partition pruning).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from transner_spark.config import PipelineConfig
+from transner_spark.kernels.oracle import STRUCTURAL_TYPES
+
+
+def _resolve(
+    triples: DataFrame, canon: DataFrame, side: str, broadcast_canon: bool
+) -> DataFrame:
+    """Resolve one side (subj/obj) through the canon map. Structural nodes
+    (AGENT/TOOL/SPEAKER) are their own canonical ids."""
+    structural = list(STRUCTURAL_TYPES)
+    surface = F.concat(F.lit("surface:"), F.col(f"{side}_norm"))
+    node = F.when(F.col(f"{side}_type").isin(structural), F.col(f"{side}_norm")).otherwise(surface)
+    t = triples.withColumn(f"{side}_node", node)
+    c = canon.select(
+        F.col("node_id").alias(f"{side}_node"),
+        F.col("canon_id").alias(f"{side}_canon"),
+    )
+    if broadcast_canon:
+        c = F.broadcast(c)
+    t = t.join(c, f"{side}_node", "left")
+    return t.withColumn(
+        f"{side}_id", F.coalesce(F.col(f"{side}_canon"), F.col(f"{side}_node"))
+    ).drop(f"{side}_node", f"{side}_canon")
+
+
+def materialize_edges(
+    triples: DataFrame,
+    canon: DataFrame,
+    cfg: PipelineConfig | None = None,
+    broadcast_canon: bool = True,
+    salted: bool = True,
+) -> DataFrame:
+    """triples + canon → edges(subj_id, pred, obj_id, weight, first_ts,
+    last_ts, bucket)."""
+    cfg = cfg or PipelineConfig()
+    resolved = _resolve(triples, canon, "subj", broadcast_canon)
+    resolved = _resolve(resolved, canon, "obj", broadcast_canon)
+    resolved = resolved.select("subj_id", "pred", "obj_id", "ts")
+
+    if salted:
+        partial = (
+            resolved.withColumn(
+                "salt", F.pmod(F.hash("subj_id", "obj_id", "ts"), F.lit(cfg.salt_partitions))
+            )
+            .groupBy("subj_id", "pred", "obj_id", "salt")
+            .agg(
+                F.count(F.lit(1)).alias("weight"),
+                F.min("ts").alias("first_ts"),
+                F.max("ts").alias("last_ts"),
+            )
+        )
+        edges = partial.groupBy("subj_id", "pred", "obj_id").agg(
+            F.sum("weight").alias("weight"),
+            F.min("first_ts").alias("first_ts"),
+            F.max("last_ts").alias("last_ts"),
+        )
+    else:
+        edges = resolved.groupBy("subj_id", "pred", "obj_id").agg(
+            F.count(F.lit(1)).alias("weight"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+
+    return edges.withColumn(
+        "bucket", F.pmod(F.hash("subj_id"), F.lit(cfg.edge_buckets))
+    )
+
+
+def write_edges(edges: DataFrame, path: str, cfg: PipelineConfig | None = None) -> None:
+    """Write partitioned by subject-hash bucket (Iceberg would use
+    ``bucket(N, subj_id)`` partition transform; Parquet fallback keeps the
+    identical layout via an explicit bucket column, SURVEY.md §1.2)."""
+    edges.write.mode("overwrite").partitionBy("bucket").parquet(path)
