@@ -141,6 +141,24 @@ def q_turn_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from transner_spark.operators.textops import text_stats
+
+    return text_stats(spark.read.parquet(os.path.join(sf_dir, "documents.parquet")))
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from transner_spark.operators.textops import lang_id
+
+    return lang_id(spark.read.parquet(os.path.join(sf_dir, "documents.parquet")))
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from transner_spark.operators.textops import doc_fingerprint
+
+    return doc_fingerprint(spark.read.parquet(os.path.join(sf_dir, "documents.parquet")))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline (annotate → link → canonicalize →
     materialize) at sf0.001 scale; conversation count derives from the
@@ -171,14 +189,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_edges": q_kg_edges,
         "length_guard": q_length_guard,
         "turn_ordering": q_turn_ordering,
+        "text_stats": q_text_stats,
+        "lang_id": q_lang_id,
+        "doc_fingerprint": q_doc_fingerprint,
     }
 
 
 def oracle_sql() -> dict[str, str]:
+    from transner_spark.oracles import textops_oracles
+
     sf = "sf0.01"
     g = lambda t: os.path.join(REPO, "data", "golden", sf, f"{t}.parquet")  # noqa: E731
     cache = os.path.join(REPO, "data", "cache", sf, "transcripts.parquet")
-    return {
+    docs = "/root/testdata/sf0.01/documents.parquet"
+    out = dict(textops_oracles(docs))
+    out.update({
         "kg_mentions": f"""
             SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
                    CAST(mention_id AS BIGINT) AS mention_id, type, value,
@@ -217,4 +242,5 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{cache}')
             GROUP BY conv_id
         """,
-    }
+    })
+    return out

@@ -1,0 +1,133 @@
+"""Text-analysis operators for the training-data pipeline: token
+counting, quality scoring, n-gram-heuristic language ID, and rolling
+document fingerprinting — over the ``documents`` table
+(doc_id, text, lang, source, n_chars).
+
+Everything here is pure Catalyst (built-in ``pyspark.sql.functions``,
+JVM-side, whole-stage-codegen) — zero Python UDFs. Each operator is a
+narrow per-row map over the scan: no shuffle, so at 100 TB the job is
+scan-bound and scales linearly with executors; column pruning means the
+parquet reader fetches only ``doc_id, text`` (+ ``lang`` for the
+accuracy flag).
+
+Counterpart of the reference's corpus tooling (stats over tokens,
+/root/reference/transner/transner/tools/wikiner_tools/stats/stats.py:79-99;
+fasttext language ID, /root/reference/transner/transner/ner.py:154-161 —
+re-expressed as a deterministic marker-word heuristic since the output
+contract needs no ML model).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from transner_spark.functions.hashing import h60, h60_seeded
+
+# BPE-ish word/number/symbol tokenizer — valid in both Java regex (Spark)
+# and RE2 (DuckDB), so the oracle reuses it verbatim.
+BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+PUNCT_PATTERN = r"[^A-Za-z0-9\s]"
+
+# Marker-word lists for the n-gram/stopword language-ID heuristic.
+# Deterministic, tiny, broadcast-free (inlined constants in the plan).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit"),
+    "en": ("the", "a", "and", "of", "to", "in", "is", "for"),
+    "es": ("el", "los", "las", "que", "es", "una", "por", "con"),
+    "fr": ("le", "les", "et", "est", "dans", "une", "pour", "qui"),
+    "it": ("il", "di", "che", "per", "sono", "della", "con", "una"),
+}
+
+STOPWORDS: tuple[str, ...] = tuple(
+    sorted({w for ws in LANG_MARKERS.values() for w in ws})
+)
+
+FINGERPRINT_K = 8  # char-shingle width for the rolling fingerprint
+
+
+def ws_tokens(col: F.Column) -> F.Column:
+    """Whitespace tokens of trimmed text (empty text → empty array)."""
+    return F.when(F.length(F.trim(col)) == 0, F.array().cast("array<string>")) \
+        .otherwise(F.split(F.trim(col), r"\s+"))
+
+
+def text_stats(docs: DataFrame) -> DataFrame:
+    """Per-document token counts, punctuation/stopword ratios, and a
+    deterministic quality score (the length/punct/stopword heuristic a
+    pretraining-data filter would threshold on)."""
+    toks = ws_tokens(F.col("text"))
+    n_ws = F.size(toks)
+    n_bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_PATTERN), F.lit(0)))
+    n_punct = F.size(F.regexp_extract_all(F.col("text"), F.lit(PUNCT_PATTERN), F.lit(0)))
+    n_stop = F.size(F.filter(toks, lambda t: F.lower(t).isin(*STOPWORDS)))
+    sum_tok_chars = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    punct_ratio = n_punct / F.greatest(n_bpe, F.lit(1))
+    stop_ratio = n_stop / F.greatest(n_ws, F.lit(1))
+    quality = F.round(
+        F.least(F.lit(1.0), n_ws / F.lit(50.0))
+        * (F.lit(1.0) - F.least(F.lit(1.0), punct_ratio))
+        * (F.lit(0.5) + F.lit(0.5) * F.least(F.lit(1.0), stop_ratio * 5.0)),
+        6,
+    )
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        n_ws.cast("long").alias("n_ws_tokens"),
+        n_bpe.cast("long").alias("n_bpe_tokens"),
+        n_punct.cast("long").alias("n_punct"),
+        n_stop.cast("long").alias("n_stopwords"),
+        sum_tok_chars.alias("sum_token_chars"),
+        quality.alias("quality_score"),
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Marker-word language ID: occurrence count per language's marker
+    list; argmax with alphabetical tie-break; 'und' when nothing hits."""
+    toks = F.transform(ws_tokens(F.col("text")), F.lower)
+    def _marker_count(words: tuple[str, ...]) -> F.Column:
+        return F.size(F.filter(toks, lambda t: t.isin(*words))).cast("long")
+
+    counts = {
+        lang: _marker_count(words) for lang, words in sorted(LANG_MARKERS.items())
+    }
+    df = docs.select("doc_id", F.col("lang").alias("lang_declared"),
+                     *[c.alias(f"c_{lang}") for lang, c in counts.items()])
+    best = F.greatest(*[F.col(f"c_{lang}") for lang in sorted(LANG_MARKERS)])
+    pred = F.when(best == 0, F.lit("und"))
+    for lang in sorted(LANG_MARKERS):  # alphabetical ⇒ deterministic ties
+        pred = pred.when(F.col(f"c_{lang}") == best, F.lit(lang))
+    return df.select(
+        "doc_id",
+        "lang_declared",
+        pred.alias("lang_pred"),
+        best.alias("marker_hits"),
+    )
+
+
+def doc_fingerprint(docs: DataFrame, k: int = FINGERPRINT_K) -> DataFrame:
+    """Rolling-hash document fingerprint: k-char shingles over
+    whitespace-normalized lowercase text, each hashed with h60; the
+    fingerprint is the min hash under two independent seeds (a 2-row
+    winnowing sketch), plus the distinct-shingle cardinality."""
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    shingles = F.when(F.length(norm) < k, F.array(norm)).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.length(norm) - (k - 1)),
+                lambda i: norm.substr(i, F.lit(k)),
+            )
+        )
+    )
+    df = docs.select("doc_id", shingles.alias("shingles"))
+    return df.select(
+        "doc_id",
+        F.size("shingles").cast("long").alias("n_shingles"),
+        F.array_min(F.transform(F.col("shingles"), h60)).alias("fp_min"),
+        F.array_min(
+            F.transform(F.col("shingles"), lambda s: h60_seeded(1, s))
+        ).alias("fp_alt"),
+    )
