@@ -159,6 +159,44 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_fingerprint(spark.read.parquet(os.path.join(sf_dir, "documents.parquet")))
 
 
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from transner_spark.operators.dedup import dedup_exact
+
+    return dedup_exact(_docs(spark, sf_dir))
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from transner_spark.operators.dedup import dedup_minhash_lsh
+
+    return dedup_minhash_lsh(_docs(spark, sf_dir))
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from transner_spark.operators.dedup import dedup_simhash
+
+    return dedup_simhash(_docs(spark, sf_dir))
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from transner_spark.operators.dedup import dedup_ngram_jaccard
+
+    return dedup_ngram_jaccard(_docs(spark, sf_dir))
+
+
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from transner_spark.operators.dedup import dedup_embedding_cosine
+
+    return dedup_embedding_cosine(_emb(spark, sf_dir))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline (annotate → link → canonicalize →
     materialize) at sf0.001 scale; conversation count derives from the
@@ -192,17 +230,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
     }
 
 
 def oracle_sql() -> dict[str, str]:
-    from transner_spark.oracles import textops_oracles
+    from transner_spark.oracles import dedup_oracles, textops_oracles
 
     sf = "sf0.01"
     g = lambda t: os.path.join(REPO, "data", "golden", sf, f"{t}.parquet")  # noqa: E731
     cache = os.path.join(REPO, "data", "cache", sf, "transcripts.parquet")
     docs = "/root/testdata/sf0.01/documents.parquet"
+    emb = "/root/testdata/sf0.01/embeddings.parquet"
     out = dict(textops_oracles(docs))
+    out.update(dedup_oracles(docs, emb))
     out.update({
         "kg_mentions": f"""
             SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,

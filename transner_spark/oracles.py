@@ -15,6 +15,16 @@ Dialect notes baked in here:
 
 from __future__ import annotations
 
+from transner_spark.operators.dedup import (
+    COSINE_THRESHOLD,
+    JACCARD_THRESHOLD,
+    LSH_BANDS,
+    N_MINHASH,
+    NGRAM_JACCARD_THRESHOLD,
+    SIMHASH_BITS,
+    SIMHASH_CHUNKS,
+    SIMHASH_HAMMING_MAX,
+)
 from transner_spark.operators.textops import (
     BPE_PATTERN,
     FINGERPRINT_K,
@@ -110,5 +120,116 @@ SELECT doc_id,
   list_min([{_h60('x')} for x in sh]) AS fp_min,
   list_min([{_h60("('1:' || x)")} for x in sh]) AS fp_alt
 FROM s
+""",
+    }
+
+
+def _shingle_cte(docs: str, n: int) -> str:
+    """CTEs t(toks) + s(sh): distinct word n-gram shingles per doc."""
+    return f"""
+t AS (
+  SELECT doc_id, text, lang, {_TOKS} AS toks FROM read_parquet('{docs}')
+), s AS (
+  SELECT doc_id, lang, toks,
+    CASE WHEN len(toks) < {n} THEN [array_to_string(toks, ' ')]
+         ELSE list_distinct([array_to_string(toks[i:i+{n - 1}], ' ')
+                             for i in range(1, len(toks) - {n - 2})]) END AS sh
+  FROM t
+)"""
+
+
+_JACCARD = (
+    "len(list_filter(a.sh, x -> list_contains(b.sh, x))) "
+    "/ (len(a.sh) + len(b.sh) "
+    "- len(list_filter(a.sh, x -> list_contains(b.sh, x))))"
+)
+
+
+def dedup_oracles(docs: str, emb: str) -> dict[str, str]:
+    rows = N_MINHASH // LSH_BANDS
+    dot = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "[CAST({x}[i] AS DOUBLE) * CAST({y}[i] AS DOUBLE) "
+        "for i in range(1, len({x}) + 1)]), (acc, v) -> acc + v)"
+    )
+    norm_text = _h60("lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))")
+    return {
+        "dedup_exact": f"""
+SELECT doc_id,
+  {norm_text} AS text_hash,
+  row_number() OVER (
+    PARTITION BY {norm_text}
+    ORDER BY doc_id) = 1 AS keep
+FROM read_parquet('{docs}')
+""",
+        "dedup_minhash_lsh": f"""
+WITH {_shingle_cte(docs, 3)}, sigs AS (
+  SELECT doc_id, sh,
+    [list_min([{_h60("(i || ':' || x)")} for x in sh])
+     for i in range(0, {N_MINHASH})] AS sig
+  FROM s
+), bands AS (
+  SELECT doc_id, r.b AS band_idx,
+    {_h60(f"array_to_string(sig[r.b * {rows} + 1 : r.b * {rows} + {rows}], ',')")}
+      AS band_key
+  FROM sigs, range({LSH_BANDS}) r(b)
+), cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands x JOIN bands y
+    ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+   AND x.doc_id < y.doc_id
+)
+SELECT doc_a, doc_b, round({_JACCARD}, 6) AS jaccard
+FROM cand JOIN s a ON a.doc_id = doc_a JOIN s b ON b.doc_id = doc_b
+WHERE {_JACCARD} >= {JACCARD_THRESHOLD}
+""",
+        "dedup_simhash": f"""
+WITH {_shingle_cte(docs, 2)}, h AS (
+  SELECT doc_id, [{_h60('x')} for x in sh] AS th FROM s
+), sim AS (
+  SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+    [CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+          [((hh >> j) & 1) * 2 - 1 for hh in th]), (a, b) -> a + b) >= 0
+     THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+     for j in range(0, {SIMHASH_BITS})]),
+    (a, b) -> a * 2 + b) AS simhash
+  FROM h
+), chunks AS (
+  SELECT doc_id, simhash, r.c AS chunk_idx,
+         (simhash >> (12 * r.c)) & 4095 AS chunk_key
+  FROM sim, range({SIMHASH_CHUNKS}) r(c)
+), pairs AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         bit_count(xor(x.simhash, y.simhash)) AS hamming
+  FROM chunks x JOIN chunks y
+    ON x.chunk_idx = y.chunk_idx AND x.chunk_key = y.chunk_key
+   AND x.doc_id < y.doc_id
+)
+SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
+FROM pairs WHERE hamming <= {SIMHASH_HAMMING_MAX}
+""",
+        "dedup_ngram_jaccard": f"""
+WITH {_shingle_cte(docs, 2)}, blocked AS (
+  SELECT doc_id, lang, CAST(floor(len(toks) / 20) AS BIGINT) AS lb, sh
+  FROM s
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, round({_JACCARD}, 6) AS jaccard
+FROM blocked a JOIN blocked b
+  ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
+WHERE {_JACCARD} >= {NGRAM_JACCARD_THRESHOLD}
+""",
+        "dedup_embedding_cosine": f"""
+WITH e0 AS (
+  SELECT vec_id, label, embedding AS emb FROM read_parquet('{emb}')
+), e AS (
+  SELECT vec_id, label, emb,
+         sqrt({dot.format(x='emb', y='emb')}) AS nrm
+  FROM e0
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+  round({dot.format(x='a.emb', y='b.emb')} / (a.nrm * b.nrm), 6) AS cosine
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE {dot.format(x='a.emb', y='b.emb')} / (a.nrm * b.nrm)
+      >= {COSINE_THRESHOLD}
 """,
     }
