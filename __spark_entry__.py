@@ -197,6 +197,18 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_embedding_cosine(_emb(spark, sf_dir))
 
 
+def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from transner_spark.operators.simsearch import ann_bruteforce
+
+    return ann_bruteforce(_emb(spark, sf_dir))
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from transner_spark.operators.simsearch import ann_lsh
+
+    return ann_lsh(spark, _emb(spark, sf_dir))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline (annotate → link → canonicalize →
     materialize) at sf0.001 scale; conversation count derives from the
@@ -235,11 +247,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "ann_bruteforce": q_ann_bruteforce,
+        "ann_lsh": q_ann_lsh,
     }
 
 
 def oracle_sql() -> dict[str, str]:
-    from transner_spark.oracles import dedup_oracles, textops_oracles
+    from transner_spark.oracles import (
+        dedup_oracles,
+        simsearch_oracles,
+        textops_oracles,
+    )
 
     sf = "sf0.01"
     g = lambda t: os.path.join(REPO, "data", "golden", sf, f"{t}.parquet")  # noqa: E731
@@ -248,6 +266,7 @@ def oracle_sql() -> dict[str, str]:
     emb = "/root/testdata/sf0.01/embeddings.parquet"
     out = dict(textops_oracles(docs))
     out.update(dedup_oracles(docs, emb))
+    out.update(simsearch_oracles(emb))
     out.update({
         "kg_mentions": f"""
             SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,

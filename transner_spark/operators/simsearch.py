@@ -1,0 +1,176 @@
+"""Approximate-nearest-neighbor search over the ``embeddings`` table
+(vec_id, embedding: array<float>, label).
+
+Two paths:
+
+- ``ann_bruteforce``: exact cosine top-k — broadcast the (small) query
+  set against the full corpus; the corpus side never shuffles, ranking
+  is a per-query-partition window. This is the correctness baseline.
+- ``ann_lsh``: random-hyperplane LSH — L tables × k hyperplanes; a
+  vector's k sign bits per table form its bucket id; candidates are
+  bucket-mates in ≥1 table; survivors are ranked by true cosine. The
+  scale path: bucketing is a narrow map over the scan (the hyperplane
+  matrix is a 16-row broadcast), the only shuffle is the bucket
+  equi-join, and recall/cost is tuned by (L, k) — at 100 TB you raise k
+  to keep bucket occupancy bounded and L for recall.
+
+Hyperplane weights are derived from the portable h60 hash
+(w(p,d) = (h60('plane:p,d') mod 2001 − 1000)/1000), so the DuckDB
+oracle regenerates the exact same planes with no side-channel files,
+and every dot product is summed in index order → bit-identical doubles
+on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from transner_spark.functions.hashing import h60
+from transner_spark.operators.dedup import _dot
+
+N_TABLES = 4
+PLANES_PER_TABLE = 4
+N_PLANES = N_TABLES * PLANES_PER_TABLE
+DIM = 64
+TOP_K = 5
+N_QUERIES = 8  # query set = vec_id < N_QUERIES; corpus = the rest
+
+
+def plane_weight(p, d) -> F.Column:
+    """Deterministic pseudo-random hyperplane weight in [-1, 1]."""
+    key = F.concat(
+        F.lit("plane:"), p.cast("string"), F.lit(","), d.cast("string")
+    )
+    return ((h60(key) % 2001) - 1000) / F.lit(1000.0)
+
+
+def hyperplanes(spark: SparkSession, n_planes: int = N_PLANES, dim: int = DIM) -> DataFrame:
+    """16-row dimension table (plane_id, weights: array<double>)."""
+    return spark.range(n_planes).select(
+        F.col("id").alias("plane_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda d: plane_weight(F.col("id"), d),
+        ).alias("weights"),
+    )
+
+
+def _with_norm(embeddings: DataFrame) -> DataFrame:
+    return embeddings.select(
+        "vec_id",
+        F.col("embedding").alias("emb"),
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+    )
+
+
+def ann_bruteforce(
+    embeddings: DataFrame, k: int = TOP_K, n_queries: int = N_QUERIES
+) -> DataFrame:
+    """Exact cosine top-k: broadcast query set × corpus, window rank."""
+    e = _with_norm(embeddings)
+    q = e.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    c = e.where(F.col("vec_id") >= n_queries).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("emb").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    cos = _dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_nrm") * F.col("c_nrm"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        c.crossJoin(F.broadcast(q))
+        .withColumn("cosine", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("rank").cast("long").alias("rank"),
+            "neighbor_id",
+            F.round("cosine", 6).alias("cosine"),
+        )
+    )
+
+
+def lsh_buckets(spark: SparkSession, embeddings: DataFrame) -> DataFrame:
+    """(vec_id, table_id, bucket): k sign bits per table, planes ordered
+    by plane_id (plane p belongs to table p div k)."""
+    planes = hyperplanes(spark)
+    bit = (_dot(F.col("emb"), F.col("weights")) >= 0).cast("long")
+    scored = (
+        _with_norm(embeddings)
+        .crossJoin(F.broadcast(planes))
+        .select(
+            "vec_id",
+            (F.col("plane_id") / PLANES_PER_TABLE).cast("long").alias("table_id"),
+            "plane_id",
+            bit.alias("bit"),
+        )
+    )
+    bits_sorted = F.array_sort(F.collect_list(F.struct("plane_id", "bit")))
+    return (
+        scored.groupBy("vec_id", "table_id")
+        .agg(bits_sorted.alias("bits"))
+        .select(
+            "vec_id",
+            "table_id",
+            F.aggregate(
+                F.col("bits"),
+                F.lit(0).cast("long"),
+                lambda acc, s: acc * 2 + s["bit"],
+            ).alias("bucket"),
+        )
+    )
+
+
+def ann_lsh(
+    spark: SparkSession,
+    embeddings: DataFrame,
+    k: int = TOP_K,
+    n_queries: int = N_QUERIES,
+) -> DataFrame:
+    """LSH-bucketed ANN: candidates share a bucket in ≥1 table; rank
+    survivors by exact cosine. Recall < 1 by construction — the oracle
+    replicates the same (L, k) configuration exactly."""
+    buckets = lsh_buckets(spark, embeddings)
+    qb = buckets.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), "table_id", "bucket"
+    )
+    cb = buckets.where(F.col("vec_id") >= n_queries).select(
+        F.col("vec_id").alias("neighbor_id"), "table_id", "bucket"
+    )
+    cand = qb.join(cb, ["table_id", "bucket"]).select("query_id", "neighbor_id").distinct()
+
+    e = _with_norm(embeddings)
+    q = e.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("emb").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    cos = _dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_nrm") * F.col("c_nrm"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.join(F.broadcast(q), "query_id")
+        .join(c, "neighbor_id")
+        .withColumn("cosine", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("rank").cast("long").alias("rank"),
+            "neighbor_id",
+            F.round("cosine", 6).alias("cosine"),
+        )
+    )

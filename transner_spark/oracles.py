@@ -233,3 +233,80 @@ WHERE {dot.format(x='a.emb', y='b.emb')} / (a.nrm * b.nrm)
       >= {COSINE_THRESHOLD}
 """,
     }
+
+
+def simsearch_oracles(emb: str) -> dict[str, str]:
+    from transner_spark.operators.simsearch import (
+        DIM,
+        N_QUERIES,
+        N_TABLES,
+        PLANES_PER_TABLE,
+        TOP_K,
+    )
+
+    dot = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "[CAST({x}[i] AS DOUBLE) * CAST({y}[i] AS DOUBLE) "
+        "for i in range(1, len({x}) + 1)]), (acc, v) -> acc + v)"
+    )
+    w_pd = (
+        "((" + _h60("('plane:' || p || ',' || d)") + " % 2001 - 1000) / 1000.0)"
+    )
+    plane_dot = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"[CAST(emb[d + 1] AS DOUBLE) * {w_pd} for d in range(0, {DIM})]), "
+        "(acc, v) -> acc + v)"
+    )
+    bucket = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"[CASE WHEN {plane_dot} >= 0 THEN CAST(1 AS BIGINT) "
+        "ELSE CAST(0 AS BIGINT) END "
+        f"for p in range(r.t * {PLANES_PER_TABLE}, "
+        f"(r.t + 1) * {PLANES_PER_TABLE})]), (a, b) -> a * 2 + b)"
+    )
+    norms = f"""
+e AS (
+  SELECT vec_id, embedding AS emb FROM read_parquet('{emb}')
+), n AS (
+  SELECT vec_id, emb, sqrt({dot.format(x='emb', y='emb')}) AS nrm FROM e
+)"""
+    rank_tail = f"""
+SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+       round(cosine, 6) AS cosine
+FROM r WHERE rank <= {TOP_K}"""
+    return {
+        "ann_bruteforce": f"""
+WITH {norms}, p AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+    {dot.format(x='q.emb', y='c.emb')} / (q.nrm * c.nrm) AS cosine
+  FROM n q, n c WHERE q.vec_id < {N_QUERIES} AND c.vec_id >= {N_QUERIES}
+), r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM p
+)
+{rank_tail}
+""",
+        "ann_lsh": f"""
+WITH {norms}, b AS (
+  SELECT vec_id, r.t AS table_id, {bucket} AS bucket
+  FROM e, range({N_TABLES}) r(t)
+), cand AS (
+  SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+  FROM b qb JOIN b cb
+    ON qb.table_id = cb.table_id AND qb.bucket = cb.bucket
+  WHERE qb.vec_id < {N_QUERIES} AND cb.vec_id >= {N_QUERIES}
+), p AS (
+  SELECT cand.query_id, cand.neighbor_id,
+    {dot.format(x='q.emb', y='c.emb')} / (q.nrm * c.nrm) AS cosine
+  FROM cand
+  JOIN n q ON q.vec_id = cand.query_id
+  JOIN n c ON c.vec_id = cand.neighbor_id
+), r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM p
+)
+{rank_tail}
+""",
+    }
