@@ -209,6 +209,18 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh(spark, _emb(spark, sf_dir))
 
 
+def q_mm_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from transner_spark.operators.multimodal import asset_metadata
+
+    return asset_metadata(_docs(spark, sf_dir))
+
+
+def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from transner_spark.operators.multimodal import media_features
+
+    return media_features(_docs(spark, sf_dir))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline (annotate → link → canonicalize →
     materialize) at sf0.001 scale; conversation count derives from the
@@ -249,12 +261,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "ann_bruteforce": q_ann_bruteforce,
         "ann_lsh": q_ann_lsh,
+        "mm_metadata": q_mm_metadata,
+        "mm_features": q_mm_features,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     from transner_spark.oracles import (
         dedup_oracles,
+        multimodal_oracles,
         simsearch_oracles,
         textops_oracles,
     )
@@ -267,6 +282,7 @@ def oracle_sql() -> dict[str, str]:
     out = dict(textops_oracles(docs))
     out.update(dedup_oracles(docs, emb))
     out.update(simsearch_oracles(emb))
+    out.update(multimodal_oracles(docs))
     out.update({
         "kg_mentions": f"""
             SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,

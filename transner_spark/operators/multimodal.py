@@ -1,0 +1,135 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` payloads
+with typed metadata, plus a Pandas-UDF feature-extraction stage.
+
+The sandbox has no image/audio codecs, so the *decode* step is a
+clearly-marked stub (``decode_media`` raises ``NotImplementedError``
+unless a codec hook is injected), while everything Spark-side is real
+and tested: the schema, the deterministic binary synthesis, the
+``mapInPandas`` batch shape (iterator of pandas DataFrames, Arrow
+transfer), and integer byte-level features that a real extractor would
+replace.
+
+Scale design: assets flow as (asset_id, media_type, content binary,
+width, height); feature extraction is a narrow ``mapInPandas`` pass —
+no shuffle, executor-local batches sized by
+``spark.sql.execution.arrow.maxRecordsPerBatch`` — exactly the shape a
+real decoder (PIL/ffmpeg behind the hook) would run in, one python
+worker per core, model/codec loaded once per worker.
+
+The features are pure integer byte statistics (sum, 4-bin histogram),
+so the DuckDB oracle can re-derive them from hex expansion —
+the Pandas-UDF path gets a genuinely independent cross-engine check.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StructField,
+    StructType,
+)
+
+from transner_spark.functions.hashing import h60
+
+MEDIA_TYPES = ("image", "audio", "video")
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("sum_bytes", LongType()),
+        StructField("h0", LongType()),  # bytes in [0, 64)
+        StructField("h1", LongType()),  # [64, 128)
+        StructField("h2", LongType()),  # [128, 192)
+        StructField("h3", LongType()),  # [192, 256)
+    ]
+)
+
+
+def synthesize_assets(docs: DataFrame) -> DataFrame:
+    """Deterministic asset table from the documents table: the payload is
+    the doc's md5 hex repeated 1 + (doc_id % 4) times, unhexed → 16-64
+    opaque bytes; width/height derive from the content hash. At real
+    scale this column is the raw image/audio blob read from object
+    storage — everything downstream only assumes 'binary + metadata'."""
+    reps = (F.col("doc_id") % 4 + 1).cast("int")
+    hex_payload = F.repeat(F.md5("text"), reps)
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.element_at(
+            F.array(*[F.lit(m) for m in MEDIA_TYPES]),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("media_type"),
+        F.unhex(hex_payload).alias("content"),
+        (F.pmod(h60(F.col("text")), F.lit(240)) + 16).cast("int").alias("width"),
+        (F.pmod(h60(F.concat(F.lit("h:"), F.col("text"))), F.lit(240)) + 16)
+        .cast("int")
+        .alias("height"),
+    )
+
+
+def asset_metadata(docs: DataFrame) -> DataFrame:
+    """Typed-metadata projection — the query a catalog/pruning layer
+    runs without ever touching the payload bytes."""
+    assets = synthesize_assets(docs)
+    return assets.select(
+        "asset_id",
+        "media_type",
+        F.octet_length("content").cast("long").alias("n_bytes"),
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+    )
+
+
+def decode_media(media_type: str, content: bytes):
+    """Real decode hook. No codecs ship in this container — inject one
+    via ``extract_features(..., decoder=...)`` in production."""
+    raise NotImplementedError(
+        "media decoding requires a codec (PIL/soundfile/ffmpeg); "
+        "inject a decoder callable to enable it"
+    )
+
+
+def _byte_features(batch: pd.DataFrame) -> pd.DataFrame:
+    """Deterministic stand-in for decode + feature extraction: integer
+    byte statistics via numpy over the Arrow-delivered binary column."""
+    import numpy as np
+
+    out = {k: [] for k in ("asset_id", "n_bytes", "sum_bytes", "h0", "h1", "h2", "h3")}
+    for asset_id, content in zip(batch["asset_id"], batch["content"]):
+        b = np.frombuffer(bytes(content), dtype=np.uint8)
+        hist = np.bincount(b >> 6, minlength=4)
+        out["asset_id"].append(int(asset_id))
+        out["n_bytes"].append(int(b.size))
+        out["sum_bytes"].append(int(b.sum()))
+        for i in range(4):
+            out[f"h{i}"].append(int(hist[i]))
+    return pd.DataFrame(out)
+
+
+def extract_features(
+    assets: DataFrame,
+    decoder: Callable | None = None,
+) -> DataFrame:
+    """mapInPandas feature extraction over the binary column. With a
+    ``decoder`` injected this is where real decode/resize/frame-sample
+    runs; without one, the deterministic byte-statistics fake keeps the
+    full Spark plumbing (schema, Arrow batching, partitioning) live."""
+    if decoder is not None:  # pragma: no cover - no codecs in sandbox
+        raise NotImplementedError("custom decoders not wired in this build")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            yield _byte_features(batch)
+
+    return assets.select("asset_id", "content").mapInPandas(run, FEATURE_SCHEMA)
+
+
+def media_features(docs: DataFrame) -> DataFrame:
+    return extract_features(synthesize_assets(docs))

@@ -310,3 +310,36 @@ WITH {norms}, b AS (
 {rank_tail}
 """,
     }
+
+
+def multimodal_oracles(docs: str) -> dict[str, str]:
+    hx = "repeat(md5(text), CAST(doc_id % 4 + 1 AS INT))"
+    byte = "CAST(('0x' || substr(hx, 2 * i + 1, 2)) AS BIGINT)"
+    return {
+        "mm_metadata": f"""
+SELECT doc_id AS asset_id,
+  (['image', 'audio', 'video'])[CAST(doc_id % 3 + 1 AS INT)] AS media_type,
+  CAST(length({hx}) / 2 AS BIGINT) AS n_bytes,
+  CAST({_h60('text')} % 240 + 16 AS BIGINT) AS width,
+  CAST({_h60("('h:' || text)")} % 240 + 16 AS BIGINT) AS height
+FROM read_parquet('{docs}')
+""",
+        "mm_features": f"""
+WITH a AS (
+  SELECT doc_id AS asset_id, {hx} AS hx FROM read_parquet('{docs}')
+), b AS (
+  SELECT asset_id,
+    [{byte} for i in range(0, CAST(length(hx) / 2 AS BIGINT))] AS bytes
+  FROM a
+)
+SELECT asset_id,
+  CAST(len(bytes) AS BIGINT) AS n_bytes,
+  list_reduce(list_prepend(CAST(0 AS BIGINT), bytes), (x, y) -> x + y)
+    AS sum_bytes,
+  CAST(len(list_filter(bytes, v -> (v >> 6) = 0)) AS BIGINT) AS h0,
+  CAST(len(list_filter(bytes, v -> (v >> 6) = 1)) AS BIGINT) AS h1,
+  CAST(len(list_filter(bytes, v -> (v >> 6) = 2)) AS BIGINT) AS h2,
+  CAST(len(list_filter(bytes, v -> (v >> 6) = 3)) AS BIGINT) AS h3
+FROM b
+""",
+    }
