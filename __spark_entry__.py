@@ -221,6 +221,50 @@ def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_features(_docs(spark, sf_dir))
 
 
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from transner_spark.operators.relational import corpus_stats
+
+    return corpus_stats(_docs(spark, sf_dir))
+
+
+def q_iob_to_bio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from transner_spark.operators.relational import iob_to_bio
+
+    return iob_to_bio(_docs(spark, sf_dir))
+
+
+def q_split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from transner_spark.operators.relational import split_train_val_test
+
+    return split_train_val_test(_docs(spark, sf_dir))
+
+
+def q_region_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from transner_spark.operators.relational import region_containment
+
+    return region_containment(_docs(spark, sf_dir))
+
+
+def q_substring_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from transner_spark.data.aliases import ensure_keys_parquet
+    from transner_spark.operators.relational import substring_antijoin
+
+    return substring_antijoin(spark.read.parquet(ensure_keys_parquet(REPO)))
+
+
+def q_mention_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from transner_spark.operators.annotate import explode_mentions
+    from transner_spark.operators.relational import mention_overlap_pairs
+
+    return mention_overlap_pairs(explode_mentions(_annotated(spark, sf_dir)))
+
+
+def q_role_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from transner_spark.operators.relational import role_transitions
+
+    return role_transitions(_transcripts(spark, sf_dir))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline (annotate → link → canonicalize →
     materialize) at sf0.001 scale; conversation count derives from the
@@ -263,6 +307,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "mm_metadata": q_mm_metadata,
         "mm_features": q_mm_features,
+        "corpus_stats": q_corpus_stats,
+        "iob_to_bio": q_iob_to_bio,
+        "split_train_val_test": q_split_train_val_test,
+        "region_containment": q_region_containment,
+        "substring_antijoin": q_substring_antijoin,
+        "mention_overlap_pairs": q_mention_overlap_pairs,
+        "role_transitions": q_role_transitions,
     }
 
 
@@ -283,6 +334,16 @@ def oracle_sql() -> dict[str, str]:
     out.update(dedup_oracles(docs, emb))
     out.update(simsearch_oracles(emb))
     out.update(multimodal_oracles(docs))
+    from transner_spark.oracles import relational_oracles
+
+    out.update(
+        relational_oracles(
+            docs,
+            os.path.join(REPO, "data", "cache", "alias_keys.parquet"),
+            g("mentions"),
+            cache,
+        )
+    )
     out.update({
         "kg_mentions": f"""
             SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,

@@ -1,0 +1,181 @@
+"""Unit tests for the training-data pipeline operators (textops, dedup,
+simsearch, multimodal, relational) on tiny inline frames."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", "en", "s0", 43),
+        (1, "the quick brown fox jumps over the lazy dog", "en", "s1", 43),  # exact dup
+        (2, "the quick brown fox jumps over the lazy cat", "en", "s0", 43),  # near dup
+        (3, "der hund und die katze sind nicht da", "de", "s0", 36),
+        (4, "completely different words entirely here now", "en", "s1", 44),
+        (5, "", "en", "s0", 0),
+    ]
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source", "n_chars"])
+    )
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (1, [0.9, 0.1, 0.0, 0.0], 0),
+        (2, [0.0, 1.0, 0.0, 0.0], 1),
+        (3, [0.0, 0.95, 0.05, 0.0], 1),
+        (4, [0.0, 0.0, 1.0, 0.0], 2),
+    ]
+    df = pd.DataFrame(rows, columns=["vec_id", "embedding", "label"])
+    return spark.createDataFrame(df)
+
+
+def test_text_stats_counts(spark, docs_df):
+    from transner_spark.operators.textops import text_stats
+
+    out = {r["doc_id"]: r for r in text_stats(docs_df).collect()}
+    assert out[0]["n_ws_tokens"] == 9
+    assert out[0]["n_stopwords"] == 2  # 'the' twice
+    assert out[5]["n_ws_tokens"] == 0 and out[5]["sum_token_chars"] == 0
+    assert 0.0 <= out[0]["quality_score"] <= 1.0
+
+
+def test_lang_id_markers(spark, docs_df):
+    from transner_spark.operators.textops import lang_id
+
+    out = {r["doc_id"]: r["lang_pred"] for r in lang_id(docs_df).collect()}
+    assert out[0] == "en"
+    assert out[3] == "de"
+    assert out[5] == "und"
+
+
+def test_dedup_exact_groups(spark, docs_df):
+    from transner_spark.operators.dedup import dedup_exact
+
+    out = {r["doc_id"]: r for r in dedup_exact(docs_df).collect()}
+    assert out[0]["text_hash"] == out[1]["text_hash"]
+    assert out[0]["keep"] and not out[1]["keep"]
+    assert out[2]["keep"]
+
+
+def test_minhash_lsh_finds_dups(spark, docs_df):
+    from transner_spark.operators.dedup import dedup_minhash_lsh
+
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+             for r in dedup_minhash_lsh(docs_df).collect()}
+    assert pairs[(0, 1)] == 1.0  # identical docs always collide
+    assert (0, 4) not in pairs
+
+
+def test_simhash_identical_zero_hamming(spark, docs_df):
+    from transner_spark.operators.dedup import dedup_simhash
+
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"]
+             for r in dedup_simhash(docs_df).collect()}
+    assert pairs[(0, 1)] == 0
+
+
+def test_embedding_cosine_blocked(spark, emb_df):
+    from transner_spark.operators.dedup import dedup_embedding_cosine
+
+    pairs = {(r["vec_a"], r["vec_b"]): r["cosine"]
+             for r in dedup_embedding_cosine(emb_df, threshold=0.9).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] > 0.99
+    assert all(a != 4 and b != 4 for a, b in pairs)  # label 2 is a singleton
+
+
+def test_ann_bruteforce_ranks(spark, emb_df):
+    from transner_spark.operators.simsearch import ann_bruteforce
+
+    out = ann_bruteforce(emb_df, k=2, n_queries=2).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    top0 = sorted(by_q[0], key=lambda r: r["rank"])
+    assert [r["neighbor_id"] for r in top0][0] in (2, 3, 4)
+    assert all(r["rank"] <= 2 for r in out)
+
+
+def test_ann_lsh_subset_of_bruteforce_candidates(spark, emb_df):
+    from transner_spark.operators.simsearch import ann_lsh
+
+    out = ann_lsh(spark, emb_df, k=3, n_queries=2).collect()
+    # LSH returns ranked bucket-mates only; ranks are contiguous from 1
+    for q in {r["query_id"] for r in out}:
+        ranks = sorted(r["rank"] for r in out if r["query_id"] == q)
+        assert ranks == list(range(1, len(ranks) + 1))
+
+
+def test_mm_features_match_payload(spark, docs_df):
+    from transner_spark.operators.multimodal import media_features, synthesize_assets
+
+    feats = {r["asset_id"]: r for r in media_features(docs_df).collect()}
+    raw = {r["asset_id"]: bytes(r["content"])
+           for r in synthesize_assets(docs_df).collect()}
+    for aid, content in raw.items():
+        r = feats[aid]
+        assert r["n_bytes"] == len(content)
+        assert r["sum_bytes"] == sum(content)
+        assert r["h0"] + r["h1"] + r["h2"] + r["h3"] == len(content)
+
+
+def test_decode_stub_raises():
+    from transner_spark.operators.multimodal import decode_media
+
+    with pytest.raises(NotImplementedError):
+        decode_media("image", b"\x00")
+
+
+def test_iob_to_bio_shape(spark, docs_df):
+    from transner_spark.operators.relational import iob_to_bio
+
+    out = {r["doc_id"]: r for r in iob_to_bio(docs_df).collect()}
+    for r in out.values():
+        iob, bio = r["iob"].split(" "), r["bio"].split(" ")
+        assert len(iob) == len(bio)
+        prev = "O"
+        for got, src in zip(bio, iob):
+            if src == "O":
+                assert got == "O"
+            elif prev == "O" or prev[2:] != src[2:]:
+                assert got == "B-" + src[2:]
+            else:
+                assert got == src
+            prev = src
+    assert 5 not in out  # empty doc excluded
+
+
+def test_region_containment_excludes_straddlers(spark, docs_df):
+    from transner_spark.operators.relational import region_containment, token_spans
+
+    spans = token_spans(docs_df).collect()
+    contained = sum(
+        1 for r in spans
+        if (r["t_start"] // 100) == ((r["t_end"] - 1) // 100) or r["t_end"] % 100 == 0
+    )
+    total = region_containment(docs_df).groupBy().sum("n_tokens").collect()[0][0]
+    assert total == contained
+
+
+def test_substring_antijoin(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"key": ["mario rossi", "rossi", "mario", "luigi verdi"]})
+    )
+    from transner_spark.operators.relational import substring_antijoin
+
+    kept = {r["key"] for r in substring_antijoin(df).collect()}
+    assert kept == {"mario rossi", "luigi verdi"}
+
+
+def test_role_transitions_total(spark, tiny_df):
+    from transner_spark.operators.relational import role_transitions
+
+    out = role_transitions(tiny_df).collect()
+    assert sum(r["n"] for r in out) == tiny_df.count()
+    starts = sum(r["n"] for r in out if r["prev_role"] == "_START_")
+    assert starts == tiny_df.select("conv_id").distinct().count()

@@ -64,3 +64,26 @@ def build_alias_rows() -> tuple[tuple[str, str, str], ...]:
             seen.add(row)
             out.append(row)
     return tuple(out)
+
+
+def ensure_keys_parquet(repo_root: str) -> str:
+    """Materialize the distinct normalized alias keys as a single-file
+    parquet dimension (input for the substring anti-join operator and
+    its DuckDB oracle — both engines read the same file and derive the
+    anti-join independently). Deterministic; written once."""
+    import os
+
+    import pandas as pd
+
+    from transner_spark.kernels.triples import normalize_surface
+
+    path = os.path.join(repo_root, "data", "cache", "alias_keys.parquet")
+    if os.path.exists(path):
+        return path
+    keys = sorted({normalize_surface(a) for _k, a, _t in build_alias_rows()})
+    keys = [k for k in keys if k]
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    pd.DataFrame({"key": keys}).to_parquet(tmp, index=False)
+    os.replace(tmp, path)
+    return path

@@ -312,6 +312,124 @@ WITH {norms}, b AS (
     }
 
 
+def relational_oracles(
+    docs: str, keys: str, mentions_golden: str, cache: str
+) -> dict[str, str]:
+    from transner_spark.operators.relational import IOB_TYPES, REGION_CHARS
+
+    tag_h = _h60("('tag:' || x)")
+    tag_case = "CASE " + " ".join(
+        f"WHEN {tag_h} % 5 = {i} THEN 'I-{ty}'"
+        for i, ty in enumerate(IOB_TYPES)
+    ) + " ELSE 'O' END"
+    split_h = _h60("('split:' || doc_id)")
+    split_case = (
+        f"CASE WHEN {split_h} % 20 < 14 THEN 'train' "
+        f"WHEN {split_h} % 20 < 17 THEN 'val' ELSE 'test' END"
+    )
+    r = REGION_CHARS
+    return {
+        "corpus_stats": f"""
+WITH t AS (
+  SELECT doc_id, lang, {_TOKS} AS toks FROM read_parquet('{docs}')
+), d AS (
+  SELECT lang, count(*) AS n_docs, sum(len(toks)) AS sum_tokens
+  FROM t GROUP BY lang
+), w AS (
+  SELECT lang, count(DISTINCT word) AS n_distinct_words
+  FROM (SELECT lang, unnest(toks) AS word FROM t) GROUP BY lang
+)
+SELECT d.lang, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_distinct_words AS BIGINT) AS n_distinct_words,
+       CAST(sum_tokens AS BIGINT) AS sum_tokens,
+       round(sum_tokens / n_docs, 6) AS avg_tokens
+FROM d JOIN w USING (lang)
+""",
+        "iob_to_bio": f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS toks FROM read_parquet('{docs}')
+), g AS (
+  SELECT doc_id, [{tag_case} for x in toks] AS tags FROM t
+), p AS (
+  SELECT doc_id, tags, list_prepend('O', tags) AS padded FROM g
+)
+SELECT doc_id, array_to_string(tags, ' ') AS iob,
+  array_to_string(
+    [CASE WHEN padded[i + 1] != 'O'
+           AND (padded[i] = 'O'
+                OR substr(padded[i], 3, 10) != substr(padded[i + 1], 3, 10))
+          THEN 'B-' || substr(padded[i + 1], 3, 10)
+          ELSE padded[i + 1] END
+     for i in range(1, len(tags) + 1)], ' ') AS bio
+FROM p WHERE array_to_string(tags, ' ') != ''
+""",
+        "split_train_val_test": f"""
+SELECT {split_case} AS split, CAST(count(*) AS BIGINT) AS n_docs,
+       min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+FROM read_parquet('{docs}')
+GROUP BY 1
+""",
+        "region_containment": f"""
+WITH t0 AS (
+  SELECT doc_id, trim(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS text
+  FROM read_parquet('{docs}')
+), t AS (
+  SELECT doc_id, {_TOKS} AS toks FROM t0
+), idx AS (
+  SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i FROM t
+), s AS (
+  -- coalesce: DuckDB's column-bounded slice [1:0] yields NULL, not []
+  SELECT doc_id,
+    (i - 1) + coalesce(length(array_to_string(toks[1:i - 1], '')), 0)
+        AS t_start,
+    (i - 1) + coalesce(length(array_to_string(toks[1:i - 1], '')), 0)
+        + length(toks[i]) AS t_end
+  FROM idx
+), assigned AS (
+  SELECT doc_id, CAST(floor(t_start / {r}) AS BIGINT) AS region_id,
+         t_start, t_end
+  FROM s
+  WHERE t_end <= (floor(t_start / {r}) + 1) * {r}
+)
+SELECT doc_id, region_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(t_end - t_start) AS BIGINT) AS sum_token_chars
+FROM assigned GROUP BY doc_id, region_id
+""",
+        "substring_antijoin": f"""
+WITH k AS (SELECT key FROM read_parquet('{keys}'))
+SELECT key FROM k
+WHERE key NOT IN (
+  SELECT a.key FROM k a JOIN k b
+    ON a.key != b.key
+   AND strpos(' ' || b.key || ' ', ' ' || a.key || ' ') > 0
+)
+""",
+        "mention_overlap_pairs": f"""
+WITH g AS (SELECT * FROM read_parquet('{mentions_golden}'))
+SELECT a.conv_id, CAST(a.turn_idx AS BIGINT) AS turn_idx,
+       CAST(a.mention_id AS BIGINT) AS a_id,
+       CAST(b.mention_id AS BIGINT) AS b_id,
+       a.type AS a_type, b.type AS b_type
+FROM g a JOIN g b
+  ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+ AND a.mention_id < b.mention_id
+ AND NOT (a."offset" + length(a.value) < b."offset"
+          OR b."offset" + length(b.value) < a."offset")
+""",
+        "role_transitions": f"""
+WITH x AS (
+  SELECT coalesce(
+           lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx),
+           '_START_') AS prev_role,
+         role
+  FROM read_parquet('{cache}')
+)
+SELECT prev_role, role, CAST(count(*) AS BIGINT) AS n
+FROM x GROUP BY prev_role, role
+""",
+    }
+
+
 def multimodal_oracles(docs: str) -> dict[str, str]:
     hx = "repeat(md5(text), CAST(doc_id % 4 + 1 AS INT))"
     byte = "CAST(('0x' || substr(hx, 2 * i + 1, 2)) AS BIGINT)"
