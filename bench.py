@@ -92,6 +92,40 @@ def run_pipeline_timed(spark, sf_dir: str, workdir: str) -> dict:
     }
 
 
+def run_trainops_timed(spark, sf_dir: str) -> dict:
+    """Training-data pipeline ops over the driver-provided documents/
+    embeddings tables at the bench scale."""
+    from transner_spark.operators.dedup import dedup_minhash_lsh, dedup_simhash
+    from transner_spark.operators.simsearch import ann_lsh
+    from transner_spark.operators.textops import doc_fingerprint, lang_id, text_stats
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+    timings: dict[str, float] = {}
+    counts: dict[str, int] = {}
+
+    t0 = time.monotonic()
+    counts["textops"] = (
+        text_stats(docs).count() + lang_id(docs).count() + doc_fingerprint(docs).count()
+    )
+    timings["textops"] = time.monotonic() - t0
+
+    t0 = time.monotonic()
+    counts["dedup_minhash"] = dedup_minhash_lsh(docs).count()
+    timings["dedup_minhash"] = time.monotonic() - t0
+
+    t0 = time.monotonic()
+    counts["dedup_simhash"] = dedup_simhash(docs).count()
+    timings["dedup_simhash"] = time.monotonic() - t0
+
+    t0 = time.monotonic()
+    counts["ann_lsh"] = ann_lsh(spark, emb).count()
+    timings["ann_lsh"] = time.monotonic() - t0
+
+    return {"timings": timings, "counts": counts}
+
+
 def main() -> None:
     import shutil
     import tempfile
@@ -104,6 +138,7 @@ def main() -> None:
     try:
         spark = build_session(f"local[{cpus}]", cpus)
         res = run_pipeline_timed(spark, sf_dir, workdir)
+        tops = run_trainops_timed(spark, sf_dir)
         spark.stop()
 
         from transner_spark.sources.transcripts import sf_name
@@ -112,7 +147,11 @@ def main() -> None:
             "metric": "kg_pipeline_wall",
             "value": round(res["total"], 3),
             "unit": "sec",
-            "queries": {k: round(v, 3) for k, v in res["timings"].items()},
+            "queries": {
+                **{k: round(v, 3) for k, v in res["timings"].items()},
+                **{k: round(v, 3) for k, v in tops["timings"].items()},
+            },
+            "trainops_counts": tops["counts"],
             "sf": sf_name(sf_dir),
             "turns": res["turns"],
             "mentions": res["mentions"],

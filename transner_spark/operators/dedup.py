@@ -154,7 +154,12 @@ def dedup_minhash_lsh(
     """MinHash-LSH near-dup pairs: candidates collide in ≥1 band; the
     verify pass computes exact Jaccard on the shingle sets and keeps
     pairs ≥ threshold. Returns (doc_a, doc_b, jaccard)."""
-    sigs = minhash_signatures(docs)
+    # Materialize signatures once: Catalyst inlines the (16 × |shingles|
+    # md5) sig expression into EVERY downstream reference (band structs,
+    # both join sides, the verify pass) — no common-subexpression reuse
+    # through higher-order functions, measured 30×+ recompute at sf0.1.
+    # At warehouse scale this persist becomes a signatures table write.
+    sigs = minhash_signatures(docs).persist()
     bandsa = lsh_band_keys(sigs).alias("a")
     bandsb = lsh_band_keys(sigs).alias("b")
     cand = (
@@ -182,9 +187,13 @@ def simhash(docs: DataFrame, nbits: int = SIMHASH_BITS) -> DataFrame:
     nested SQL ``aggregate`` so the bit shift can take the lambda
     variable (the python F.shiftright API only takes int literals)."""
     sh = with_shingles(docs, 2)
+    # persist: the 48 per-bit inner aggregates each reference th — without
+    # a materialization barrier Catalyst inlines the shingle+md5 pipeline
+    # into every bit's aggregate (48× recompute; measured ~18× wall at
+    # sf0.1). At warehouse scale th is a signatures table.
     th = sh.select(
         "doc_id", F.transform(F.col("shingles"), h60).alias("th")
-    )
+    ).persist()
     sim_expr = f"""
         aggregate(sequence(0, {nbits - 1}), CAST(0 AS BIGINT),
           (acc, j) -> acc * 2 + (CASE WHEN
@@ -202,7 +211,8 @@ def dedup_simhash(
     (pairs within hamming ≤ 12 collide in ≥1 chunk by pigeonhole when
     differing bits spread; standard simhash blocking), verify with
     bit_count(xor). Returns (doc_a, doc_b, hamming)."""
-    sim = simhash(docs)
+    # persist for the same expression-inlining reason as dedup_minhash_lsh
+    sim = simhash(docs).persist()
     chunks = sim.select(
         "doc_id",
         "simhash",

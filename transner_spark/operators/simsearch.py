@@ -137,7 +137,9 @@ def ann_lsh(
     """LSH-bucketed ANN: candidates share a bucket in ≥1 table; rank
     survivors by exact cosine. Recall < 1 by construction — the oracle
     replicates the same (L, k) configuration exactly."""
-    buckets = lsh_buckets(spark, embeddings)
+    # persist: the bucket job (broadcast plane join + groupBy) would
+    # otherwise run once per side of the candidate join
+    buckets = lsh_buckets(spark, embeddings).persist()
     qb = buckets.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), "table_id", "bucket"
     )
