@@ -42,10 +42,31 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from transner_spark.functions.hashing import h60, h60_seeded
+from transner_spark.functions.hashing import h60
 from transner_spark.operators.textops import ws_tokens
 
 N_MINHASH = 16
+
+# Affine minhash family over a 32-bit base hash: sig_i = (A_i·h32 + B_i)
+# mod P. One md5 per shingle (16× fewer than hashing per-family) and the
+# arithmetic stays below 2^63 (A < 2^31, h32 < 2^32), so both Spark and
+# DuckDB compute it exactly in int64. Constants derive from md5 at import
+# time — deterministic, engine-independent.
+MINHASH_P = 4294967311  # smallest prime > 2^32
+
+
+def _mh_params() -> tuple[tuple[int, int], ...]:
+    import hashlib
+
+    out = []
+    for i in range(N_MINHASH):
+        a = int(hashlib.md5(f"mh:a:{i}".encode()).hexdigest()[:15], 16)
+        b = int(hashlib.md5(f"mh:b:{i}".encode()).hexdigest()[:15], 16)
+        out.append((a % (2**31 - 1) + 1, b % MINHASH_P))
+    return tuple(out)
+
+
+MINHASH_PARAMS = _mh_params()
 LSH_BANDS = 4  # 16 hashes = 4 bands x 4 rows
 SIMHASH_BITS = 48
 SIMHASH_CHUNKS = 4  # 4 x 12-bit blocking keys
@@ -53,6 +74,17 @@ JACCARD_THRESHOLD = 0.7
 SIMHASH_HAMMING_MAX = 6
 NGRAM_JACCARD_THRESHOLD = 0.6
 COSINE_THRESHOLD = 0.3
+
+
+def fan_out(df: DataFrame) -> DataFrame:
+    """Repartition up to the session's default parallelism when the
+    input arrives under-partitioned (e.g. one small parquet file in
+    local tests). A no-op on warehouse inputs, whose scan already
+    yields >= core-count splits — this never *reduces* partitioning."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 
 # ---------------------------------------------------------------- shingles
@@ -109,17 +141,34 @@ def dedup_exact(docs: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------- minhash
+def h32(col) -> F.Column:
+    """32-bit md5-derived base hash (first 8 hex chars)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
+
+
 def minhash_signatures(docs: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:
-    """doc_id → array of n_hashes minhash values over word-3gram shingles.
-    Hash family i is h60('i:' || shingle) — portable, overflow-free."""
-    sh = with_shingles(docs, 3)
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
-        lambda i: F.array_min(
-            F.transform(F.col("shingles"), lambda s: h60_seeded(i, s))
-        ),
+    """doc_id → array of n_hashes minhash values over word-3gram
+    shingles, via the affine family over one 32-bit base hash per
+    shingle (MINHASH_PARAMS)."""
+    sh = with_shingles(fan_out(docs), 3)
+    # persist: each of the 16 affine transforms references h32s — without
+    # the barrier Catalyst inlines the md5 pipeline into all of them
+    base = sh.select(
+        "doc_id",
+        "shingles",
+        F.transform(F.col("shingles"), h32).alias("h32s"),
+    ).persist()
+    def affine(a: int, b: int):
+        return lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_P
+
+    sig = F.array(
+        *[
+            F.array_min(F.transform(F.col("h32s"), affine(a, b)))
+            for a, b in MINHASH_PARAMS[:n_hashes]
+        ]
     )
-    return sh.select("doc_id", "shingles", sig.alias("sig"))
+    return base.select("doc_id", "shingles", sig.alias("sig"))
 
 
 def lsh_band_keys(sigs: DataFrame, bands: int = LSH_BANDS) -> DataFrame:
@@ -186,7 +235,7 @@ def simhash(docs: DataFrame, nbits: int = SIMHASH_BITS) -> DataFrame:
     ±1 per shingle by shingle-hash bit j; ties round to 1. Expressed as
     nested SQL ``aggregate`` so the bit shift can take the lambda
     variable (the python F.shiftright API only takes int literals)."""
-    sh = with_shingles(docs, 2)
+    sh = with_shingles(fan_out(docs), 2)
     # persist: the 48 per-bit inner aggregates each reference th — without
     # a materialization barrier Catalyst inlines the shingle+md5 pipeline
     # into every bit's aggregate (48× recompute; measured ~18× wall at

@@ -17,6 +17,8 @@ from __future__ import annotations
 
 from transner_spark.operators.dedup import (
     COSINE_THRESHOLD,
+    MINHASH_P,
+    MINHASH_PARAMS,
     JACCARD_THRESHOLD,
     LSH_BANDS,
     N_MINHASH,
@@ -163,11 +165,14 @@ SELECT doc_id,
 FROM read_parquet('{docs}')
 """,
         "dedup_minhash_lsh": f"""
-WITH {_shingle_cte(docs, 3)}, sigs AS (
+WITH {_shingle_cte(docs, 3)}, hs AS (
   SELECT doc_id, sh,
-    [list_min([{_h60("(i || ':' || x)")} for x in sh])
-     for i in range(0, {N_MINHASH})] AS sig
+    [CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT) for x in sh] AS h32s
   FROM s
+), sigs AS (
+  SELECT doc_id, sh,
+    [{", ".join(f"list_min([({a} * h + {b}) % {MINHASH_P} for h in h32s])" for a, b in MINHASH_PARAMS)}] AS sig
+  FROM hs
 ), bands AS (
   SELECT doc_id, r.b AS band_idx,
     {_h60(f"array_to_string(sig[r.b * {rows} + 1 : r.b * {rows} + {rows}], ',')")}
