@@ -111,3 +111,50 @@ def test_check_opening_time():
     assert check_opening_time([{"type": "ORGANIZATION"}]) == "T_OPENING"
     assert check_opening_time([{"type": "PERSON"}]) == "TIME"
     assert check_opening_time([]) == "TIME"
+
+
+class TestFindDates:
+    def test_numeric_and_textual_dates(self):
+        from transner_spark.kernels.rules import find_dates
+
+        out = find_dates("Nato il 13/08/1983 e il 14 agosto 1990.", [])
+        assert [e["value"] for e in out] == ["13/08/1983", "14 agosto 1990"]
+        assert all(e["type"] == "TIME" for e in out)
+        assert all(e["confidence"] == 0.9 for e in out)
+
+    def test_t_opening_with_org_present(self):
+        from transner_spark.kernels.rules import find_dates
+
+        ents = [{"type": "ORGANIZATION", "value": "ACME", "offset": 0,
+                 "confidence": 0.9}]
+        out = find_dates("ACME opens 13/08/1983.", ents)
+        assert out[0]["type"] == "T_OPENING"
+
+    def test_overlap_with_entity_skipped(self):
+        from transner_spark.kernels.rules import find_dates
+
+        # entity span covers the date → reference skips it (ner.py:299-301)
+        ents = [{"type": "MISCELLANEOUS", "value": "il 13/08/1983", "offset": 5,
+                 "confidence": 0.9}]
+        out = find_dates("Nato il 13/08/1983.", ents)
+        assert out == []
+
+    def test_spark_flag_emits_date_mentions(self, spark):
+        import pandas as pd
+
+        from transner_spark.config import PipelineConfig
+        from transner_spark.operators.annotate import annotate_turns, explode_mentions
+
+        df = spark.createDataFrame(pd.DataFrame({
+            "conv_id": ["c0"], "turn_idx": [0], "role": ["user"],
+            "text": ["Meeting on 1983-08-13."], "tool": [None],
+            "ts": [pd.Timestamp("2026-01-01")],
+        }))
+        cfg = PipelineConfig(apply_dates=True)
+        m = explode_mentions(annotate_turns(df, cfg)).collect()
+        assert any(r["source"] == "date" and r["value"] == "1983-08-13" for r in m)
+
+    def test_dates_off_by_default(self):
+        from transner_spark.config import PipelineConfig
+
+        assert PipelineConfig().apply_dates is False

@@ -63,6 +63,10 @@ class PipelineConfig:
     # dead code (TypeError on first hit); enabling this runs the evident
     # intent (type LOCATION, confidence 0.9). Default off for parity.
     apply_nested_loc: bool = False
+    # R4 date detection (reference ner.py:272-309): an optional path the
+    # service never calls (api.py:59) — deterministic regex port, default
+    # off for parity; see kernels/rules.find_dates.
+    apply_dates: bool = False
     max_turn_words: int = MAX_TURN_WORDS
     lowercase: bool = True
 

@@ -78,5 +78,9 @@ def ner_batch(
                     e["source"] = "gazetteer"
                     entities.append(e)
 
+        # R4 — optional deterministic date detection (service-default off)
+        if cfg.apply_dates:
+            entities.extend(rules.find_dates(s_orig, entities))
+
         results.append({"sentence": s_orig, "entities": entities})
     return results

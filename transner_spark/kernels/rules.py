@@ -165,3 +165,60 @@ def check_opening_time(entities: list[dict]) -> str:
         if entity["type"] in ("ORGANIZATION", "LOCATION"):
             return "T_OPENING"
     return "TIME"
+
+
+# ---------------------------------------------------------------- dates (R4)
+# The reference's find_dates (ner.py:272-309) is an OPTIONAL path the
+# service never invokes (api.py:59 passes only apply_regex/apply_gazetteers)
+# and it depends on fasttext lang-id + dateparser — neither deterministic
+# nor available here. This port keeps the reference's *mechanics* (left-to-
+# right relocation of each found date string, overlap skip against existing
+# entities, TIME vs T_OPENING via check_opening_time) over a deterministic
+# regex date finder instead of dateparser. Default OFF, like the service.
+_MONTHS = (
+    "january|february|march|april|may|june|july|august|september|october"
+    "|november|december"
+    "|gennaio|febbraio|marzo|aprile|maggio|giugno|luglio|agosto|settembre"
+    "|ottobre|novembre|dicembre"
+    "|januari|februari|maart|mei|juni|juli|augustus|oktober"
+)
+DATE_PATTERNS = (
+    r"\b[0-3]?[0-9][/.-][01]?[0-9][/.-][0-9]{4}\b",      # 13/08/1983
+    r"\b[0-9]{4}-[01][0-9]-[0-3][0-9]\b",                # 1983-08-13
+    rf"\b[0-3]?[0-9] (?:{_MONTHS}) [0-9]{{4}}\b",        # 13 agosto 1983
+    rf"\b(?:{_MONTHS}) [0-3]?[0-9], [0-9]{{4}}\b",       # august 13, 1983
+)
+COMPILED_DATE_PATTERNS = tuple(re.compile(p, re.IGNORECASE) for p in DATE_PATTERNS)
+
+
+def find_dates(sentence: str, entities: list[dict]) -> list[dict]:
+    """Deterministic R4: regex date spans, relocated left-to-right
+    (ner.py:292-297), skipped when overlapping an existing entity
+    (ner.py:299-301, adjacency counts), typed via check_opening_time
+    (ner.py:353-362)."""
+    out: list[dict] = []
+    date_type = check_opening_time(entities)
+    curr = 0
+    spans: list[tuple[int, str]] = []
+    for pat in COMPILED_DATE_PATTERNS:
+        for m in pat.finditer(sentence):
+            spans.append((m.start(), m.group(0)))
+    # left-to-right like the reference's sequential .find relocation
+    curr = 0
+    for start, value in sorted(spans):
+        if start < curr:  # overlapping an earlier date match
+            continue
+        end = start + len(value)
+        if find_overlap(entities + out, start, end):
+            continue
+        out.append(
+            {
+                "type": date_type,
+                "value": value,
+                "offset": start,
+                "confidence": RULE_BASED_SCORE,
+                "source": "date",
+            }
+        )
+        curr = end
+    return out

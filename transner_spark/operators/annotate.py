@@ -137,11 +137,15 @@ def annotate_turns(
     transcripts: DataFrame, cfg: PipelineConfig | None = None
 ) -> DataFrame:
     """transcripts → annotated turns (mentions + triples array columns)."""
+    from transner_spark.functions.partitioning import fan_out
+
     cfg = cfg or PipelineConfig()
     kept, _ = split_quarantine(transcripts, cfg)
-    return kept.select("conv_id", "turn_idx", "role", "text", "tool", "ts").mapInPandas(
-        _make_annotate_fn(cfg), schema=ANNOTATED_SCHEMA
-    )
+    # fan_out: the NER pass is embarrassingly parallel — never let a
+    # single-split local input serialize it (no-op on cluster scans)
+    return fan_out(
+        kept.select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    ).mapInPandas(_make_annotate_fn(cfg), schema=ANNOTATED_SCHEMA)
 
 
 def explode_mentions(annotated: DataFrame) -> DataFrame:

@@ -76,15 +76,7 @@ NGRAM_JACCARD_THRESHOLD = 0.6
 COSINE_THRESHOLD = 0.3
 
 
-def fan_out(df: DataFrame) -> DataFrame:
-    """Repartition up to the session's default parallelism when the
-    input arrives under-partitioned (e.g. one small parquet file in
-    local tests). A no-op on warehouse inputs, whose scan already
-    yields >= core-count splits — this never *reduces* partitioning."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+from transner_spark.functions.partitioning import fan_out  # noqa: E402
 
 
 # ---------------------------------------------------------------- shingles
