@@ -1,0 +1,69 @@
+"""Regenerate the PLANS.md audit data: print join strategies, scan
+schemas (column pruning), and pushed filters for each operator family.
+Usage: python scripts/audit_plans.py [sf_dir]"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def audit(name, df) -> None:
+    p = df._jdf.queryExecution().executedPlan().toString()
+    joins = sorted(
+        set(
+            re.findall(
+                r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin"
+                r"|BroadcastNestedLoopJoin|CartesianProduct)",
+                p,
+            )
+        )
+    )
+    pushed = [s for s in re.findall(r"PushedFilters: \[([^\]]*)\]", p) if s]
+    schema = re.findall(r"ReadSchema: ([^\n]*)", p)
+    print(f"== {name}: joins={joins} exchanges={p.count('Exchange')}")
+    for s in schema[:3]:
+        print("   read:", s[:110])
+    for s in pushed[:3]:
+        print("   pushed:", s[:110])
+
+
+def main() -> None:
+    from transner_spark.functions.session import get_spark
+
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark(master="local[4]", shuffle_partitions=4)
+    docs = spark.read.parquet(os.path.join(sf, "documents.parquet"))
+    emb = spark.read.parquet(os.path.join(sf, "embeddings.parquet"))
+
+    from transner_spark.operators.annotate import annotate_turns
+    from transner_spark.operators.dedup import (
+        dedup_embedding_cosine,
+        dedup_exact,
+        dedup_minhash_lsh,
+        dedup_simhash,
+    )
+    from transner_spark.operators.relational import region_containment
+    from transner_spark.operators.simsearch import ann_bruteforce, ann_lsh
+    from transner_spark.operators.textops import text_stats
+    from transner_spark.sources.transcripts import ensure_transcripts_parquet
+
+    audit("text_stats", text_stats(docs))
+    audit("dedup_exact", dedup_exact(docs))
+    audit("dedup_minhash_lsh", dedup_minhash_lsh(docs))
+    audit("dedup_simhash", dedup_simhash(docs))
+    audit("dedup_embedding_cosine", dedup_embedding_cosine(emb))
+    audit("ann_bruteforce", ann_bruteforce(emb))
+    audit("ann_lsh", ann_lsh(spark, emb))
+    audit("region_containment", region_containment(docs))
+    tr = spark.read.parquet(ensure_transcripts_parquet(REPO, sf))
+    audit("annotate", annotate_turns(tr))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
