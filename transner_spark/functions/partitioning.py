@@ -15,6 +15,8 @@ def fan_out(df: DataFrame, factor: int = 1) -> DataFrame:
     """Round-robin repartition up to ``factor ×`` the session's default
     parallelism — only when the input arrives under-partitioned. Never
     reduces partitioning; costs one small shuffle when it fires."""
+    if df.isStreaming:  # micro-batch partitioning is the source's job
+        return df
     target = df.sparkSession.sparkContext.defaultParallelism * factor
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
