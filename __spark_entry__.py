@@ -265,6 +265,14 @@ def q_role_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return role_transitions(_transcripts(spark, sf_dir))
 
 
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from transner_spark.operators.relational import sessionize_events
+
+    return sessionize_events(
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline (annotate → link → canonicalize →
     materialize) at sf0.001 scale; conversation count derives from the
@@ -314,6 +322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_antijoin": q_substring_antijoin,
         "mention_overlap_pairs": q_mention_overlap_pairs,
         "role_transitions": q_role_transitions,
+        "sessionize_events": q_sessionize_events,
     }
 
 
@@ -334,6 +343,9 @@ def oracle_sql() -> dict[str, str]:
     out.update(dedup_oracles(docs, emb))
     out.update(simsearch_oracles(emb))
     out.update(multimodal_oracles(docs))
+    from transner_spark.oracles import events_oracles
+
+    out.update(events_oracles("/root/testdata/sf0.01/events.parquet"))
     from transner_spark.oracles import relational_oracles
 
     out.update(

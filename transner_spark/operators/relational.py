@@ -254,3 +254,53 @@ def role_transitions(transcripts: DataFrame) -> DataFrame:
         .groupBy("prev_role", "role")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
+
+
+def sessionize_events(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Gap-based sessionization of the events stream table: a new session
+    starts when a user's inter-event gap exceeds ``gap_minutes``.
+    Classic two-window composition — lag to flag session starts, running
+    sum to assign session ids — one shuffle on user_id, which is also the
+    session key, so the whole computation is co-partitioned. This is the
+    batch twin of the SURVEY §2.6 note on session assembly (the streaming
+    analogue being a session window with watermark)."""
+    def secs(c):
+        # TIMESTAMP_NTZ → seconds: route via TIMESTAMP (session tz is UTC)
+        return F.col(c).cast("timestamp").cast("long")
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = secs("ts") - F.lag(secs("ts")).over(w)
+    with_start = events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        "value",
+        F.when(gap.isNull() | (gap > gap_minutes * 60), 1)
+        .otherwise(0)
+        .alias("is_start"),
+    )
+    with_sess = with_start.withColumn(
+        "session_idx", F.sum("is_start").over(w)
+    )
+    return (
+        with_sess.groupBy("user_id", "session_idx")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+            F.count_distinct("event_type").cast("long").alias("n_event_types"),
+        )
+        .select(
+            "user_id",
+            F.col("session_idx").cast("long").alias("session_idx"),
+            "n_events",
+            (
+                F.col("session_end").cast("timestamp").cast("long")
+                - F.col("session_start").cast("timestamp").cast("long")
+            ).alias("duration_s"),
+            "sum_value",
+            "n_event_types",
+        )
+    )

@@ -435,6 +435,34 @@ FROM x GROUP BY prev_role, role
     }
 
 
+def events_oracles(events: str) -> dict[str, str]:
+    return {
+        "sessionize_events": f"""
+WITH w AS (
+  SELECT user_id, event_id, ts, event_type, value,
+    CASE WHEN lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+          OR CAST(floor(epoch(ts)) AS BIGINT)
+             - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+         THEN 1 ELSE 0 END AS is_start
+  FROM read_parquet('{events}')
+), s AS (
+  SELECT *, sum(is_start) OVER
+      (PARTITION BY user_id ORDER BY ts, event_id) AS session_idx
+  FROM w
+)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(floor(epoch(max(ts))) AS BIGINT)
+    - CAST(floor(epoch(min(ts))) AS BIGINT) AS duration_s,
+  round(sum(value), 6) AS sum_value,
+  CAST(count(DISTINCT event_type) AS BIGINT) AS n_event_types
+FROM s GROUP BY user_id, session_idx
+""",
+    }
+
+
 def multimodal_oracles(docs: str) -> dict[str, str]:
     hx = "repeat(md5(text), CAST(doc_id % 4 + 1 AS INT))"
     byte = "CAST(('0x' || substr(hx, 2 * i + 1, 2)) AS BIGINT)"
