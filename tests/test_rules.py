@@ -158,3 +158,23 @@ class TestFindDates:
         from transner_spark.config import PipelineConfig
 
         assert PipelineConfig().apply_dates is False
+
+
+class TestFindDatesProperties:
+    def test_random_text_never_crashes_and_offsets_valid(self):
+        import random
+
+        from transner_spark.kernels.rules import find_dates
+
+        rng = random.Random(42)
+        vocab = ["13/08/1983", "word", "1983-08-13", ".", "a", "14 agosto 1990",
+                 "x" * 30, "12/31/2020", "99/99/9999"]
+        for _ in range(200):
+            s = " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 12)))
+            out = find_dates(s, [])
+            for e in out:
+                assert s[e["offset"]:e["offset"] + len(e["value"])] == e["value"]
+            # spans are non-overlapping and ordered
+            ends = [e["offset"] + len(e["value"]) for e in out]
+            starts = [e["offset"] for e in out]
+            assert all(a >= b for a, b in zip(starts[1:], ends[:-1]))
