@@ -221,6 +221,12 @@ def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_features(_docs(spark, sf_dir))
 
 
+def q_mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from transner_spark.operators.multimodal import video_frames
+
+    return video_frames(_docs(spark, sf_dir))
+
+
 def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from transner_spark.operators.relational import corpus_stats
 
@@ -315,6 +321,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "mm_metadata": q_mm_metadata,
         "mm_features": q_mm_features,
+        "mm_frames": q_mm_frames,
         "corpus_stats": q_corpus_stats,
         "iob_to_bio": q_iob_to_bio,
         "split_train_val_test": q_split_train_val_test,

@@ -169,6 +169,10 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     scaling = "--scaling" in sys.argv
 
+    # one JVM serves every session in this process; size its heap before
+    # the first build_session (8g default thrashes GC once the 1.5M-turn
+    # annotated/triples caches are resident)
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "48g")
     workdir = tempfile.mkdtemp(prefix="transner_bench_")
     try:
         spark = build_session(f"local[{cpus}]", cpus)

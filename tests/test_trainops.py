@@ -179,3 +179,19 @@ def test_role_transitions_total(spark, tiny_df):
     assert sum(r["n"] for r in out) == tiny_df.count()
     starts = sum(r["n"] for r in out if r["prev_role"] == "_START_")
     assert starts == tiny_df.select("conv_id").distinct().count()
+
+
+def test_frame_sample_video_only(spark, docs_df):
+    from transner_spark.operators.multimodal import (
+        FRAME_BYTES, FRAME_STRIDE, synthesize_assets, video_frames,
+    )
+
+    assets = {r["asset_id"]: r for r in synthesize_assets(docs_df).collect()}
+    frames = video_frames(docs_df).collect()
+    video_ids = {a for a, r in assets.items() if r["media_type"] == "video"}
+    assert {r["asset_id"] for r in frames} <= video_ids
+    for r in frames:
+        content = bytes(assets[r["asset_id"]]["content"])
+        w = content[r["frame_off"]: r["frame_off"] + FRAME_BYTES]
+        assert r["frame_len"] == len(w) and r["frame_sum"] == sum(w)
+        assert r["frame_idx"] % FRAME_STRIDE == 0

@@ -133,3 +133,54 @@ def extract_features(
 
 def media_features(docs: DataFrame) -> DataFrame:
     return extract_features(synthesize_assets(docs))
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame_off", LongType()),
+        StructField("frame_len", LongType()),
+        StructField("frame_sum", LongType()),
+    ]
+)
+
+FRAME_BYTES = 16  # synthetic "frame" = 16-byte window
+FRAME_STRIDE = 2  # sample every 2nd frame
+
+
+def frame_sample(assets: DataFrame) -> DataFrame:
+    """Frame sampling for video assets: every FRAME_STRIDE-th fixed-width
+    byte window of the payload becomes one output row (the stand-in for
+    ffmpeg keyframe extraction — the real decoder slots into the same
+    mapInPandas shape). Row explosion happens executor-side inside the
+    UDF, so a 1-row-in → many-rows-out asset never materializes on the
+    driver; partitioning is inherited from the scan."""
+    videos = assets.where(F.col("media_type") == "video").select(
+        "asset_id", "content"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for batch in batches:
+            out = {k: [] for k in
+                   ("asset_id", "frame_idx", "frame_off", "frame_len", "frame_sum")}
+            for asset_id, content in zip(batch["asset_id"], batch["content"]):
+                b = np.frombuffer(bytes(content), dtype=np.uint8)
+                n_frames = len(b) // FRAME_BYTES
+                for fi in range(0, n_frames, FRAME_STRIDE):
+                    off = fi * FRAME_BYTES
+                    w = b[off : off + FRAME_BYTES]
+                    out["asset_id"].append(int(asset_id))
+                    out["frame_idx"].append(fi)
+                    out["frame_off"].append(off)
+                    out["frame_len"].append(int(w.size))
+                    out["frame_sum"].append(int(w.sum()))
+            yield pd.DataFrame(out)
+
+    return videos.mapInPandas(run, FRAME_SCHEMA)
+
+
+def video_frames(docs: DataFrame) -> DataFrame:
+    return frame_sample(synthesize_assets(docs))

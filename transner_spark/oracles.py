@@ -464,9 +464,29 @@ FROM s GROUP BY user_id, session_idx
 
 
 def multimodal_oracles(docs: str) -> dict[str, str]:
+    from transner_spark.operators.multimodal import FRAME_BYTES, FRAME_STRIDE
+
     hx = "repeat(md5(text), CAST(doc_id % 4 + 1 AS INT))"
     byte = "CAST(('0x' || substr(hx, 2 * i + 1, 2)) AS BIGINT)"
+    fb, fs = FRAME_BYTES, FRAME_STRIDE
     return {
+        "mm_frames": f"""
+WITH a AS (
+  SELECT doc_id AS asset_id, {hx} AS hx
+  FROM read_parquet('{docs}') WHERE doc_id % 3 = 2
+), f AS (
+  SELECT asset_id, hx,
+         unnest(range(0, length(hx) // {2 * fb}, {fs})) AS frame_idx
+  FROM a
+)
+SELECT asset_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+  CAST(frame_idx * {fb} AS BIGINT) AS frame_off,
+  CAST({fb} AS BIGINT) AS frame_len,
+  list_reduce(list_prepend(CAST(0 AS BIGINT),
+    [CAST(('0x' || substr(hx, 2 * (frame_idx * {fb} + i) + 1, 2)) AS BIGINT)
+     for i in range(0, {fb})]), (x, y) -> x + y) AS frame_sum
+FROM f
+""",
         "mm_metadata": f"""
 SELECT doc_id AS asset_id,
   (['image', 'audio', 'video'])[CAST(doc_id % 3 + 1 AS INT)] AS media_type,
