@@ -75,14 +75,22 @@ def run_pipeline_timed(
     from transner_spark.operators.materialize import materialize_edges, write_edges
     from transner_spark.sources.transcripts import ensure_transcripts_parquet
 
+    from pyspark import StorageLevel
+
     path = transcripts_path or ensure_transcripts_parquet(REPO, sf_dir)
     transcripts = spark.read.parquet(path)
     warm_up(spark, transcripts)
 
+    # serialized caching: the deserialized default balloons the 1.5M-turn
+    # array columns past the local JVM heap and GC-thrashes the small
+    # downstream stages; a big heap instead slows every small task
+    # (first-touch faults + huge young gen). Serialized fits comfortably.
+    CACHE = StorageLevel.MEMORY_AND_DISK
+
     timings: dict[str, float] = {}
 
     t0 = time.monotonic()
-    annotated = annotate_turns(transcripts).persist()
+    annotated = annotate_turns(transcripts).persist(CACHE)
     n_turns = annotated.count()
     timings["annotate"] = time.monotonic() - t0
 
@@ -91,17 +99,17 @@ def run_pipeline_timed(
     timings["mentions"] = time.monotonic() - t0
 
     t0 = time.monotonic()
-    triples = explode_triples(annotated).persist()
+    triples = explode_triples(annotated).persist(CACHE)
     n_triples = triples.count()
     timings["triples"] = time.monotonic() - t0
 
     t0 = time.monotonic()
-    links = link_surfaces(spark, node_surfaces(triples)).persist()
+    links = link_surfaces(spark, node_surfaces(triples)).persist(CACHE)
     links.count()
     timings["links"] = time.monotonic() - t0
 
     t0 = time.monotonic()
-    canon = canonicalize(links).persist()
+    canon = canonicalize(links).persist(CACHE)
     canon.count()
     timings["canonical"] = time.monotonic() - t0
 
@@ -169,10 +177,6 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     scaling = "--scaling" in sys.argv
 
-    # one JVM serves every session in this process; size its heap before
-    # the first build_session (8g default thrashes GC once the 1.5M-turn
-    # annotated/triples caches are resident)
-    os.environ.setdefault("SPARK_DRIVER_MEMORY", "48g")
     workdir = tempfile.mkdtemp(prefix="transner_bench_")
     try:
         spark = build_session(f"local[{cpus}]", cpus)
