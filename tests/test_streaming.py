@@ -16,9 +16,17 @@ def stream_dirs(tmp_path):
     return d
 
 
+def _to_sdf(spark, pdf):
+    from transner_spark.streaming.incremental import TRANSCRIPT_SCHEMA
+
+    # explicit schema: an all-null object column would otherwise be
+    # inferred (and parquet-written) as BOOLEAN
+    return spark.createDataFrame(pdf, schema=TRANSCRIPT_SCHEMA)
+
+
 def _write_batch(spark, tiny_pdf, in_dir: str, lo: int, hi: int, name: str):
     part = tiny_pdf[(tiny_pdf["turn_idx"] >= lo) & (tiny_pdf["turn_idx"] < hi)]
-    spark.createDataFrame(part).coalesce(1).write.mode("append").parquet(
+    _to_sdf(spark, part).coalesce(1).write.mode("append").parquet(
         os.path.join(in_dir, name)
     )
 
@@ -61,3 +69,51 @@ def test_stream_windowed_counts(spark, tiny_pdf, stream_dirs):
     if len(out):
         assert (out["n_mentions"] > 0).all()
         assert (pd.to_datetime(out["end"]) > pd.to_datetime(out["start"])).all()
+
+
+def test_stateful_conversation_assembly(spark, tiny_pdf, tmp_path):
+    """applyInPandasWithState: conversations close via idle timeout and
+    the emitted aggregates match a batch groupBy over the same turns."""
+    import time
+
+    from transner_spark.streaming.incremental import (
+        assemble_conversations, read_transcripts_stream,
+    )
+
+    in_dir = str(tmp_path / "in"); cp = str(tmp_path / "cp")
+    part = tiny_pdf[tiny_pdf["conv_id"].isin(tiny_pdf["conv_id"].unique()[:5])]
+    _to_sdf(spark, part).coalesce(1).write.parquet(in_dir + "/b0")
+
+    stream = read_transcripts_stream(spark, in_dir + "/*")
+    q = (
+        assemble_conversations(stream, idle_timeout_ms=2000)
+        .writeStream.format("memory")
+        .queryName("conv_assembly")
+        .outputMode("append")
+        .option("checkpointLocation", cp)
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        out = None
+        for _ in range(60):
+            time.sleep(1)
+            out = spark.sql("select * from conv_assembly").toPandas()
+            if len(out) >= part["conv_id"].nunique():
+                break
+        assert out is not None and len(out) == part["conv_id"].nunique()
+    finally:
+        q.stop()
+
+    expect = part.groupby("conv_id").agg(
+        n_turns=("turn_idx", "size"),
+        n_roles=("role", lambda s: s.nunique()),
+        first_ts=("ts", "min"),
+        last_ts=("ts", "max"),
+    )
+    for _, r in out.iterrows():
+        e = expect.loc[r["conv_id"]]
+        assert r["n_turns"] == e["n_turns"]
+        assert r["n_roles"] == e["n_roles"]
+        assert r["first_ts"] == e["first_ts"] and r["last_ts"] == e["last_ts"]
+        assert r["closed_by"] == "timeout"

@@ -107,3 +107,94 @@ def stream_windowed_mention_counts(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ---------------------------------------------------------------- stateful
+CONV_STATE_SCHEMA = "n_turns INT, first_ts TIMESTAMP, last_ts TIMESTAMP, roles STRING"
+CONV_OUT_SCHEMA = (
+    "conv_id STRING, n_turns INT, n_roles INT, "
+    "first_ts TIMESTAMP, last_ts TIMESTAMP, closed_by STRING"
+)
+
+
+def assemble_conversations(
+    transcripts,
+    idle_timeout_ms: int = 600_000,
+):
+    """Custom stateful streaming operator (applyInPandasWithState):
+    assemble per-conversation sessions across micro-batches. State per
+    conv_id accumulates turn count / role set / time bounds; a
+    conversation is emitted when its processing-time timeout fires
+    (no new turns for ``idle_timeout_ms``). This is the session-assembly
+    shape a 10^12-turn transcript stream needs — bounded state keyed by
+    conversation, not by corpus size; state store partitioned by the
+    groupBy key, so hot conversations never cross executors.
+
+    Batch inputs work too (availableNow): every group then closes at
+    end-of-stream via the final timeout sweep — the test path.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def assemble(key, pdfs, state: GroupState):
+        import pandas as pd  # worker-side: closure globals aren't shipped
+
+        (conv_id,) = key
+        if state.hasTimedOut:
+            n, first_ts, last_ts, roles = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "conv_id": [conv_id],
+                    "n_turns": [n],
+                    "n_roles": [len(roles.split(","))],
+                    "first_ts": [pd.Timestamp(first_ts)],
+                    "last_ts": [pd.Timestamp(last_ts)],
+                    "closed_by": ["timeout"],
+                }
+            )
+            return
+        n, first_ts, last_ts, roles = (
+            state.get if state.exists else (0, None, None, "")
+        )
+        role_set = set(roles.split(",")) - {""}
+        for pdf in pdfs:
+            n += len(pdf)
+            role_set |= set(pdf["role"])
+            lo, hi = pdf["ts"].min(), pdf["ts"].max()
+            first_ts = lo if first_ts is None else min(first_ts, lo)
+            last_ts = hi if last_ts is None else max(last_ts, hi)
+        state.update((int(n), first_ts, last_ts, ",".join(sorted(role_set))))
+        state.setTimeoutDuration(idle_timeout_ms)
+        return
+        yield  # pragma: no cover - makes this a generator
+
+    return (
+        transcripts.groupBy("conv_id")
+        .applyInPandasWithState(
+            assemble,
+            outputStructType=CONV_OUT_SCHEMA,
+            stateStructType=CONV_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+
+
+def stream_conversations(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    idle_timeout_ms: int = 600_000,
+):
+    """Run conversation assembly over the streaming transcripts source
+    into an in-memory sink (query name 'conversations')."""
+    stream = read_transcripts_stream(spark, input_dir)
+    out = assemble_conversations(stream, idle_timeout_ms)
+    return (
+        out.writeStream.format("memory")
+        .queryName("conversations")
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
