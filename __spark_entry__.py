@@ -197,6 +197,12 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_embedding_cosine(_emb(spark, sf_dir))
 
 
+def q_dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from transner_spark.operators.dedup import dedup_embedding_cosine_lsh
+
+    return dedup_embedding_cosine_lsh(spark, _emb(spark, sf_dir))
+
+
 def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     from transner_spark.operators.simsearch import ann_bruteforce
 
@@ -317,6 +323,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "dedup_embedding_cosine_lsh": q_dedup_embedding_cosine_lsh,
         "ann_bruteforce": q_ann_bruteforce,
         "ann_lsh": q_ann_lsh,
         "mm_metadata": q_mm_metadata,

@@ -330,12 +330,62 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
+def dedup_embedding_cosine_lsh(
+    spark, embeddings: DataFrame, threshold: float = COSINE_THRESHOLD
+) -> DataFrame:
+    """Scale path for embedding near-dup: candidates share a
+    random-hyperplane LSH bucket in ≥1 table (simsearch.lsh_buckets —
+    no reliance on a precomputed label), verified by exact cosine.
+    Same blocked-equi-join shape as the sketch dedups: at 100 TB the
+    shuffle is on (table, bucket) keys and the pair count stays
+    near-linear for non-degenerate data; recall is tuned by (L, k)."""
+    from transner_spark.operators.simsearch import lsh_buckets
+
+    buckets = lsh_buckets(spark, embeddings).persist()
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.table_id") == F.col("b.table_id"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
+        )
+        .distinct()
+    )
+    e = embeddings.select(
+        "vec_id",
+        F.col("embedding").alias("emb"),
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+    )
+    ea = e.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("emb").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    eb = e.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("emb").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    cos = _dot(F.col("emb_a"), F.col("emb_b")) / (F.col("nrm_a") * F.col("nrm_b"))
+    return (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .withColumn("cosine", cos)
+        .where(F.col("cosine") >= threshold)
+        .select("vec_a", "vec_b", F.round("cosine", 6).alias("cosine"))
+    )
+
+
 def dedup_embedding_cosine(
     embeddings: DataFrame, threshold: float = COSINE_THRESHOLD
 ) -> DataFrame:
     """Embedding near-dup pairs: label blocks (the coarse cluster id that
     ships with the table) → within-block cosine ≥ threshold. The scale
-    path swaps the label for an LSH bucket (see simsearch.lsh_buckets)."""
+    path without a label column is dedup_embedding_cosine_lsh."""
     e = embeddings.select(
         "vec_id",
         "label",

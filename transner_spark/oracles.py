@@ -279,7 +279,27 @@ e AS (
 SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
        round(cosine, 6) AS cosine
 FROM r WHERE rank <= {TOP_K}"""
+    from transner_spark.operators.dedup import COSINE_THRESHOLD
+
     return {
+        "dedup_embedding_cosine_lsh": f"""
+WITH {norms}, b AS (
+  SELECT vec_id, r.t AS table_id, {bucket} AS bucket
+  FROM e, range({N_TABLES}) r(t)
+), cand AS (
+  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+  FROM b x JOIN b y
+    ON x.table_id = y.table_id AND x.bucket = y.bucket
+   AND x.vec_id < y.vec_id
+)
+SELECT vec_a, vec_b,
+  round({dot.format(x='a.emb', y='c.emb')} / (a.nrm * c.nrm), 6) AS cosine
+FROM cand
+JOIN n a ON a.vec_id = cand.vec_a
+JOIN n c ON c.vec_id = cand.vec_b
+WHERE {dot.format(x='a.emb', y='c.emb')} / (a.nrm * c.nrm)
+      >= {COSINE_THRESHOLD}
+""",
         "ann_bruteforce": f"""
 WITH {norms}, p AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
