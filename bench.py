@@ -148,6 +148,11 @@ def run_trainops_timed(spark, sf_dir: str) -> dict:
     timings: dict[str, float] = {}
     counts: dict[str, int] = {}
 
+    # the sketch ops persist signature intermediates internally and hold
+    # them for the session; clear between measurements so each op is
+    # timed cold and nothing accumulates in the block manager
+    spark.catalog.clearCache()
+
     t0 = time.monotonic()
     counts["textops"] = (
         text_stats(docs).count() + lang_id(docs).count() + doc_fingerprint(docs).count()
@@ -157,14 +162,17 @@ def run_trainops_timed(spark, sf_dir: str) -> dict:
     t0 = time.monotonic()
     counts["dedup_minhash"] = dedup_minhash_lsh(docs).count()
     timings["dedup_minhash"] = time.monotonic() - t0
+    spark.catalog.clearCache()
 
     t0 = time.monotonic()
     counts["dedup_simhash"] = dedup_simhash(docs).count()
     timings["dedup_simhash"] = time.monotonic() - t0
+    spark.catalog.clearCache()
 
     t0 = time.monotonic()
     counts["ann_lsh"] = ann_lsh(spark, emb).count()
     timings["ann_lsh"] = time.monotonic() - t0
+    spark.catalog.clearCache()
 
     return {"timings": timings, "counts": counts}
 

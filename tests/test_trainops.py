@@ -30,6 +30,9 @@ def emb_df(spark):
         (2, [0.0, 1.0, 0.0, 0.0], 1),
         (3, [0.0, 0.95, 0.05, 0.0], 1),
         (4, [0.0, 0.0, 1.0, 0.0], 2),
+        # exactly parallel to vec 0: identical hyperplane sign pattern,
+        # so LSH bucketing MUST pair it with query 0 in every table
+        (5, [0.5, 0.0, 0.0, 0.0], 0),
     ]
     df = pd.DataFrame(rows, columns=["vec_id", "embedding", "label"])
     return spark.createDataFrame(df)
@@ -97,7 +100,8 @@ def test_ann_bruteforce_ranks(spark, emb_df):
     for r in out:
         by_q.setdefault(r["query_id"], []).append(r)
     top0 = sorted(by_q[0], key=lambda r: r["rank"])
-    assert [r["neighbor_id"] for r in top0][0] in (2, 3, 4)
+    # vec 5 is exactly parallel to query 0 → cosine 1.0, always rank 1
+    assert [r["neighbor_id"] for r in top0][0] == 5
     assert all(r["rank"] <= 2 for r in out)
 
 
@@ -105,6 +109,9 @@ def test_ann_lsh_subset_of_bruteforce_candidates(spark, emb_df):
     from transner_spark.operators.simsearch import ann_lsh
 
     out = ann_lsh(spark, emb_df, k=3, n_queries=2).collect()
+    # planes adapt to the 4-dim fixture; at least one query must find a
+    # bucket-mate (vectors 0/1 and 2/3 are near-parallel pairs)
+    assert len(out) > 0
     # LSH returns ranked bucket-mates only; ranks are contiguous from 1
     for q in {r["query_id"] for r in out}:
         ranks = sorted(r["rank"] for r in out if r["query_id"] == q)
@@ -195,3 +202,19 @@ def test_frame_sample_video_only(spark, docs_df):
         w = content[r["frame_off"]: r["frame_off"] + FRAME_BYTES]
         assert r["frame_len"] == len(w) and r["frame_sum"] == sum(w)
         assert r["frame_idx"] % FRAME_STRIDE == 0
+
+
+def test_mm_decoder_injection(spark, docs_df):
+    """The decoder hook runs inside the batch loop: an injected decoder
+    transforms payloads before feature extraction."""
+    from transner_spark.operators.multimodal import (
+        extract_features, synthesize_assets,
+    )
+
+    def truncate_decoder(media_type, content):
+        return content[:4]
+
+    out = extract_features(
+        synthesize_assets(docs_df), decoder=truncate_decoder
+    ).collect()
+    assert all(r["n_bytes"] == 4 for r in out)

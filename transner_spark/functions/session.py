@@ -24,17 +24,26 @@ def get_spark(
 ) -> SparkSession:
     cfg = cfg or PipelineConfig()
     if master is None:
-        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-        master = f"local[{cpus}]"
+        # under spark-submit the cluster master arrives via spark.master —
+        # never override it with a local default (that would silently run
+        # the whole job single-node on the driver)
+        from pyspark import SparkConf
+
+        if SparkConf().get("spark.master", None) is None:
+            cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+            master = f"local[{cpus}]"
     if shuffle_partitions is None:
         # local mode: match the core count; on a real cluster this is set
         # per-job (or left to AQE coalescing)
-        n = master[master.find("[") + 1 : master.find("]")] if "[" in master else "32"
-        shuffle_partitions = 32 if n == "*" else int(n)
+        m = master or ""
+        n = m[m.find("[") + 1 : m.find("]")] if "[" in m else "32"
+        shuffle_partitions = 32 if n in ("*", "") else int(n)
 
+    builder = SparkSession.builder
+    if master is not None:
+        builder = builder.master(master)
     builder = (
-        SparkSession.builder.master(master)
-        .appName(app_name)
+        builder.appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -52,9 +52,11 @@ SHORT_TO_TYPE = {
 def truncated_mean(scores: list[float]) -> float:
     """The reference's confidence aggregation: mean of token scores,
     stringified and truncated to 6 chars (~4 decimal digits), ner.py:403.
-    Plain sum/len — bit-identical to np.mean for spans shorter than
-    numpy's pairwise-summation block (128), and ~10× faster on the
-    tiny lists this sees."""
+    Plain sum/len — bit-identical to np.mean only below numpy's 8-wide
+    pairwise unroll; longer spans may differ in the last ulp, which the
+    6-char truncation almost always absorbs and the P/R slack covers
+    (the single-node oracle shares THIS function, so Spark-vs-oracle
+    parity is exact by construction)."""
     return float(str(sum(scores) / len(scores))[:6])
 
 
@@ -63,7 +65,10 @@ def softmax_max(logits) -> float:
     (ner.py:188-195, torch.nn.functional.softmax → max). Closed form:
     the max softmax entry is exp(0)/Σexp(x−max) = 1/Σexp(x−max).
     Pure-python math.exp beats per-token numpy dispatch ~5× on the
-    ≤13-label vectors this sees (33% of kernel time before)."""
+    ≤13-label vectors this sees (33% of kernel time before). Last-ulp
+    drift vs the numpy original is possible (different exp/sum order);
+    the shared-kernel oracle keeps cross-engine parity exact, and the
+    goldens were verified byte-identical across the swap."""
     xs = [float(v) for v in logits]
     m = max(xs)
     return 1.0 / sum(math.exp(v - m) for v in xs)

@@ -71,7 +71,7 @@ LSH_BANDS = 4  # 16 hashes = 4 bands x 4 rows
 SIMHASH_BITS = 48
 SIMHASH_CHUNKS = 4  # 4 x 12-bit blocking keys
 JACCARD_THRESHOLD = 0.7
-SIMHASH_HAMMING_MAX = 6
+SIMHASH_HAMMING_MAX = 6  # verify bound; guaranteed recall only < SIMHASH_CHUNKS
 NGRAM_JACCARD_THRESHOLD = 0.6
 COSINE_THRESHOLD = 0.3
 
@@ -248,10 +248,17 @@ def simhash(docs: DataFrame, nbits: int = SIMHASH_BITS) -> DataFrame:
 def dedup_simhash(
     docs: DataFrame, hamming_max: int = SIMHASH_HAMMING_MAX
 ) -> DataFrame:
-    """SimHash near-dup pairs: block on each of the 4 12-bit chunks
-    (pairs within hamming ≤ 12 collide in ≥1 chunk by pigeonhole when
-    differing bits spread; standard simhash blocking), verify with
-    bit_count(xor). Returns (doc_a, doc_b, hamming)."""
+    """SimHash near-dup pairs: block on each of the 4 12-bit chunks,
+    verify with bit_count(xor). Returns (doc_a, doc_b, hamming).
+
+    Recall guarantee: pigeonhole makes collision certain only for
+    hamming < SIMHASH_CHUNKS (≤3 differing bits cannot touch all 4
+    chunks); pairs at hamming 4..hamming_max are found only when their
+    differing bits leave some chunk clean — the standard simhash
+    blocking tradeoff (raise chunk count for a stronger guarantee at
+    the price of hotter, shorter keys). The DuckDB oracle replicates
+    the identical blocking, so the gate checks the implemented
+    semantics, not perfect recall."""
     # persist for the same expression-inlining reason as dedup_minhash_lsh
     sim = simhash(docs).persist()
     chunks = sim.select(

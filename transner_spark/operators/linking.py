@@ -46,54 +46,63 @@ def node_surfaces(triples: DataFrame) -> DataFrame:
     return subs.unionByName(objs).where(F.col("norm_key") != "").distinct()
 
 
-# per-session dimension cache: the alias dictionary is static, so build
-# each dim DataFrame once per SparkSession (pandas → Arrow path, not the
-# slow py4j row pickling) and reuse across pipeline calls
-_DIM_CACHE: dict[tuple[int, str], DataFrame] = {}
+# single-session dimension cache: the alias dictionary is static, so
+# build each dim DataFrame once per SparkSession (pandas → Arrow path,
+# not the slow py4j row pickling). Scoped to the CURRENT session only —
+# entries for a different session are dropped so stopped sessions (and
+# their JVM state) are never pinned alive.
+_DIM_CACHE: dict = {"session": None, "dims": {}}
+
+
+def _dim_cached(spark: SparkSession, name: str, build) -> DataFrame:
+    if _DIM_CACHE["session"] is not spark:
+        _DIM_CACHE["session"] = spark
+        _DIM_CACHE["dims"] = {}
+    if name not in _DIM_CACHE["dims"]:
+        _DIM_CACHE["dims"][name] = build()
+    return _DIM_CACHE["dims"][name]
 
 
 def exact_alias_dim(spark: SparkSession) -> DataFrame:
     """norm_alias → min entity_key (driver-built: the dictionary is a dim)."""
-    key = (id(spark), "exact")
-    if key in _DIM_CACHE:
-        return _DIM_CACHE[key]
-    import pandas as pd
 
-    best: dict[str, str] = {}
-    for entity_key, alias, _ty in build_alias_rows():
-        norm = normalize_surface(alias)
-        if norm not in best or best[norm] > entity_key:
-            best[norm] = entity_key
-    items = sorted(best.items())
-    df = spark.createDataFrame(
-        pd.DataFrame(items, columns=["norm_alias", "entity_key"]),
-        "norm_alias string, entity_key string",
-    )
-    _DIM_CACHE[key] = df
-    return df
+    def build() -> DataFrame:
+        import pandas as pd
+
+        best: dict[str, str] = {}
+        for entity_key, alias, _ty in build_alias_rows():
+            norm = normalize_surface(alias)
+            if norm not in best or best[norm] > entity_key:
+                best[norm] = entity_key
+        items = sorted(best.items())
+        return spark.createDataFrame(
+            pd.DataFrame(items, columns=["norm_alias", "entity_key"]),
+            "norm_alias string, entity_key string",
+        )
+
+    return _dim_cached(spark, "exact", build)
 
 
 def alias_gram_dim(spark: SparkSession, n: int) -> DataFrame:
     """Inverted gram index over the alias dictionary (exploded, broadcast)."""
-    key = (id(spark), f"gram{n}")
-    if key in _DIM_CACHE:
-        return _DIM_CACHE[key]
-    import pandas as pd
 
-    rows = []
-    for alias_id, (entity_key, alias, _ty) in enumerate(build_alias_rows()):
-        norm = normalize_surface(alias)
-        grams = char_ngrams(norm, n)
-        for gram in grams:
-            rows.append((alias_id, entity_key, alias, len(grams), gram))
-    df = spark.createDataFrame(
-        pd.DataFrame(
-            rows, columns=["alias_id", "entity_key", "alias", "a_n", "gram"]
-        ),
-        "alias_id long, entity_key string, alias string, a_n int, gram string",
-    )
-    _DIM_CACHE[key] = df
-    return df
+    def build() -> DataFrame:
+        import pandas as pd
+
+        rows = []
+        for alias_id, (entity_key, alias, _ty) in enumerate(build_alias_rows()):
+            norm = normalize_surface(alias)
+            grams = char_ngrams(norm, n)
+            for gram in grams:
+                rows.append((alias_id, entity_key, alias, len(grams), gram))
+        return spark.createDataFrame(
+            pd.DataFrame(
+                rows, columns=["alias_id", "entity_key", "alias", "a_n", "gram"]
+            ),
+            "alias_id long, entity_key string, alias string, a_n int, gram string",
+        )
+
+    return _dim_cached(spark, f"gram{n}", build)
 
 
 def with_grams(df: DataFrame, src_col: str, n: int) -> DataFrame:

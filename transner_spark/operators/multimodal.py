@@ -88,8 +88,10 @@ def asset_metadata(docs: DataFrame) -> DataFrame:
 
 
 def decode_media(media_type: str, content: bytes):
-    """Real decode hook. No codecs ship in this container — inject one
-    via ``extract_features(..., decoder=...)`` in production."""
+    """Default decode hook: STUB. No codecs ship in this container —
+    pass a real ``(media_type, content) -> bytes`` callable to
+    ``extract_features(..., decoder=...)`` in production (it is applied
+    inside the mapInPandas batch loop, once per payload)."""
     raise NotImplementedError(
         "media decoding requires a codec (PIL/soundfile/ffmpeg); "
         "inject a decoder callable to enable it"
@@ -117,18 +119,28 @@ def extract_features(
     assets: DataFrame,
     decoder: Callable | None = None,
 ) -> DataFrame:
-    """mapInPandas feature extraction over the binary column. With a
-    ``decoder`` injected this is where real decode/resize/frame-sample
-    runs; without one, the deterministic byte-statistics fake keeps the
-    full Spark plumbing (schema, Arrow batching, partitioning) live."""
-    if decoder is not None:  # pragma: no cover - no codecs in sandbox
-        raise NotImplementedError("custom decoders not wired in this build")
+    """mapInPandas feature extraction over the binary column. A
+    ``decoder`` callable ``(media_type: str, content: bytes) -> bytes``
+    runs first on every payload (the real PIL/ffmpeg decode hook —
+    e.g. raw pixels / PCM samples); features are then the byte
+    statistics of the decoded output. Without one, the identity path
+    keeps the full Spark plumbing (schema, Arrow batching,
+    partitioning) live over the raw bytes."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
+            if decoder is not None:
+                batch = batch.assign(
+                    content=[
+                        decoder(mt, bytes(c))
+                        for mt, c in zip(batch["media_type"], batch["content"])
+                    ]
+                )
             yield _byte_features(batch)
 
-    return assets.select("asset_id", "content").mapInPandas(run, FEATURE_SCHEMA)
+    return assets.select("asset_id", "media_type", "content").mapInPandas(
+        run, FEATURE_SCHEMA
+    )
 
 
 def media_features(docs: DataFrame) -> DataFrame:

@@ -99,8 +99,12 @@ def ann_bruteforce(
 
 def lsh_buckets(spark: SparkSession, embeddings: DataFrame) -> DataFrame:
     """(vec_id, table_id, bucket): k sign bits per table, planes ordered
-    by plane_id (plane p belongs to table p div k)."""
-    planes = hyperplanes(spark)
+    by plane_id (plane p belongs to table p div k). Plane dimensionality
+    is read from the data — a fixed-dim mismatch would otherwise NULL
+    out every zip_with dot product and silently empty the join."""
+    first = embeddings.select(F.size("embedding").alias("d")).first()
+    dim = int(first["d"]) if first is not None else DIM
+    planes = hyperplanes(spark, dim=dim)
     bit = (_dot(F.col("emb"), F.col("weights")) >= 0).cast("long")
     scored = (
         _with_norm(embeddings)

@@ -130,8 +130,10 @@ def assemble_conversations(
     conversation, not by corpus size; state store partitioned by the
     groupBy key, so hot conversations never cross executors.
 
-    Batch inputs work too (availableNow): every group then closes at
-    end-of-stream via the final timeout sweep — the test path.
+    NOTE: processing-time timeouts only fire in a LATER triggered
+    micro-batch, so the query must keep running past the idle horizon —
+    use a processingTime trigger (as stream_conversations does), never
+    availableNow, or no conversation will ever close.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -185,9 +187,13 @@ def stream_conversations(
     input_dir: str,
     checkpoint_dir: str,
     idle_timeout_ms: int = 600_000,
+    trigger_interval: str = "10 seconds",
 ):
     """Run conversation assembly over the streaming transcripts source
-    into an in-memory sink (query name 'conversations')."""
+    into an in-memory sink (query name 'conversations'). Returns the
+    RUNNING query — the caller stops it; a processingTime trigger keeps
+    empty batches coming so idle-timeout closes actually fire
+    (availableNow would terminate before any timeout can elapse)."""
     stream = read_transcripts_stream(spark, input_dir)
     out = assemble_conversations(stream, idle_timeout_ms)
     return (
@@ -195,6 +201,6 @@ def stream_conversations(
         .queryName("conversations")
         .outputMode("append")
         .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
+        .trigger(processingTime=trigger_interval)
         .start()
     )
