@@ -109,7 +109,9 @@ def run_pipeline_timed(
     timings["links"] = time.monotonic() - t0
 
     t0 = time.monotonic()
-    canon = canonicalize(links).persist(CACHE)
+    # canonicalize localCheckpoints internally (the canonical-map
+    # materialization) — no extra persist needed
+    canon = canonicalize(links)
     canon.count()
     timings["canonical"] = time.monotonic() - t0
 
@@ -121,7 +123,6 @@ def run_pipeline_timed(
     annotated.unpersist()
     triples.unpersist()
     links.unpersist()
-    canon.unpersist()
 
     total = sum(timings.values())
     return {

@@ -32,19 +32,23 @@ def get_spark(
         if SparkConf().get("spark.master", None) is None:
             cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
             master = f"local[{cpus}]"
-    if shuffle_partitions is None:
-        # local mode: match the core count; on a real cluster this is set
-        # per-job (or left to AQE coalescing)
-        m = master or ""
-        n = m[m.find("[") + 1 : m.find("]")] if "[" in m else "32"
+    if shuffle_partitions is None and master is not None and master.startswith("local"):
+        # local mode only: match the chosen core count. When the master is
+        # external (spark-submit / cluster), leave the config UNSET so the
+        # cluster default + AQE coalescing govern shuffle parallelism —
+        # hardcoding 32 here would silently cap a 1000-executor job.
+        n = master[master.find("[") + 1 : master.find("]")] if "[" in master else ""
         shuffle_partitions = 32 if n in ("*", "") else int(n)
 
     builder = SparkSession.builder
     if master is not None:
         builder = builder.master(master)
+    if shuffle_partitions is not None:
+        builder = builder.config(
+            "spark.sql.shuffle.partitions", str(shuffle_partitions)
+        )
     builder = (
         builder.appName(app_name)
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config(

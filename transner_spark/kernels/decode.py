@@ -141,10 +141,14 @@ def decode_bio(
             active_e_scores = [score]
 
         if curr_offset >= len(s) and active_e_type:
+            # verbatim ner.py:453-459: the reference does NOT clear state
+            # after the end-of-string flush, so if the flush ever fires
+            # before the last token it re-closes (duplicates) the active
+            # entity on each remaining iteration. With real found tokens
+            # curr_offset stays < len(s) (it points at a token START), so
+            # the multi-fire path is reachable only through degenerate
+            # inputs (empty string / empty tokens) — pinned by
+            # tests/test_decode_flush.py.
             close(strip_e=False)
-            # the reference does not clear state here; it simply re-closes
-            # on every remaining iteration — but the flush can only fire on
-            # the final token in practice, so mirror it 1:1.
-            active_e_type = None
 
     return entities

@@ -198,7 +198,6 @@ def find_dates(sentence: str, entities: list[dict]) -> list[dict]:
     (ner.py:353-362)."""
     out: list[dict] = []
     date_type = check_opening_time(entities)
-    curr = 0
     spans: list[tuple[int, str]] = []
     for pat in COMPILED_DATE_PATTERNS:
         for m in pat.finditer(sentence):

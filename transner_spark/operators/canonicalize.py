@@ -1,16 +1,26 @@
-"""Canonicalization: connected components via iterative min-label
-propagation over DataFrame joins.
+"""Canonicalization: connected components of the link graph.
 
-Catalyst cannot express a loop (SURVEY.md §4), so the driver iterates:
-each round propagates the component-minimum label across edges and stops
-when no label changed. The link graph is a forest of shallow stars
-(surface → entity_key), so convergence takes 2-3 rounds; for general
-graphs the same loop bounds at O(diameter) and the code localCheckpoints
-every round to cut lineage (and to keep AQE re-planning each round's
-shuffle independently).
+Two paths, same result (every node labeled with the lexicographically
+smallest member of its component, matching
+kernels/canonical.connected_components):
 
-The result matches kernels/canonical.connected_components exactly: every
-node labeled with the lexicographically smallest member of its component.
+- ``canonicalize_star`` (default): the link graph is a star forest BY
+  CONSTRUCTION — ``link_surfaces`` keeps exactly one top-1 entity per
+  distinct surface (operators/linking.py row_number() == 1), so every
+  component is one entity plus its linked surfaces (or a singleton
+  surface). The closed form is ``canon_id = min(entity_key, min linked
+  surface)``: ONE tiny groupBy on entity_key plus one join back — no
+  driver loop, no localCheckpoints. This removed a ~3s fixed driver
+  floor per run at sf0.1 (VERDICT r1 item 1b) and at 100 TB it is two
+  shuffles on dim-sized keys instead of O(rounds) shuffle+checkpoint
+  barriers.
+- ``connected_components``: the general-graph fallback — iterative
+  min-label propagation, bounded at O(diameter) rounds, localCheckpoint
+  per round to cut lineage. Kept for non-star edge sets (and as the
+  differential-test twin of the closed form).
+
+Catalyst cannot express a loop (SURVEY.md §4), hence the driver
+iteration in the fallback.
 """
 
 from __future__ import annotations
@@ -71,5 +81,51 @@ def connected_components(edges: DataFrame, max_iterations: int = 25) -> DataFram
     return labels.select("node_id", F.col("label").alias("canon_id"))
 
 
+def canonicalize_star(links: DataFrame, eager: bool = True) -> DataFrame:
+    """Closed-form canonicalization for the star-forest link graph.
+
+    Precondition (guaranteed by link_surfaces): at most one row — hence
+    at most one entity — per norm_key. Output rows cover exactly the
+    nodes the iterative CC would label: every surface node and every
+    linked entity node.
+
+    ``eager=True`` localCheckpoints the result (like the iterative path
+    does per round): downstream consumers broadcast this map twice
+    (materialize_edges subj/obj resolve), and a cached-but-lazy plan
+    containing a nested BroadcastExchange is NOT matched by the cache
+    manager under those broadcast collects — measured 6.2s → 0.6s for
+    the edges aggregate at sf0.01. At warehouse scale this
+    materialization is the canonical-map table write.
+    """
+    surface = F.concat(F.lit("surface:"), F.col("norm_key"))
+    linked = links.where(F.col("entity_key").isNotNull()).select(
+        surface.alias("node_id"), "entity_key"
+    )
+    # per-entity component minimum: min over {entity_key} ∪ its surfaces
+    emin = (
+        linked.groupBy("entity_key")
+        .agg(F.min("node_id").alias("min_surface"))
+        .select(
+            "entity_key",
+            F.least(F.col("entity_key"), F.col("min_surface")).alias("canon_id"),
+        )
+    )
+    ent_rows = emin.select(F.col("entity_key").alias("node_id"), "canon_id")
+    # the entity-min map is dim-sized (distinct linked entities ≤ alias
+    # dictionary size) → broadcast back onto the surface rows
+    surf_rows = linked.join(F.broadcast(emin), "entity_key").select(
+        "node_id", "canon_id"
+    )
+    singletons = links.where(F.col("entity_key").isNull()).select(
+        surface.alias("node_id"), surface.alias("canon_id")
+    )
+    out = surf_rows.unionByName(ent_rows).unionByName(singletons)
+    return out.localCheckpoint() if eager else out
+
+
 def canonicalize(links: DataFrame, max_iterations: int = 25) -> DataFrame:
-    return connected_components(links_to_edges(links), max_iterations)
+    """Default path: closed-form star canonicalization (the links table
+    is a star forest by construction). ``connected_components(
+    links_to_edges(links))`` is the general fallback and must produce
+    identical output — pinned by tests/test_canonicalize_star.py."""
+    return canonicalize_star(links)
