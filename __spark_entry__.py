@@ -233,6 +233,38 @@ def q_mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return video_frames(_docs(spark, sf_dir))
 
 
+def _wikiner_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from transner_spark.operators.wikiner import read_wikiner_lines, wikiner_scan
+    from transner_spark.sources.wikiner import ensure_wikiner_raw
+
+    txt, _ = ensure_wikiner_raw(REPO, sf_dir)
+    return wikiner_scan(read_wikiner_lines(spark, txt))
+
+
+def q_wikiner_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _wikiner_tokens(spark, sf_dir)
+
+
+def q_wikiner_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from transner_spark.operators.wikiner import wikiner_sentences
+
+    return wikiner_sentences(_wikiner_tokens(spark, sf_dir)).select(
+        "article_id",
+        "sent_idx",
+        "sentence",
+        F.size("tags").cast("long").alias("n_tokens"),
+        F.concat_ws(" ", "tags").alias("tags_str"),
+    )
+
+
+def q_wikiner_conll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from transner_spark.operators.wikiner import wikiner_conll, wikiner_sentences
+
+    return wikiner_conll(
+        wikiner_sentences(_wikiner_tokens(spark, sf_dir)), augment=True
+    )
+
+
 def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from transner_spark.operators.relational import corpus_stats
 
@@ -329,6 +361,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_metadata": q_mm_metadata,
         "mm_features": q_mm_features,
         "mm_frames": q_mm_frames,
+        "wikiner_scan": q_wikiner_scan,
+        "wikiner_sentences": q_wikiner_sentences,
+        "wikiner_conll": q_wikiner_conll,
         "corpus_stats": q_corpus_stats,
         "iob_to_bio": q_iob_to_bio,
         "split_train_val_test": q_split_train_val_test,
@@ -360,6 +395,11 @@ def oracle_sql() -> dict[str, str]:
     from transner_spark.oracles import events_oracles
 
     out.update(events_oracles("/root/testdata/sf0.01/events.parquet"))
+    from transner_spark.oracles import wikiner_oracles
+    from transner_spark.sources.wikiner import ensure_wikiner_raw
+
+    _, wikiner_pq = ensure_wikiner_raw(REPO, "/root/testdata/sf0.01")
+    out.update(wikiner_oracles(wikiner_pq))
     from transner_spark.oracles import relational_oracles
 
     out.update(

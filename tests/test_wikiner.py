@@ -1,0 +1,88 @@
+"""T1/T2/T4 parity: Spark WikiNER operators vs the single-node
+transcription kernel, on the deterministic sf0.001 corpus."""
+
+from __future__ import annotations
+
+import pytest
+
+from transner_spark.kernels import wikiner as K
+from transner_spark.operators.wikiner import (
+    iob_to_bio_arr,  # noqa: F401  (exercised via wikiner_conll)
+    read_wikiner_lines,
+    wikiner_conll,
+    wikiner_scan,
+    wikiner_sentences,
+    write_conll,
+)
+from transner_spark.sources.wikiner import ensure_wikiner_raw
+
+
+@pytest.fixture(scope="module")
+def raw_path():
+    txt, _ = ensure_wikiner_raw("/root/repo", "/root/testdata/sf0.001")
+    return txt
+
+
+@pytest.fixture(scope="module")
+def spark_tokens(spark, raw_path):
+    return wikiner_scan(read_wikiner_lines(spark, raw_path)).cache()
+
+
+def test_scan_parity(spark_tokens, raw_path):
+    data, targets = K.read_wikiner(raw_path)
+    got = {
+        (r["article_id"], r["tok_idx"]): (r["word"], r["tag"])
+        for r in spark_tokens.collect()
+    }
+    want = {
+        (a, i + 1): (w, t)
+        for a, (words, tags) in enumerate(zip(data, targets))
+        for i, (w, t) in enumerate(zip(words, tags))
+    }
+    assert len(got) > 1000
+    assert got == want
+
+
+def test_sentences_parity(spark, spark_tokens, raw_path):
+    data, targets = K.read_wikiner(raw_path)
+    # kernel sentences per article (reference keeps a flat list; re-derive
+    # per-article indices by re-running parse per article)
+    want = []
+    for a, (words, tags) in enumerate(zip(data, targets)):
+        for s_idx, (sent, stags) in enumerate(K.parse_sentences([words], [tags])):
+            want.append((a, s_idx, sent, tuple(stags)))
+    got = [
+        (r["article_id"], r["sent_idx"], r["sentence"], tuple(r["tags"]))
+        for r in wikiner_sentences(spark_tokens)
+        .orderBy("article_id", "sent_idx")
+        .collect()
+    ]
+    assert len(got) > 100
+    assert got == sorted(want)
+
+
+def test_trailing_tokens_dropped(spark_tokens, raw_path):
+    """The leftover-after-last-'.' drop quirk must actually fire on this
+    corpus (the generator leaves most articles un-terminated)."""
+    data, _ = K.read_wikiner(raw_path)
+    n_dropped_articles = sum(1 for words in data if words and words[-1] != ".")
+    assert n_dropped_articles > 0  # quirk exercised
+
+
+def test_conll_parity_with_augment(spark, spark_tokens, raw_path, tmp_path):
+    data, targets = K.read_wikiner(raw_path)
+    want = K.to_conll_lines(K.parse_sentences(data, targets), augment=True)
+    conll = wikiner_conll(wikiner_sentences(spark_tokens), augment=True)
+    out = tmp_path / "out.conll"
+    write_conll(conll, str(out))
+    got = out.read_text(encoding="utf-8").split("\n")[:-1]  # strip final \n
+    assert got == want
+
+
+def test_bio_conversion_in_lines(spark, spark_tokens):
+    """At least one B- tag must appear only via conversion (raw corpus
+    tags are IOB1: I-* / O only)."""
+    conll = wikiner_conll(wikiner_sentences(spark_tokens))
+    tags = {r["line"].split(" ")[-1] for r in conll.collect() if r["line"]}
+    assert any(t.startswith("B-") for t in tags)
+    assert any(t.startswith("I-") for t in tags)

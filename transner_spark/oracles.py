@@ -537,3 +537,103 @@ SELECT asset_id,
 FROM b
 """,
     }
+
+
+def wikiner_oracles(lines_pq: str) -> dict[str, str]:
+    """T1/T2/T4 re-derivations over the line-for-line parquet twin of the
+    raw WikiNER file: article grouping = running blank count + dense
+    rank, token parsing = list comprehensions, sentence split = cumulative
+    '.'-count windows, CoNLL = per-sentence IOB→BIO + word/tag zip."""
+    base = f"""
+l AS (SELECT line_no, text FROM read_parquet('{lines_pq}')),
+b AS (
+  SELECT line_no, text,
+         sum(CASE WHEN trim(text) = '' THEN 1 ELSE 0 END)
+           OVER (ORDER BY line_no ROWS UNBOUNDED PRECEDING) AS grp
+  FROM l
+),
+art AS (
+  SELECT line_no, text, dense_rank() OVER (ORDER BY grp) - 1 AS article_id
+  FROM b WHERE trim(text) <> ''
+),
+tok0 AS (
+  SELECT article_id, line_no,
+         unnest([{{'t': t[i], 'i': i}} for i in range(1, len(t) + 1)]) AS u
+  FROM (SELECT article_id, line_no, string_split(text, ' ') AS t FROM art)
+),
+toks AS (
+  SELECT article_id,
+         row_number() OVER (PARTITION BY article_id
+                            ORDER BY line_no, u.i) AS tok_idx,
+         string_split(u.t, '|')[1] AS word,
+         string_split(u.t, '|')[2] AS pos,
+         string_split(u.t, '|')[-1] AS tag
+  FROM tok0 WHERE u.t <> ''
+)"""
+    sent = f"""{base},
+s1 AS (
+  SELECT article_id, tok_idx, word, tag,
+         coalesce(sum(CASE WHEN word = '.' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY article_id ORDER BY tok_idx
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           0) AS sent_idx
+  FROM toks
+),
+sent AS (
+  SELECT article_id, sent_idx,
+         coalesce(string_agg(
+             CASE WHEN word = '.' THEN NULL ELSE word || ' ' END,
+             '' ORDER BY tok_idx), '') || '.' AS sentence,
+         list(tag ORDER BY tok_idx) AS tags
+  FROM s1
+  GROUP BY article_id, sent_idx
+  HAVING bool_or(word = '.')
+)"""
+    return {
+        "wikiner_scan": f"""
+WITH {base}
+SELECT CAST(article_id AS BIGINT) AS article_id,
+       CAST(tok_idx AS BIGINT) AS tok_idx, word, pos, tag
+FROM toks
+""",
+        "wikiner_sentences": f"""
+WITH {sent}
+SELECT CAST(article_id AS BIGINT) AS article_id,
+       CAST(sent_idx AS BIGINT) AS sent_idx, sentence,
+       CAST(len(tags) AS BIGINT) AS n_tokens,
+       array_to_string(tags, ' ') AS tags_str
+FROM sent
+""",
+        "wikiner_conll": f"""
+WITH {sent},
+bio AS (
+  SELECT article_id, sent_idx, sentence,
+         [CASE WHEN tags[i] <> 'O'
+                AND (i = 1 OR tags[i - 1] = 'O'
+                     OR tags[i - 1][2:] <> tags[i][2:])
+               THEN 'B' || tags[i][2:] ELSE tags[i] END
+          for i in range(1, len(tags) + 1)] AS bio
+  FROM sent
+),
+w AS (
+  SELECT article_id, sent_idx, string_split(sentence, ' ') AS ws, bio
+  FROM bio
+),
+lines AS (
+  SELECT article_id, sent_idx, v.variant,
+         unnest([{{'li': i - 1,
+                  'line': CASE WHEN i <= len(ws) THEN
+                    (CASE WHEN v.variant = 0 THEN ws[i]
+                          ELSE lower(ws[i]) END) || ' ' || bio[i]
+                  ELSE '' END}}
+                 for i in range(1, len(ws) + 2)]) AS u
+  FROM w, (VALUES (0), (1)) v(variant)
+)
+SELECT CAST(article_id AS BIGINT) AS article_id,
+       CAST(sent_idx AS BIGINT) AS sent_idx,
+       CAST(variant AS BIGINT) AS variant,
+       CAST(u.li AS BIGINT) AS line_idx,
+       u.line AS line
+FROM lines
+""",
+    }
