@@ -303,6 +303,80 @@ def q_mention_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mention_overlap_pairs(explode_mentions(_annotated(spark, sf_dir)))
 
 
+def q_pipeline_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 as a first-class query surface: run the staged pipeline into a
+    scratch warehouse and aggregate its lineage (request-log) table to
+    per-stage output row counts. The oracle re-derives every stage's
+    count independently (length-guard SQL over the transcripts cache for
+    annotated/quarantine; the frozen goldens for the KG stages), so this
+    checks both that the lineage log is faithful and that a fresh
+    end-to-end run reproduces the recorded corpus exactly."""
+    import shutil
+    import tempfile
+
+    from transner_spark.plans.pipeline import run_pipeline
+    from transner_spark.sources.catalog import Catalog
+
+    workdir = tempfile.mkdtemp(prefix="lineage_gate_")
+    try:
+        run_pipeline(spark, _transcripts(spark, sf_dir), workdir)
+        lineage = Catalog(spark, workdir).read("_lineage")
+        out = (
+            lineage.groupBy("stage")
+            .agg(F.sum("rows_out").cast("long").alias("rows_out"))
+            .toPandas()
+        )
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+    return spark.createDataFrame(out, "stage string, rows_out long")
+
+
+def q_stream_mentions_batch_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming/batch equivalence gate: run the incremental NER stream
+    (availableNow over the same transcripts, exactly-once parquet sink)
+    and compare its mention table to the batch kg_mentions oracle — the
+    fused annotate stage must be execution-mode invariant."""
+    import shutil
+    import tempfile
+
+    from transner_spark.sources.transcripts import ensure_transcripts_parquet
+    from transner_spark.streaming.incremental import stream_mentions
+
+    src = ensure_transcripts_parquet(REPO, sf_dir)
+    work = tempfile.mkdtemp(prefix="stream_gate_")
+    try:
+        in_dir = os.path.join(work, "in")
+        os.makedirs(in_dir)
+        shutil.copy(src, os.path.join(in_dir, "part-00000.parquet"))
+        stream_mentions(
+            spark,
+            in_dir,
+            os.path.join(work, "out"),
+            os.path.join(work, "ck"),
+        )
+        out = (
+            spark.read.parquet(os.path.join(work, "out"))
+            .select(
+                "conv_id",
+                F.col("turn_idx").cast("long").alias("turn_idx"),
+                F.col("mention_id").cast("long").alias("mention_id"),
+                "type",
+                "value",
+                F.col("offset").cast("long").alias("offset"),
+                "confidence",
+                "source",
+            )
+            .toPandas()
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        out,
+        "conv_id string, turn_idx long, mention_id long, type string, "
+        "value string, offset long, confidence double, source string",
+    )
+
+
 def q_role_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from transner_spark.operators.relational import role_transitions
 
@@ -370,6 +444,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "region_containment": q_region_containment,
         "substring_antijoin": q_substring_antijoin,
         "mention_overlap_pairs": q_mention_overlap_pairs,
+        "pipeline_lineage": q_pipeline_lineage,
+        "stream_mentions_batch_eq": q_stream_mentions_batch_eq,
         "role_transitions": q_role_transitions,
         "sessionize_events": q_sessionize_events,
     }
@@ -448,6 +524,34 @@ def oracle_sql() -> dict[str, str]:
                    md5(string_agg(text, chr(1) ORDER BY turn_idx)) AS fingerprint
             FROM read_parquet('{cache}')
             GROUP BY conv_id
+        """,
+        # streaming twin of kg_mentions: oracle = the same batch golden
+        "stream_mentions_batch_eq": f"""
+            SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+                   CAST(mention_id AS BIGINT) AS mention_id, type, value,
+                   CAST("offset" AS BIGINT) AS "offset", confidence, source
+            FROM read_parquet('{g("mentions")}')
+        """,
+        # S4 lineage: each stage's rows_out independently re-derived —
+        # the guard predicate for annotated/quarantine, the frozen
+        # goldens for the KG stages
+        "pipeline_lineage": f"""
+            SELECT 'annotated' AS stage, CAST(COUNT(*) AS BIGINT) AS rows_out
+            FROM read_parquet('{cache}')
+            WHERE len(regexp_split_to_array(trim(text), '\s+')) <= 150
+            UNION ALL SELECT 'quarantine', CAST(COUNT(*) AS BIGINT)
+            FROM read_parquet('{cache}')
+            WHERE len(regexp_split_to_array(trim(text), '\s+')) > 150
+            UNION ALL SELECT 'mentions', CAST(COUNT(*) AS BIGINT)
+            FROM read_parquet('{g("mentions")}')
+            UNION ALL SELECT 'triples', CAST(COUNT(*) AS BIGINT)
+            FROM read_parquet('{g("triples")}')
+            UNION ALL SELECT 'links', CAST(COUNT(*) AS BIGINT)
+            FROM read_parquet('{g("links")}')
+            UNION ALL SELECT 'canonical', CAST(COUNT(*) AS BIGINT)
+            FROM read_parquet('{g("canonical")}')
+            UNION ALL SELECT 'edges', CAST(COUNT(*) AS BIGINT)
+            FROM read_parquet('{g("edges")}')
         """,
     })
     return out

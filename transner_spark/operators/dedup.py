@@ -300,19 +300,65 @@ def dedup_simhash(
     )
 
 
+MAX_BLOCK_ROWS = 10_000  # quadratic-baseline guard (see _block_guard)
+
+
+def _block_guard(
+    blocked: DataFrame, block_col: str, max_block_rows: int, op: str, twin: str
+) -> DataFrame:
+    """Fail-loud cap for the exact (quadratic-within-block) baselines:
+    any block larger than ``max_block_rows`` raises AT EXECUTION TIME
+    with a pointer to the LSH twin, instead of silently scheduling an
+    O(n²/b) pair explosion at scale (VERDICT r1 item 5).
+
+    The guard lives inside the plan — a count window over the block key
+    (co-partitioned with the self-join that follows, so the shuffle is
+    shared) feeding ``raise_error`` inside a filter predicate, which
+    Catalyst cannot prune. No extra driver job."""
+    from pyspark.sql import Window
+
+    n = F.count(F.lit(1)).over(Window.partitionBy(block_col))
+    msg = F.concat(
+        F.lit(
+            f"{op}: block exceeds max_block_rows={max_block_rows} "
+            f"(quadratic verify would explode at scale) — use {twin} "
+            "(the LSH scale path) or raise max_block_rows; block="
+        ),
+        F.col(block_col).cast("string"),
+        F.lit(" rows="),
+        F.col("_bn").cast("string"),
+    )
+    return (
+        blocked.withColumn("_bn", n)  # window materialized BEFORE the filter
+        .where(
+            F.when(F.col("_bn") > max_block_rows, F.raise_error(msg)).otherwise(
+                F.lit(True)
+            )
+        )
+        .drop("_bn")
+    )
+
+
 # ---------------------------------------------------------------- jaccard
 def dedup_ngram_jaccard(
-    docs: DataFrame, threshold: float = NGRAM_JACCARD_THRESHOLD
+    docs: DataFrame,
+    threshold: float = NGRAM_JACCARD_THRESHOLD,
+    max_block_rows: int = MAX_BLOCK_ROWS,
 ) -> DataFrame:
     """Exact word-2gram Jaccard inside (lang, length-bucket) blocks —
     the non-probabilistic baseline the sketch methods are judged
-    against. Quadratic only within a block."""
+    against. Quadratic only within a block; blocks beyond
+    ``max_block_rows`` fail loudly (dedup_minhash_lsh is the scale
+    path)."""
     sh = with_shingles(docs, 2)
     blocked = docs.select(
         "doc_id",
         F.struct(
             "lang", F.floor(F.size(ws_tokens(F.col("text"))) / 20).alias("lb")
         ).alias("block"),
+    )
+    blocked = _block_guard(
+        blocked, "block", max_block_rows, "dedup_ngram_jaccard", "dedup_minhash_lsh"
     )
     a, b = blocked.alias("a"), blocked.alias("b")
     pairs = a.join(
@@ -388,16 +434,23 @@ def dedup_embedding_cosine_lsh(
 
 
 def dedup_embedding_cosine(
-    embeddings: DataFrame, threshold: float = COSINE_THRESHOLD
+    embeddings: DataFrame,
+    threshold: float = COSINE_THRESHOLD,
+    max_block_rows: int = MAX_BLOCK_ROWS,
 ) -> DataFrame:
     """Embedding near-dup pairs: label blocks (the coarse cluster id that
     ships with the table) → within-block cosine ≥ threshold. The scale
-    path without a label column is dedup_embedding_cosine_lsh."""
+    path without a label column is dedup_embedding_cosine_lsh; label
+    blocks beyond ``max_block_rows`` fail loudly."""
     e = embeddings.select(
         "vec_id",
         "label",
         F.col("embedding").alias("emb"),
         F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+    )
+    e = _block_guard(
+        e, "label", max_block_rows, "dedup_embedding_cosine",
+        "dedup_embedding_cosine_lsh",
     )
     a, b = e.alias("a"), e.alias("b")
     cos = _dot(F.col("a.emb"), F.col("b.emb")) / (F.col("a.nrm") * F.col("b.nrm"))
