@@ -242,7 +242,8 @@ def _wikiner_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_wikiner_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _wikiner_tokens(spark, sf_dir)
+    # single-file gate corpus → the per-file key column is constant
+    return _wikiner_tokens(spark, sf_dir).drop("file")
 
 
 def q_wikiner_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -262,7 +263,7 @@ def q_wikiner_conll(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return wikiner_conll(
         wikiner_sentences(_wikiner_tokens(spark, sf_dir)), augment=True
-    )
+    ).drop("file")
 
 
 def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

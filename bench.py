@@ -23,9 +23,12 @@ import time
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
-# N vs 4N proxy levels: both inside this host's unsaturated region
-# (see the rationale block written into BENCH.md)
-SCALING_LEVELS = (2, 8)
+# N vs 4N proxy pairs. The headline pair (2, 8) sits inside this host's
+# unsaturated region (see the rationale block written into BENCH.md);
+# the (8, 32) pair is reported alongside for transparency — it measures
+# host oversubscription as much as pipeline scaling (ADVICE r1).
+SCALING_PAIRS = ((2, 8), (8, 32))
+SCALING_LEVELS = tuple(sorted({n for p in SCALING_PAIRS for n in p}))
 
 
 def build_session(master: str, cpus: int):
@@ -223,40 +226,53 @@ def main() -> None:
                 )
                 spark.stop()
                 levels[n] = r
-            lo, hi = SCALING_LEVELS
-            eff = (levels[hi]["triples_per_sec"] / levels[lo]["triples_per_sec"]) / (hi / lo)
-            out["scaling"] = {
-                f"local{lo}_triples_per_sec": round(levels[lo]["triples_per_sec"], 1),
-                f"local{hi}_triples_per_sec": round(levels[hi]["triples_per_sec"], 1),
-                "efficiency": round(eff, 3),
+            effs = {
+                (lo, hi): (
+                    levels[hi]["triples_per_sec"] / levels[lo]["triples_per_sec"]
+                ) / (hi / lo)
+                for lo, hi in SCALING_PAIRS
             }
-            _write_bench_md(sf_dir, levels, eff)
+            out["scaling"] = {
+                **{
+                    f"local{n}_triples_per_sec": round(
+                        levels[n]["triples_per_sec"], 1
+                    )
+                    for n in SCALING_LEVELS
+                },
+                **{
+                    f"efficiency_{lo}v{hi}": round(e, 3)
+                    for (lo, hi), e in effs.items()
+                },
+                "efficiency": round(effs[SCALING_PAIRS[0]], 3),
+            }
+            _write_bench_md(sf_dir, levels, effs)
 
         print(json.dumps(out))
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 
 
-def _write_bench_md(sf_dir: str, levels: dict, eff: float) -> None:
-    lo, hi = SCALING_LEVELS
+def _write_bench_md(sf_dir: str, levels: dict, effs: dict) -> None:
+    lo, hi = SCALING_PAIRS[0]
     lines = [
         "# BENCH — scaling evidence (north rule: N vs 4N)",
         "",
         f"Input: deterministic synthetic transcripts, {levels[lo]['turns']} "
-        f"turns, 64 parquet splits — the same data at both parallelism "
-        f"levels (local[{lo}] vs local[{hi}], the sandbox proxy for N- vs "
-        "4N-executor clusters). Each timed run is preceded by a warm-up "
-        "pass so python-worker spin-up is excluded: the metric is "
-        "steady-state pipeline throughput.",
+        f"turns, 64 parquet splits — the same data at every parallelism "
+        f"level (the sandbox proxy for N- vs 4N-executor clusters). Each "
+        "timed run is preceded by a warm-up pass so python-worker spin-up "
+        "is excluded: the metric is steady-state pipeline throughput.",
         "",
-        "Why these two levels: in local mode every 'executor core' costs "
-        "~2 host threads (a JVM task thread plus an Arrow python worker), "
-        "so this 32-core host saturates near local[16] — a measured sweep "
-        "of the annotate stage gives 0.33/0.35/0.48/1.01 core-ms/turn at "
-        "local[4/8/16/32]. N vs 4N must be measured in the unsaturated "
-        "region to evidence the PIPELINE's scaling rather than host "
-        "oversubscription; on a real cluster 4N executors add machines, "
-        "not contended threads.",
+        f"Headline pair local[{lo}] vs local[{hi}]: in local mode every "
+        "'executor core' costs ~2 host threads (a JVM task thread plus an "
+        "Arrow python worker), so this 32-core host saturates near "
+        "local[16] — a measured sweep of the annotate stage gives "
+        "0.33/0.35/0.48/1.01 core-ms/turn at local[4/8/16/32]. N vs 4N "
+        "must be measured in the unsaturated region to evidence the "
+        "PIPELINE's scaling rather than host oversubscription; on a real "
+        "cluster 4N executors add machines, not contended threads. The "
+        "saturated local[8]v[32] figure is reported alongside for "
+        "transparency about the proxy's sensitivity to level choice.",
         "",
         "| parallelism | wall (s) | turns/s | triples/s |",
         "| --- | --- | --- | --- |",
@@ -267,20 +283,29 @@ def _write_bench_md(sf_dir: str, levels: dict, eff: float) -> None:
             f"| local[{n}] | {r['total']:.2f} | {r['turns_per_sec']:.1f} | "
             f"{r['triples_per_sec']:.1f} |"
         )
+    lines.append("")
+    for (plo, phi), e in effs.items():
+        label = "headline, unsaturated region" if (plo, phi) == SCALING_PAIRS[0] \
+            else "saturated region: measures host thread contention too"
+        lines.append(
+            f"**Scaling efficiency local[{plo}]→local[{phi}]: "
+            f"(throughput_{phi} / throughput_{plo}) / {phi // plo} = "
+            f"{e:.3f}** ({label})."
+        )
     lines += [
         "",
-        f"**Scaling efficiency (throughput_{hi} / throughput_{lo}) / "
-        f"{hi // lo} = {eff:.3f}** (target ≥ 0.8, BASELINE.json north rule).",
+        "Target ≥ 0.8 on the headline pair (BASELINE.json north rule).",
         "",
         "Per-stage timings:",
         "",
-        f"| stage | local[{lo}] s | local[{hi}] s |",
-        "| --- | --- | --- |",
+        "| stage | " + " | ".join(f"local[{n}] s" for n in SCALING_LEVELS) + " |",
+        "| --- |" + " --- |" * len(SCALING_LEVELS),
     ]
     for k in levels[lo]["timings"]:
         lines.append(
-            f"| {k} | {levels[lo]['timings'][k]:.2f} | "
-            f"{levels[hi]['timings'][k]:.2f} |"
+            f"| {k} | "
+            + " | ".join(f"{levels[n]['timings'][k]:.2f}" for n in SCALING_LEVELS)
+            + " |"
         )
     with open(os.path.join(REPO, "BENCH.md"), "w") as f:
         f.write("\n".join(lines) + "\n")

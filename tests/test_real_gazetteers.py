@@ -146,22 +146,32 @@ def test_nested_loc_substring_sweep_real_sample():
 
 @needs_real
 def test_full_ner_batch_with_real_gazetteers():
-    """End-to-end ner_batch with the real sets swapped in via config:
-    a religion hit and a model-entity coexist with correct offsets."""
+    """End-to-end ner_batch with the REAL sets wired in via the config's
+    gazetteer paths: the religion hit appears in the pipeline output
+    with the first-occurrence offset and rule confidence 0.9."""
     from transner_spark.config import PipelineConfig
     from transner_spark.kernels.ner_pipeline import ner_batch
 
-    # point the kernel loaders at the real files for this call
-    cfg = PipelineConfig()
-    out = ner_batch(
-        ["I monaci seguono lo Shinto in Giappone ."],
-        cfg=cfg,
-        classifier=None,
+    cfg = PipelineConfig(
+        cities_path=REAL_CITIES, religions_path=REAL_RELIGIONS
     )
-    # the default lexicon classifier may or may not tag anything here;
-    # the religion gazetteer path is what we pin (fixture set also has
-    # entries, so run the kernel directly with the real set)
-    religions = load_religions_set(REAL_RELIGIONS)
-    got = find_religions("I monaci seguono lo Shinto in Giappone .", religions)
-    assert [(e["value"], e["offset"]) for e in got] == [("Shinto", 20)]
-    assert out  # pipeline itself runs clean
+    sentence = "I monaci seguono lo Shinto in Giappone ."
+    out = ner_batch([sentence], cfg=cfg)
+    hits = [
+        e
+        for e in out[0]["entities"]
+        if e["type"] == "RELIGION" and e["source"] == "gazetteer"
+    ]
+    assert [(e["value"], e["offset"], e["confidence"]) for e in hits] == [
+        ("Shinto", 20, 0.9)
+    ]
+    # prove the REAL file (not the fixture) was loaded: an entry only
+    # the real religions.txt contains must also hit end-to-end
+    from transner_spark.data.gazetteers import RELIGIONS_TXT
+
+    assert "amish" not in load_religions_set(RELIGIONS_TXT)
+    out2 = ner_batch(["the Amish community settled here"], cfg=cfg)
+    assert any(
+        e["type"] == "RELIGION" and e["value"] == "Amish"
+        for e in out2[0]["entities"]
+    )

@@ -79,6 +79,51 @@ def test_conll_parity_with_augment(spark, spark_tokens, raw_path, tmp_path):
     assert got == want
 
 
+def test_multi_file_articles_do_not_merge(spark, tmp_path):
+    """Per-file article numbering: same article_id in different files
+    must stay distinct through scan → sentences (keyed on (file,
+    article_id))."""
+    for name in ("a.txt", "b.txt"):
+        (tmp_path / name).write_text("w1|N|O .|P|O\n", encoding="utf-8")
+    toks = wikiner_scan(read_wikiner_lines(spark, str(tmp_path)))
+    rows = toks.collect()
+    per_file: dict = {}
+    for r in rows:
+        per_file.setdefault(r["file"], []).append(r["tok_idx"])
+    assert len(per_file) == 2
+    assert all(sorted(v) == [1, 2] for v in per_file.values())
+    assert wikiner_sentences(toks).count() == 2  # one per file, unmerged
+
+
+def test_trailing_blank_line_drops_final_article(spark, tmp_path):
+    """Reference tail-flush quirk (dataset_wikiNER.py:74-79): a file
+    ending with a blank line loses its final article — Spark and the
+    transcription kernel must agree."""
+    p = tmp_path / "t.txt"
+    p.write_text("a|N|O .|P|O\n\nb|N|O .|P|O\n\n", encoding="utf-8")
+    toks = wikiner_scan(read_wikiner_lines(spark, str(p)))
+    assert {r["word"] for r in toks.collect()} == {"a", "."}
+    data, _ = K.read_wikiner(str(p))
+    assert [w for ws in data for w in ws] == ["a", "."]
+    # without the trailing blank, both keep article b
+    p2 = tmp_path / "t2.txt"
+    p2.write_text("a|N|O .|P|O\n\nb|N|O .|P|O\n", encoding="utf-8")
+    toks2 = wikiner_scan(read_wikiner_lines(spark, str(p2)))
+    assert {r["word"] for r in toks2.collect()} == {"a", "b", "."}
+    data2, _ = K.read_wikiner(str(p2))
+    assert [w for ws in data2 for w in ws] == ["a", ".", "b", "."]
+
+
+def test_any_whitespace_separates_tokens(spark, tmp_path):
+    """line.split() semantics: tabs and space runs both separate
+    triplets."""
+    p = tmp_path / "w.txt"
+    p.write_text("a|N|O\tb|N|I-PER  c|N|O\n", encoding="utf-8")
+    toks = wikiner_scan(read_wikiner_lines(spark, str(p)))
+    got = [(r["word"], r["tag"]) for r in toks.orderBy("tok_idx").collect()]
+    assert got == [("a", "O"), ("b", "I-PER"), ("c", "O")]
+
+
 def test_bio_conversion_in_lines(spark, spark_tokens):
     """At least one B- tag must appear only via conversion (raw corpus
     tags are IOB1: I-* / O only)."""

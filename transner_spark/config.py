@@ -69,6 +69,11 @@ class PipelineConfig:
     apply_dates: bool = False
     max_turn_words: int = MAX_TURN_WORDS
     lowercase: bool = True
+    # Gazetteer data files (None → the committed fixtures). Point these
+    # at the reference's worldcities.csv / religions.txt to run with the
+    # full 15k-city sets (ner.py:117-126 takes the same two files).
+    cities_path: str | None = None
+    religions_path: str | None = None
 
     # Triple extraction
     emit_tool_triples: bool = True

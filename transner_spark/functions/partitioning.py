@@ -18,11 +18,14 @@ def fan_out(df: DataFrame, factor: int = 1) -> DataFrame:
     if df.isStreaming:  # micro-batch partitioning is the source's job
         return df
     target = df.sparkSession.sparkContext.defaultParallelism * factor
-    # Cheap scan-metadata fast path first: a frame rooted in >= target
-    # input files is already parallel — no physical planning needed. The
-    # precise df.rdd probe (which forces plan analysis on the driver)
-    # only runs for small/derived inputs where precision matters.
-    if len(df.inputFiles()) >= target:
+    # Cheap scan-metadata fast path: a frame rooted in >= target input
+    # files is already parallel — no physical planning needed. Only valid
+    # at factor 1 (higher factors ask for MORE than natural scan
+    # parallelism, which file count alone cannot prove) and for frames
+    # whose partitioning follows the scan; the in-repo callers pass raw
+    # scans. The precise df.rdd probe (which forces plan analysis on the
+    # driver) covers everything else.
+    if factor == 1 and len(df.inputFiles()) >= target:
         return df
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)

@@ -32,11 +32,15 @@ def get_spark(
         if SparkConf().get("spark.master", None) is None:
             cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
             master = f"local[{cpus}]"
-    if shuffle_partitions is None and master is not None and master.startswith("local"):
-        # local mode only: match the chosen core count. When the master is
-        # external (spark-submit / cluster), leave the config UNSET so the
-        # cluster default + AQE coalescing govern shuffle parallelism —
-        # hardcoding 32 here would silently cap a 1000-executor job.
+    if shuffle_partitions is None and master is not None and (
+        master == "local" or master.startswith("local[")
+    ):
+        # plain local mode only (NOT local-cluster[m,c,mem] — its bracket
+        # payload is not a core count): match the chosen core count. When
+        # the master is external (spark-submit / cluster), leave the
+        # config UNSET so the cluster default + AQE coalescing govern
+        # shuffle parallelism — hardcoding 32 here would silently cap a
+        # 1000-executor job.
         n = master[master.find("[") + 1 : master.find("]")] if "[" in master else ""
         shuffle_partitions = 32 if n in ("*", "") else int(n)
 

@@ -67,14 +67,24 @@ def ner_batch(
                 e["source"] = "regex"
                 entities.append(e)
 
-        # R2 — religion gazetteer
+        # R2 — religion gazetteer (cfg paths override the fixtures)
         if cfg.apply_gazetteers:
-            for e in rules.find_religions(s_orig, load_religions_set()):
+            religions = (
+                load_religions_set(cfg.religions_path)
+                if cfg.religions_path
+                else load_religions_set()
+            )
+            for e in rules.find_religions(s_orig, religions):
                 e["source"] = "gazetteer"
                 entities.append(e)
             # R3 — nested LOC in MISC (dead code in the reference; flag-gated)
             if cfg.apply_nested_loc:
-                for e in rules.find_nested_loc(entities, load_cities_set()):
+                cities = (
+                    load_cities_set(cfg.cities_path)
+                    if cfg.cities_path
+                    else load_cities_set()
+                )
+                for e in rules.find_nested_loc(entities, cities):
                     e["source"] = "gazetteer"
                     entities.append(e)
 

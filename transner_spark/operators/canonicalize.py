@@ -97,7 +97,30 @@ def canonicalize_star(links: DataFrame, eager: bool = True) -> DataFrame:
     the edges aggregate at sf0.01. At warehouse scale this
     materialization is the canonical-map table write.
     """
+    from pyspark.sql import Window
+
     surface = F.concat(F.lit("surface:"), F.col("norm_key"))
+    # In-plan precondition guard: a links table with >1 row per norm_key
+    # is NOT a star forest and the closed form would silently mislabel —
+    # fail loud at execution time instead (the iterative
+    # connected_components is the correct path for such graphs). One
+    # count window over the (small, distinct-surface-sized) links table.
+    dup = F.count(F.lit(1)).over(Window.partitionBy("norm_key"))
+    links = links.withColumn("_nk_rows", dup).where(
+        F.when(
+            F.col("_nk_rows") > 1,
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "canonicalize_star: more than one link row for "
+                        "norm_key (not a star forest) — use "
+                        "connected_components(links_to_edges(links)); key="
+                    ),
+                    F.col("norm_key"),
+                )
+            ),
+        ).otherwise(F.lit(True))
+    ).drop("_nk_rows")
     linked = links.where(F.col("entity_key").isNotNull()).select(
         surface.alias("node_id"), "entity_key"
     )
@@ -123,9 +146,16 @@ def canonicalize_star(links: DataFrame, eager: bool = True) -> DataFrame:
     return out.localCheckpoint() if eager else out
 
 
-def canonicalize(links: DataFrame, max_iterations: int = 25) -> DataFrame:
-    """Default path: closed-form star canonicalization (the links table
-    is a star forest by construction). ``connected_components(
-    links_to_edges(links))`` is the general fallback and must produce
-    identical output — pinned by tests/test_canonicalize_star.py."""
+def canonicalize(
+    links: DataFrame, max_iterations: int = 25, method: str = "star"
+) -> DataFrame:
+    """Canonicalize a links table. ``method='star'`` (default) uses the
+    closed form — valid because link_surfaces emits exactly one row per
+    norm_key (runtime-guarded inside canonicalize_star); ``'iterative'``
+    routes to the general connected-components loop (bounded by
+    ``max_iterations``), required for non-star link graphs. Both must
+    produce identical output on star forests — pinned by
+    tests/test_canonicalize_star.py."""
+    if method == "iterative":
+        return connected_components(links_to_edges(links), max_iterations)
     return canonicalize_star(links)

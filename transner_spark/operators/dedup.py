@@ -317,7 +317,12 @@ def _block_guard(
     Catalyst cannot prune. No extra driver job."""
     from pyspark.sql import Window
 
-    n = F.count(F.lit(1)).over(Window.partitionBy(block_col))
+    # NULL block keys are exempt: the null-unsafe self-join equality can
+    # never pair them, so a large unlabeled population is harmless and
+    # must not abort the job.
+    n = F.when(F.col(block_col).isNull(), F.lit(0)).otherwise(
+        F.count(F.lit(1)).over(Window.partitionBy(block_col))
+    )
     msg = F.concat(
         F.lit(
             f"{op}: block exceeds max_block_rows={max_block_rows} "

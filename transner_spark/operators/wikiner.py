@@ -4,11 +4,14 @@ Reference semantics
 (/root/reference/transner/transner/tools/wikiner_tools/dataset_wikiNER.py and
 wikiNER2CoNLL.py):
 
-- T1 ``wikiner_scan``: raw lines → (article_id, tok_idx, word, pos, tag).
-  Contiguous non-blank lines form one article; consecutive blank lines
-  collapse (dataset_wikiNER.py:49-64 article_end flag → dense article
-  numbering); tokens split on whitespace; triplets split on '|' with
-  word = first part, tag = LAST part (dataset_wikiNER.py:65-72).
+- T1 ``wikiner_scan``: raw lines → (file, article_id, tok_idx, word, pos,
+  tag). Contiguous non-blank lines form one article; consecutive blank
+  lines collapse (dataset_wikiNER.py:49-64 article_end flag → dense
+  article numbering); a file ENDING with a blank line loses its final
+  article (the tail flush at :74-79 is guarded by ``line != '\\n'`` — a
+  pinned reference quirk); tokens split on ANY whitespace (line.split()),
+  triplets split on '|' with word = first part, tag = LAST part
+  (dataset_wikiNER.py:65-72).
 - T2 ``wikiner_sentences``: per article, a '.' word closes the sentence;
   sentence text = each word + ' ' joined, then '.' appended; the tag list
   includes the '.' token's tag; words after the final '.' are DISCARDED
@@ -19,11 +22,13 @@ wikiNER2CoNLL.py):
   then one blank separator line; ``augment=True`` appends a lowercased
   copy of each sentence right after it (wikiNER2CoNLL.py:12-25).
 
-Scale design: article grouping is a per-FILE running sum (window
-partitioned by input file — thousands of corpus files parallelize;
-within one file the window is the unavoidable sequential structure of
-the format). Token order and sentence assembly are per-ARTICLE windows /
-array ops — bounded by article size. Everything is pure Catalyst; no
+Scale design: article numbering is PER FILE (ids restart at 0 in each
+file, like running the reference once per file), so every operator keys
+on (file, article_id) — thousands of corpus files parallelize, and
+articles from different files can never merge. Within one file the
+blank-count window is the unavoidable sequential structure of the
+format; token order and sentence assembly are per-article windows /
+array ops bounded by article size. Everything is pure Catalyst; no
 Python in the data path. Line order inside a file relies on
 ``monotonically_increasing_id`` being monotone in file order (partition
 ids follow split offsets), the standard Spark idiom for line-numbered
@@ -34,6 +39,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+ARTICLE_KEY = ["file", "article_id"]
 
 
 def read_wikiner_lines(spark: SparkSession, path: str) -> DataFrame:
@@ -46,29 +53,44 @@ def read_wikiner_lines(spark: SparkSession, path: str) -> DataFrame:
 
 def wikiner_scan(lines: DataFrame) -> DataFrame:
     """T1: raw WikiNER lines → token table
-    (article_id, tok_idx, word, pos, tag); tok_idx is 1-based within the
-    article. Article ids number non-empty line groups densely per file."""
+    (file, article_id, tok_idx, word, pos, tag); tok_idx is 1-based
+    within the article; article ids number non-empty line groups densely
+    per file."""
     w = Window.partitionBy("file").orderBy("lid")
     blank = F.trim(F.col("text")) == ""
-    grp = F.sum(blank.cast("int")).over(
-        w.rowsBetween(Window.unboundedPreceding, 0)
+    lines = lines.withColumn("_blank", blank).withColumn(
+        "grp", F.sum(F.col("_blank").cast("int")).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        )
     )
-    nb = lines.withColumn("_blank", blank).withColumn("grp", grp).where(
-        ~F.col("_blank")
+    # reference quirk: the tail flush (dataset_wikiNER.py:74-79) is
+    # skipped when the file's last line is blank → that file's final
+    # article is dropped
+    file_tail = lines.groupBy("file").agg(
+        F.max_by("_blank", "lid").alias("_last_blank")
+    )
+    nb = lines.where(~F.col("_blank")).withColumn(
+        "_max_grp", F.max("grp").over(Window.partitionBy("file"))
+    )
+    nb = nb.join(F.broadcast(file_tail), "file").where(
+        ~(F.col("_last_blank") & (F.col("grp") == F.col("_max_grp")))
     )
     aw = Window.partitionBy("file").orderBy("grp")
     nb = nb.withColumn("article_id", F.dense_rank().over(aw) - 1)
 
+    # line.split() semantics: ANY whitespace run separates tokens
     toks = nb.select(
+        "file",
         "article_id",
         "lid",
-        F.posexplode(F.split(F.col("text"), " ")).alias("lpos", "tok"),
-    ).where(F.col("tok") != "")  # line.split() collapses runs of spaces
-    tw = Window.partitionBy("article_id").orderBy("lid", "lpos")
+        F.posexplode(F.split(F.col("text"), r"\s+")).alias("lpos", "tok"),
+    ).where(F.col("tok") != "")
+    tw = Window.partitionBy("file", "article_id").orderBy("lid", "lpos")
     parts = F.split(F.col("tok"), r"\|")
     return (
         toks.withColumn("tok_idx", F.row_number().over(tw))
         .select(
+            "file",
             F.col("article_id").cast("long").alias("article_id"),
             F.col("tok_idx").cast("long").alias("tok_idx"),
             F.element_at(parts, 1).alias("word"),
@@ -79,13 +101,13 @@ def wikiner_scan(lines: DataFrame) -> DataFrame:
 
 
 def wikiner_sentences(tokens: DataFrame) -> DataFrame:
-    """T2: token table → (article_id, sent_idx, sentence, tags).
+    """T2: token table → (file, article_id, sent_idx, sentence, tags).
 
     sent_idx is 0-based within the article; ``tags`` keeps the raw IOB
     tags (BIO conversion happens at CoNLL export, like the reference's
     __convert_to_BIO before the writer runs)."""
     toks = F.array_sort(F.collect_list(F.struct("tok_idx", "word", "tag")))
-    per_art = tokens.groupBy("article_id").agg(toks.alias("toks"))
+    per_art = tokens.groupBy(*ARTICLE_KEY).agg(toks.alias("toks"))
 
     dots = F.filter(
         F.sequence(F.lit(1), F.size("toks")),
@@ -113,9 +135,8 @@ def wikiner_sentences(tokens: DataFrame) -> DataFrame:
         )
 
     sents = F.transform(F.sequence(F.lit(1), F.size("dots")), sent)
-    return per_art.select(
-        "article_id", F.explode(sents).alias("s")
-    ).select(
+    return per_art.select(*ARTICLE_KEY, F.explode(sents).alias("s")).select(
+        "file",
         "article_id",
         F.col("s.sent_idx").cast("long").alias("sent_idx"),
         "s.sentence",
@@ -143,12 +164,13 @@ def iob_to_bio_arr(tags: Column) -> Column:
 
 def wikiner_conll(sentences: DataFrame, augment: bool = False) -> DataFrame:
     """T4: sentence table → ordered CoNLL line table
-    (article_id, sent_idx, variant, line_idx, line). variant 0 = original,
-    variant 1 = lowercased augmentation; each sentence's block ends with
-    one blank separator line. The on-disk file is this table ordered by
-    (article_id, sent_idx, variant, line_idx) — see write_conll."""
+    (file, article_id, sent_idx, variant, line_idx, line). variant 0 =
+    original, variant 1 = lowercased augmentation; each sentence's block
+    ends with one blank separator line. The on-disk file is this table
+    ordered by (article_id, sent_idx, variant, line_idx) per file — see
+    write_conll."""
     base = sentences.select(
-        "article_id",
+        *ARTICLE_KEY,
         "sent_idx",
         F.split(F.col("sentence"), " ").alias("words"),
         iob_to_bio_arr(F.col("tags")).alias("bio"),
@@ -167,7 +189,7 @@ def wikiner_conll(sentences: DataFrame, augment: bool = False) -> DataFrame:
 
     def variant(v: int, words: Column) -> DataFrame:
         return base.select(
-            "article_id",
+            *ARTICLE_KEY,
             "sent_idx",
             F.lit(v).cast("long").alias("variant"),
             F.posexplode(lines_arr(words)),
@@ -179,6 +201,7 @@ def wikiner_conll(sentences: DataFrame, augment: bool = False) -> DataFrame:
             variant(1, F.transform(F.col("words"), F.lower))
         )
     return out.select(
+        "file",
         "article_id",
         "sent_idx",
         "variant",
@@ -193,7 +216,7 @@ def write_conll(conll: DataFrame, path: str) -> None:
     at corpus scale write per-partition text shards ordered by the same
     key and concatenate (the reference's own `cat` step, SURVEY T11)."""
     rows = (
-        conll.orderBy("article_id", "sent_idx", "variant", "line_idx")
+        conll.orderBy("file", "article_id", "sent_idx", "variant", "line_idx")
         .select("line")
         .collect()
     )

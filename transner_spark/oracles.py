@@ -552,14 +552,24 @@ b AS (
            OVER (ORDER BY line_no ROWS UNBOUNDED PRECEDING) AS grp
   FROM l
 ),
+-- reference tail-flush quirk (dataset_wikiNER.py:74-79): a file whose
+-- last line is blank DROPS its final article
+tail AS (
+  SELECT CASE WHEN trim(text) = '' THEN 1 ELSE 0 END AS last_blank
+  FROM l ORDER BY line_no DESC LIMIT 1
+),
 art AS (
   SELECT line_no, text, dense_rank() OVER (ORDER BY grp) - 1 AS article_id
   FROM b WHERE trim(text) <> ''
+    AND NOT ((SELECT last_blank FROM tail) = 1
+             AND grp = (SELECT max(grp) FROM b WHERE trim(text) <> ''))
 ),
 tok0 AS (
   SELECT article_id, line_no,
          unnest([{{'t': t[i], 'i': i}} for i in range(1, len(t) + 1)]) AS u
-  FROM (SELECT article_id, line_no, string_split(text, ' ') AS t FROM art)
+  FROM (SELECT article_id, line_no,
+               regexp_split_to_array(text, '\\s+') AS t  -- line.split()
+        FROM art)
 ),
 toks AS (
   SELECT article_id,
