@@ -266,6 +266,37 @@ def q_wikiner_conll(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).drop("file")
 
 
+def q_t10_inline_annotate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from transner_spark.operators.inline_annotation import inline_annotate
+
+    return inline_annotate(_docs(spark, sf_dir).select("doc_id", "text"))
+
+
+def q_t10_inline_conll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from transner_spark.operators.inline_annotation import (
+        inline_annotate,
+        inline_conll,
+    )
+
+    return inline_conll(
+        inline_annotate(_docs(spark, sf_dir).select("doc_id", "text"))
+    )
+
+
+def q_t11_corpus_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from transner_spark.operators.inline_annotation import (
+        concat_corpus,
+        inline_annotate,
+        inline_conll,
+    )
+
+    return concat_corpus(
+        inline_conll(
+            inline_annotate(_docs(spark, sf_dir).select("doc_id", "text"))
+        )
+    )
+
+
 def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from transner_spark.operators.relational import corpus_stats
 
@@ -436,6 +467,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_metadata": q_mm_metadata,
         "mm_features": q_mm_features,
         "mm_frames": q_mm_frames,
+        "t10_inline_annotate": q_t10_inline_annotate,
+        "t10_inline_conll": q_t10_inline_conll,
+        "t11_corpus_concat": q_t11_corpus_concat,
         "wikiner_scan": q_wikiner_scan,
         "wikiner_sentences": q_wikiner_sentences,
         "wikiner_conll": q_wikiner_conll,
@@ -477,6 +511,9 @@ def oracle_sql() -> dict[str, str]:
 
     _, wikiner_pq = ensure_wikiner_raw(REPO, "/root/testdata/sf0.01")
     out.update(wikiner_oracles(wikiner_pq))
+    from transner_spark.oracles import inline_annotation_oracles
+
+    out.update(inline_annotation_oracles(docs))
     from transner_spark.oracles import relational_oracles
 
     out.update(

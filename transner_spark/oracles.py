@@ -647,3 +647,105 @@ SELECT CAST(article_id AS BIGINT) AS article_id,
 FROM lines
 """,
     }
+
+
+def inline_annotation_oracles(docs: str) -> dict[str, str]:
+    """T10/T11 re-derivations: the entity dictionary from corpus hashes,
+    the sequential space-delimited replace fold, and the per-line
+    '$'-state machine — all as DuckDB recursive CTEs (genuinely
+    independent of the Catalyst aggregate implementations)."""
+    h_sel = _h60("('t10:' || w)")
+    h_ty = _h60("('t10ty:' || w)")
+    ann_fold = f"""
+d AS (SELECT doc_id, text FROM read_parquet('{docs}')),
+wv AS (SELECT DISTINCT u.w AS w
+       FROM d, unnest(regexp_split_to_array(text, '\\s+')) u(w)
+       WHERE u.w <> ''),
+e AS (SELECT w AS key, ['PER', 'LOC', 'ORG'][({h_ty} % 3) + 1] AS ty
+      FROM wv WHERE {h_sel} % 3 = 0),
+ents AS (SELECT list({{'k': key, 't': ty}} ORDER BY key) AS es FROM e),
+fold AS (
+  SELECT doc_id, text AS acc, 0 AS i FROM d
+  UNION ALL
+  SELECT f.doc_id,
+         CASE WHEN strpos(f.acc, ' ' || es[f.i + 1].k || ' ') >= 3
+              THEN replace(f.acc, ' ' || es[f.i + 1].k || ' ',
+                           ' $' || es[f.i + 1].k || '$' || es[f.i + 1].t || ' ')
+              ELSE f.acc END,
+         f.i + 1
+  FROM fold f, ents WHERE f.i < len(es)
+),
+ann AS (SELECT doc_id, acc AS annotated FROM fold, ents WHERE i = len(es))"""
+
+    # per-line '$'-state machine: w = ws[i+1], p = string_split(w, '$'),
+    # cnt = len(p)-1, outer = starts_with(w,'$') OR ent; branch order
+    # mirrors parser.create_conll exactly
+    w_ = "sm.ws[sm.i + 1]"
+    p_ = f"string_split({w_}, '$')"
+    cnt = f"(len({p_}) - 1)"
+    outer = f"(starts_with({w_}, '$') OR sm.ent)"
+    sm_fold = f"""
+l0 AS (
+  SELECT doc_id,
+         unnest([{{'i': i, 'x': t[i]}} for i in range(1, len(t) + 1)]) AS u
+  FROM (SELECT doc_id, string_split(annotated, chr(10)) AS t FROM ann)
+),
+l AS (SELECT doc_id, u.i - 1 AS src_line, u.x AS line FROM l0),
+wl AS (
+  SELECT doc_id, src_line,
+         list_filter(regexp_split_to_array(line, '\\s+'), x -> x <> '') AS ws
+  FROM l
+),
+sm AS (
+  SELECT doc_id, src_line, ws, 0 AS i, false AS ent,
+         CAST([] AS VARCHAR[]) AS ann_buf, CAST([] AS VARCHAR[]) AS outl
+  FROM wl
+  UNION ALL
+  SELECT sm.doc_id, sm.src_line, sm.ws, sm.i + 1,
+    CASE WHEN NOT {outer} THEN sm.ent
+         WHEN {cnt} = 2 THEN sm.ent
+         WHEN {cnt} = 1 AND sm.ent THEN false
+         WHEN {cnt} = 1 THEN true
+         ELSE sm.ent END,
+    CASE WHEN NOT {outer} THEN sm.ann_buf
+         WHEN {cnt} = 2 THEN sm.ann_buf
+         WHEN {cnt} = 1 AND sm.ent THEN CAST([] AS VARCHAR[])
+         WHEN {cnt} = 1 THEN [{p_}[2]]
+         ELSE list_append(sm.ann_buf, {w_}) END,
+    CASE WHEN NOT {outer} THEN list_append(sm.outl, {w_} || ' O')
+         WHEN {cnt} = 2 THEN list_append(sm.outl, {p_}[2] || ' ' || {p_}[3])
+         WHEN {cnt} = 1 AND sm.ent THEN
+           list_concat(sm.outl,
+             list_transform(list_append(sm.ann_buf, {p_}[1]),
+                            a -> a || ' ' || {p_}[2]))
+         ELSE sm.outl END
+  FROM sm WHERE sm.i < len(sm.ws)
+),
+c0 AS (
+  SELECT doc_id, src_line,
+         unnest([{{'i': i, 'x': outl[i]}} for i in range(1, len(outl) + 1)]) AS u
+  FROM (SELECT doc_id, src_line, outl FROM sm WHERE i = len(ws))
+),
+conll AS (
+  SELECT doc_id, CAST(src_line AS BIGINT) AS src_line,
+         CAST(u.i - 1 AS BIGINT) AS out_idx, u.x AS line
+  FROM c0
+)"""
+    return {
+        "t10_inline_annotate": f"""
+WITH RECURSIVE {ann_fold}
+SELECT doc_id, annotated FROM ann
+""",
+        "t10_inline_conll": f"""
+WITH RECURSIVE {ann_fold}, {sm_fold}
+SELECT doc_id, src_line, out_idx, line FROM conll
+""",
+        "t11_corpus_concat": f"""
+WITH RECURSIVE {ann_fold}, {sm_fold}
+SELECT doc_id, src_line, out_idx, line FROM conll
+UNION ALL
+SELECT DISTINCT doc_id, CAST(2147483648 AS BIGINT) AS src_line,
+       CAST(0 AS BIGINT) AS out_idx, '' AS line
+FROM conll
+""",
+    }
