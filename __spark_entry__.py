@@ -5,10 +5,15 @@
   sf0.001 documents row count) → materialized edge table.
 - ``queries()``: one entry per implemented operator (SURVEY.md §2 + the
   training-data ops). Each loads/derives its input from the given sf dir.
-- ``oracle_sql()``: DuckDB equivalents. NER/KG stages are not
-  SQL-expressible, so their oracles read frozen goldens produced by the
-  pure-Python reference-semantics oracle (scripts/make_goldens.py);
-  relational/text/dedup queries get genuinely independent SQL.
+- ``oracle_sql()``: DuckDB equivalents. Only the NER stages
+  (kg_mentions/kg_triples) read frozen goldens produced by the
+  pure-Python reference-semantics oracle (scripts/make_goldens.py) —
+  no SQL engine runs the token classifier. Everything downstream is
+  INDEPENDENTLY re-derived in SQL: kg_links (exact + gram-Jaccard
+  linking from the golden triples + alias dim), kg_canonical
+  (recursive-CTE connected components over the golden links), kg_edges
+  (resolution + weighted aggregate from goldens), and all
+  relational/text/dedup/wikiner/t10 queries.
 """
 
 from __future__ import annotations
@@ -177,6 +182,12 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from transner_spark.operators.dedup import dedup_minhash_lsh
 
     return dedup_minhash_lsh(_docs(spark, sf_dir))
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from transner_spark.operators.dedup import dedup_clusters
+
+    return dedup_clusters(_docs(spark, sf_dir))
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -458,6 +469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_clusters": q_dedup_clusters,
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
@@ -514,6 +526,18 @@ def oracle_sql() -> dict[str, str]:
     from transner_spark.oracles import inline_annotation_oracles
 
     out.update(inline_annotation_oracles(docs))
+    from transner_spark.data.aliases import ensure_alias_dim_parquet
+    from transner_spark.oracles import kg_derived_oracles
+
+    out.update(
+        kg_derived_oracles(
+            g("triples"),
+            g("links"),
+            g("canonical"),
+            cache,
+            ensure_alias_dim_parquet(REPO),
+        )
+    )
     from transner_spark.oracles import relational_oracles
 
     out.update(
@@ -537,19 +561,9 @@ def oracle_sql() -> dict[str, str]:
                    confidence
             FROM read_parquet('{g("triples")}')
         """,
-        "kg_links": f"""
-            SELECT norm_key, entity_key, score, method
-            FROM read_parquet('{g("links")}')
-        """,
-        "kg_canonical": f"""
-            SELECT node_id, canon_id FROM read_parquet('{g("canonical")}')
-        """,
-        "kg_edges": f"""
-            SELECT subj_id, pred, obj_id, CAST(weight AS BIGINT) AS weight,
-                   CAST(epoch(first_ts) AS BIGINT) AS first_epoch,
-                   CAST(epoch(last_ts) AS BIGINT) AS last_epoch
-            FROM read_parquet('{g("edges")}')
-        """,
+# links/canonical/edges: NOT golden replays — independent SQL
+        # re-derivations from the upstream goldens (kg_derived_oracles)
+        # added below, after this dict.
         # independent SQL oracles (logic re-derived in DuckDB, not golden)
         "length_guard": f"""
             SELECT role, COUNT(*) AS n_turns

@@ -66,6 +66,34 @@ def build_alias_rows() -> tuple[tuple[str, str, str], ...]:
     return tuple(out)
 
 
+def ensure_alias_dim_parquet(repo_root: str) -> str:
+    """Materialize the FULL alias dictionary as a parquet dimension
+    (alias_id = enumeration order, entity_key, alias, type, norm). This
+    is shared DATA for the independent kg_links oracle — the SQL
+    re-derives the distinct-surface extraction, exact/gram joins,
+    Jaccard scoring, and tie-breaks on its own; only the dictionary
+    rows (and their kernel-normalized ``norm``) are shared, exactly as
+    the corpus parquet files are."""
+    import os
+
+    import pandas as pd
+
+    path = os.path.join(repo_root, "data", "cache", "alias_dim.parquet")
+    if os.path.exists(path):
+        return path
+    rows = [
+        (i, k, a, t, normalize_surface(a))
+        for i, (k, a, t) in enumerate(build_alias_rows())
+    ]
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    pd.DataFrame(
+        rows, columns=["alias_id", "entity_key", "alias", "type", "norm"]
+    ).to_parquet(tmp, index=False)
+    os.replace(tmp, path)
+    return path
+
+
 def ensure_keys_parquet(repo_root: str) -> str:
     """Materialize the distinct normalized alias keys as a single-file
     parquet dimension (input for the substring anti-join operator and

@@ -377,6 +377,35 @@ def dedup_ngram_jaccard(
     )
 
 
+# ---------------------------------------------------------------- clusters
+def dedup_clusters(docs: DataFrame) -> DataFrame:
+    """Cluster-level dedup: MinHash-LSH near-dup pairs → connected
+    components → one keeper per cluster (the minimum doc_id). Returns
+    (doc_id, cluster_id, keep) for EVERY document (singletons are their
+    own cluster).
+
+    This is the keeper-selection step a corpus dedup actually ships:
+    pair lists alone over-delete (A~B, B~C must not drop both B and C
+    against different keepers). Reuses the general iterative
+    connected-components operator (canonicalize.connected_components) —
+    near-dup graphs are shallow, so the loop converges in a few rounds;
+    the DuckDB oracle re-derives the components with a recursive CTE."""
+    from transner_spark.operators.canonicalize import connected_components
+
+    pairs = dedup_minhash_lsh(docs)
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    selfs = docs.select(
+        F.col("doc_id").alias("src"), F.col("doc_id").alias("dst")
+    )
+    cc = connected_components(edges.unionByName(selfs))
+    return cc.select(
+        F.col("node_id").cast("long").alias("doc_id"),
+        F.col("canon_id").cast("long").alias("cluster_id"),
+    ).withColumn("keep", F.col("doc_id") == F.col("cluster_id"))
+
+
 # ---------------------------------------------------------------- cosine
 def _dot(a: Column, b: Column) -> Column:
     """Sequential-order double dot product (bit-identical to the DuckDB

@@ -155,17 +155,7 @@ def dedup_oracles(docs: str, emb: str) -> dict[str, str]:
         "for i in range(1, len({x}) + 1)]), (acc, v) -> acc + v)"
     )
     norm_text = _h60("lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))")
-    return {
-        "dedup_exact": f"""
-SELECT doc_id,
-  {norm_text} AS text_hash,
-  row_number() OVER (
-    PARTITION BY {norm_text}
-    ORDER BY doc_id) = 1 AS keep
-FROM read_parquet('{docs}')
-""",
-        "dedup_minhash_lsh": f"""
-WITH {_shingle_cte(docs, 3)}, hs AS (
+    minhash_pairs = f"""{_shingle_cte(docs, 3)}, hs AS (
   SELECT doc_id, sh,
     [CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT) for x in sh] AS h32s
   FROM s
@@ -183,10 +173,49 @@ WITH {_shingle_cte(docs, 3)}, hs AS (
   FROM bands x JOIN bands y
     ON x.band_idx = y.band_idx AND x.band_key = y.band_key
    AND x.doc_id < y.doc_id
-)
+)"""
+    return {
+        "dedup_exact": f"""
+SELECT doc_id,
+  {norm_text} AS text_hash,
+  row_number() OVER (
+    PARTITION BY {norm_text}
+    ORDER BY doc_id) = 1 AS keep
+FROM read_parquet('{docs}')
+""",
+        "dedup_minhash_lsh": f"""
+WITH {minhash_pairs}
 SELECT doc_a, doc_b, round({_JACCARD}, 6) AS jaccard
 FROM cand JOIN s a ON a.doc_id = doc_a JOIN s b ON b.doc_id = doc_b
 WHERE {_JACCARD} >= {JACCARD_THRESHOLD}
+""",
+        # cluster-level dedup: verified pairs → recursive-CTE connected
+        # components (an independent re-derivation of the iterative CC
+        # operator) → keeper = min doc_id per cluster
+        "dedup_clusters": f"""
+WITH RECURSIVE {minhash_pairs},
+p AS (
+  SELECT doc_a, doc_b
+  FROM cand JOIN s a ON a.doc_id = doc_a JOIN s b ON b.doc_id = doc_b
+  WHERE {_JACCARD} >= {JACCARD_THRESHOLD}
+),
+sym AS (
+  SELECT doc_a AS src, doc_b AS dst FROM p
+  UNION
+  SELECT doc_b, doc_a FROM p
+  UNION
+  SELECT doc_id, doc_id FROM read_parquet('{docs}')
+),
+cc AS (
+  SELECT src AS node_id, src AS label FROM sym
+  UNION
+  SELECT e.dst AS node_id, c.label
+  FROM cc c JOIN sym e ON e.src = c.node_id
+)
+SELECT CAST(node_id AS BIGINT) AS doc_id,
+       CAST(min(label) AS BIGINT) AS cluster_id,
+       min(label) = node_id AS keep
+FROM cc GROUP BY node_id
 """,
         "dedup_simhash": f"""
 WITH {_shingle_cte(docs, 2)}, h AS (
@@ -747,5 +776,143 @@ UNION ALL
 SELECT DISTINCT doc_id, CAST(2147483648 AS BIGINT) AS src_line,
        CAST(0 AS BIGINT) AS out_idx, '' AS line
 FROM conll
+""",
+    }
+
+
+def kg_derived_oracles(
+    g_triples: str,
+    g_links: str,
+    g_canonical: str,
+    transcripts_cache: str,
+    alias_dim: str,
+    jaccard_threshold: float = 0.5,
+) -> dict[str, str]:
+    """Independent SQL re-derivations for the downstream KG stages.
+
+    The NER stages (mentions/triples) remain golden-replayed — no SQL
+    engine runs the token classifier — but everything AFTER them is
+    re-derived here from the UPSTREAM golden plus shared dimension data:
+
+    - kg_links: golden triples → distinct non-structural surfaces →
+      exact join + 3-gram inverted-index Jaccard + tie-breaks against
+      the alias_dim parquet (shared data; the linking LOGIC is all SQL);
+    - kg_canonical: golden links → surface/entity edge list → recursive
+      CTE connected components (min-label closure);
+    - kg_edges: golden triples + golden canonical + the transcripts
+      cache (for ts) → structural-node resolution + weighted aggregate.
+
+    This closes most of VERDICT r1's self-referential-oracle caveat:
+    a bug in the Spark linking/canonicalization/materialization now
+    fails the gate even if the same bug lived in the python oracle's
+    goldens for those stages.
+    """
+    structural = "('AGENT', 'SPEAKER', 'TOOL')"
+    grams3 = """
+    CASE WHEN length(p) < 3 THEN [p]
+         ELSE list_distinct([substr(p, i, 3)
+                             for i in range(1, length(p) - 1)]) END"""
+    return {
+        "kg_links": f"""
+WITH t AS (SELECT * FROM read_parquet('{g_triples}')),
+surf AS (
+  SELECT DISTINCT norm_key FROM (
+    SELECT subj_norm AS norm_key FROM t WHERE subj_type NOT IN {structural}
+    UNION ALL
+    SELECT obj_norm FROM t WHERE obj_type NOT IN {structural}
+  ) WHERE norm_key <> ''
+),
+a AS (SELECT alias_id, entity_key, alias, norm FROM read_parquet('{alias_dim}')),
+exact_dim AS (SELECT norm, min(entity_key) AS entity_key FROM a GROUP BY norm),
+exact AS (
+  SELECT s.norm_key, e.entity_key,
+         CASE WHEN e.entity_key IS NOT NULL THEN 1.0 ELSE 0.0 END AS score,
+         CASE WHEN e.entity_key IS NOT NULL THEN 'exact' ELSE 'none' END AS method
+  FROM surf s LEFT JOIN exact_dim e ON s.norm_key = e.norm
+),
+resid AS (SELECT norm_key FROM exact WHERE method = 'none'),
+mg0 AS (
+  SELECT norm_key, {grams3} AS grams
+  FROM (SELECT norm_key, '^' || norm_key || '$' AS p FROM resid)
+),
+mg AS (SELECT norm_key, len(grams) AS m_n, unnest(grams) AS gram FROM mg0),
+ag0 AS (
+  SELECT alias_id, entity_key, alias, {grams3} AS grams
+  FROM (SELECT alias_id, entity_key, alias, '^' || norm || '$' AS p FROM a)
+),
+ag AS (SELECT alias_id, entity_key, alias, len(grams) AS a_n,
+              unnest(grams) AS gram FROM ag0),
+scored AS (
+  SELECT norm_key, alias_id, entity_key, alias, m_n, a_n, count(*) AS inter,
+         count(*) / (m_n + a_n - count(*)) AS score
+  FROM mg JOIN ag USING (gram)
+  GROUP BY norm_key, alias_id, entity_key, alias, m_n, a_n
+  HAVING count(*) / (m_n + a_n - count(*)) >= {jaccard_threshold}
+),
+fuzzy AS (
+  SELECT norm_key, entity_key, score, 'fuzzy' AS method
+  FROM (SELECT *, row_number() OVER (
+          PARTITION BY norm_key
+          ORDER BY score DESC, entity_key ASC, alias ASC) AS rn
+        FROM scored)
+  WHERE rn = 1
+),
+unmatched AS (
+  SELECT r.norm_key, CAST(NULL AS VARCHAR) AS entity_key,
+         0.0 AS score, 'none' AS method
+  FROM resid r LEFT JOIN fuzzy f USING (norm_key)
+  WHERE f.norm_key IS NULL
+)
+SELECT norm_key, entity_key, score, method FROM exact WHERE method = 'exact'
+UNION ALL SELECT * FROM fuzzy
+UNION ALL SELECT * FROM unmatched
+""",
+        "kg_canonical": f"""
+WITH RECURSIVE
+l AS (SELECT * FROM read_parquet('{g_links}')),
+ed AS (
+  SELECT 'surface:' || norm_key AS src,
+         coalesce(entity_key, 'surface:' || norm_key) AS dst
+  FROM l
+),
+sym AS (SELECT src, dst FROM ed UNION SELECT dst, src FROM ed),
+cc AS (
+  SELECT src AS node_id, src AS label FROM sym
+  UNION
+  SELECT e.dst AS node_id, c.label
+  FROM cc c JOIN sym e ON e.src = c.node_id
+)
+SELECT node_id, min(label) AS canon_id FROM cc GROUP BY node_id
+""",
+        "kg_edges": f"""
+WITH t AS (
+  SELECT tr.*, tc.ts
+  FROM read_parquet('{g_triples}') tr
+  JOIN read_parquet('{transcripts_cache}') tc
+    USING (conv_id, turn_idx)
+),
+c AS (SELECT * FROM read_parquet('{g_canonical}')),
+nodes AS (
+  SELECT
+    CASE WHEN subj_type IN {structural} THEN subj_norm
+         ELSE 'surface:' || subj_norm END AS subj_node,
+    pred,
+    CASE WHEN obj_type IN {structural} THEN obj_norm
+         ELSE 'surface:' || obj_norm END AS obj_node,
+    ts
+  FROM t
+),
+r AS (
+  SELECT coalesce(cs.canon_id, subj_node) AS subj_id, pred,
+         coalesce(co.canon_id, obj_node) AS obj_id, ts
+  FROM nodes
+  LEFT JOIN c cs ON cs.node_id = subj_node
+  LEFT JOIN c co ON co.node_id = obj_node
+)
+SELECT subj_id, pred, obj_id,
+       CAST(count(*) AS BIGINT) AS weight,
+       CAST(epoch(min(ts)) AS BIGINT) AS first_epoch,
+       CAST(epoch(max(ts)) AS BIGINT) AS last_epoch
+FROM r GROUP BY subj_id, pred, obj_id
 """,
     }
