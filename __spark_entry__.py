@@ -420,6 +420,51 @@ def q_stream_mentions_batch_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming windowed-aggregate gate: tumbling 10-minute mention
+    counts per type via the watermarked streaming aggregation (complete
+    mode for deterministic output — see the operator docstring); oracle
+    = plain SQL window aggregate over the batch mentions golden."""
+    import shutil
+    import tempfile
+
+    from transner_spark.sources.transcripts import ensure_transcripts_parquet
+    from transner_spark.streaming.incremental import (
+        stream_windowed_mention_counts,
+    )
+
+    src = ensure_transcripts_parquet(REPO, sf_dir)
+    work = tempfile.mkdtemp(prefix="streamw_gate_")
+    try:
+        in_dir = os.path.join(work, "in")
+        os.makedirs(in_dir)
+        shutil.copy(src, os.path.join(in_dir, "part-00000.parquet"))
+        q = stream_windowed_mention_counts(
+            spark,
+            in_dir,
+            os.path.join(work, "ck"),
+            output_mode="complete",
+            query_name="mention_counts_gate",
+        )
+        q.awaitTermination()
+        out = (
+            spark.table("mention_counts_gate")
+            .select(
+                F.col("start").cast("long").alias("start_epoch"),
+                F.col("end").cast("long").alias("end_epoch"),
+                "type",
+                F.col("n_mentions").cast("long").alias("n_mentions"),
+            )
+            .toPandas()
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        out,
+        "start_epoch long, end_epoch long, type string, n_mentions long",
+    )
+
+
 def q_role_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from transner_spark.operators.relational import role_transitions
 
@@ -493,6 +538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mention_overlap_pairs": q_mention_overlap_pairs,
         "pipeline_lineage": q_pipeline_lineage,
         "stream_mentions_batch_eq": q_stream_mentions_batch_eq,
+        "stream_windowed_counts": q_stream_windowed_counts,
         "role_transitions": q_role_transitions,
         "sessionize_events": q_sessionize_events,
     }
@@ -583,6 +629,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(mention_id AS BIGINT) AS mention_id, type, value,
                    CAST("offset" AS BIGINT) AS "offset", confidence, source
             FROM read_parquet('{g("mentions")}')
+        """,
+        # streaming windowed agg vs a plain SQL window aggregate over the
+        # batch mentions golden (ts joined from the transcripts cache)
+        "stream_windowed_counts": f"""
+            SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS start_epoch,
+                   CAST(floor(epoch(ts) / 600) * 600 + 600 AS BIGINT) AS end_epoch,
+                   m.type, CAST(COUNT(*) AS BIGINT) AS n_mentions
+            FROM read_parquet('{g("mentions")}') m
+            JOIN read_parquet('{cache}') tc USING (conv_id, turn_idx)
+            GROUP BY 1, 2, 3
         """,
         # S4 lineage: each stage's rows_out independently re-derived —
         # the guard predicate for annotated/quarantine, the frozen

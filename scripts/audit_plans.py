@@ -62,6 +62,28 @@ def main() -> None:
     audit("region_containment", region_containment(docs))
     tr = spark.read.parquet(ensure_transcripts_parquet(REPO, sf))
     audit("annotate", annotate_turns(tr))
+
+    from transner_spark.operators.dedup import dedup_clusters
+    from transner_spark.operators.inline_annotation import (
+        inline_annotate,
+        inline_conll,
+    )
+    from transner_spark.operators.wikiner import (
+        read_wikiner_lines,
+        wikiner_conll,
+        wikiner_scan,
+        wikiner_sentences,
+    )
+    from transner_spark.sources.wikiner import ensure_wikiner_raw
+
+    txt, _ = ensure_wikiner_raw(REPO, sf)
+    toks = wikiner_scan(read_wikiner_lines(spark, txt))
+    audit("wikiner_scan", toks)
+    audit("wikiner_conll", wikiner_conll(wikiner_sentences(toks), augment=True))
+    ann = inline_annotate(docs.select("doc_id", "text"))
+    audit("t10_inline_annotate", ann)
+    audit("t10_inline_conll", inline_conll(ann))
+    audit("dedup_clusters", dedup_clusters(docs))
     spark.stop()
 
 

@@ -83,11 +83,21 @@ def stream_windowed_mention_counts(
     window: str = "10 minutes",
     watermark: str = "30 minutes",
     cfg: PipelineConfig | None = None,
+    output_mode: str = "append",
+    query_name: str = "mention_counts",
 ):
     """Watermarked tumbling-window aggregate: mentions per (window, type).
     Late turns within the watermark horizon still update their window;
     older state is dropped (bounded-state streaming agg). Returns the
-    in-memory query (sink table name = 'mention_counts')."""
+    in-memory query (sink table = ``query_name``).
+
+    ``output_mode='append'`` (production) emits a window once its
+    watermark closes — but which windows have flushed when an
+    availableNow run terminates depends on micro-batch boundaries
+    (emission lags the watermark by one batch), so the batch-equivalence
+    GATE uses ``output_mode='complete'``: every window is in the final
+    table, deterministically, while the streaming aggregation path is
+    exercised identically."""
     stream = read_transcripts_stream(spark, input_dir)
     annotated = annotate_turns(stream, cfg)
     mentions = annotated.select(
@@ -101,8 +111,8 @@ def stream_windowed_mention_counts(
     )
     return (
         counts.writeStream.format("memory")
-        .queryName("mention_counts")
-        .outputMode("append")
+        .queryName(query_name)
+        .outputMode(output_mode)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
