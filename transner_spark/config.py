@@ -87,7 +87,12 @@ class PipelineConfig:
     # Scale knobs
     edge_buckets: int = 64          # subject-hash partition buckets for edges
     salt_partitions: int = 16       # salting factor for hot-key joins
-    arrow_batch_rows: int = 1024    # maxRecordsPerBatch for UDF stages
+    # maxRecordsPerBatch for UDF stages (session-wide). 4096 measures
+    # ~8% faster than 1024 on the text-only NER pass (amortized Arrow
+    # framing); pipelines carrying large binary media columns through
+    # mapInPandas should LOWER this — batch bytes scale with row size
+    # and this knob is Spark-session-global, not per-operator.
+    arrow_batch_rows: int = 4096
 
     # Rule R3 strict flag is derived
     extra: dict = field(default_factory=dict)
