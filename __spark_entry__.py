@@ -226,6 +226,12 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh(spark, _emb(spark, sf_dir))
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from transner_spark.operators.simsearch import ann_ivf
+
+    return ann_ivf(spark, _emb(spark, sf_dir))
+
+
 def q_mm_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     from transner_spark.operators.multimodal import asset_metadata
 
@@ -521,6 +527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine_lsh": q_dedup_embedding_cosine_lsh,
         "ann_bruteforce": q_ann_bruteforce,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         "mm_metadata": q_mm_metadata,
         "mm_features": q_mm_features,
         "mm_frames": q_mm_frames,

@@ -143,7 +143,7 @@ def run_trainops_timed(spark, sf_dir: str) -> dict:
     """Training-data pipeline ops over the driver-provided documents/
     embeddings tables at the bench scale."""
     from transner_spark.operators.dedup import dedup_minhash_lsh, dedup_simhash
-    from transner_spark.operators.simsearch import ann_lsh
+    from transner_spark.operators.simsearch import ann_ivf, ann_lsh
     from transner_spark.operators.textops import doc_fingerprint, lang_id, text_stats
 
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
@@ -176,6 +176,11 @@ def run_trainops_timed(spark, sf_dir: str) -> dict:
     t0 = time.monotonic()
     counts["ann_lsh"] = ann_lsh(spark, emb).count()
     timings["ann_lsh"] = time.monotonic() - t0
+    spark.catalog.clearCache()
+
+    t0 = time.monotonic()
+    counts["ann_ivf"] = ann_ivf(spark, emb).count()
+    timings["ann_ivf"] = time.monotonic() - t0
     spark.catalog.clearCache()
 
     return {"timings": timings, "counts": counts}

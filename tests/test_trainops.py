@@ -218,3 +218,37 @@ def test_mm_decoder_injection(spark, docs_df):
         synthesize_assets(docs_df), decoder=truncate_decoder
     ).collect()
     assert all(r["n_bytes"] == 4 for r in out)
+
+
+def test_ann_ivf_cell_structure_and_exact_scores(spark, emb_df):
+    from transner_spark.operators.simsearch import ann_ivf, ivf_centroids
+
+    cents = ivf_centroids(emb_df, n_cells=2, n_queries=2).collect()
+    assert [r["cell_id"] for r in sorted(cents, key=lambda r: r["cell_id"])] == [0, 1]
+
+    out = ann_ivf(spark, emb_df, k=3, n_queries=2, n_cells=2, nprobe=2).collect()
+    assert len(out) > 0
+    # with nprobe == n_cells every corpus vector is a candidate → the
+    # result must EQUAL brute-force top-k exactly (same ranks, cosines)
+    from transner_spark.operators.simsearch import ann_bruteforce
+
+    bf = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+        for r in ann_bruteforce(emb_df, k=3, n_queries=2).collect()
+    }
+    got = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+        for r in out
+    }
+    assert got == bf
+
+
+def test_ann_ivf_nprobe_bounds_candidates(spark, emb_df):
+    from transner_spark.operators.simsearch import ann_ivf
+
+    out = ann_ivf(spark, emb_df, k=4, n_queries=2, n_cells=4, nprobe=1).collect()
+    # probing one of four cells can only surface that cell's members;
+    # ranks stay contiguous from 1 per query
+    for q in {r["query_id"] for r in out}:
+        ranks = sorted(r["rank"] for r in out if r["query_id"] == q)
+        assert ranks == list(range(1, len(ranks) + 1))

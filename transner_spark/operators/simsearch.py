@@ -35,6 +35,8 @@ N_PLANES = N_TABLES * PLANES_PER_TABLE
 DIM = 64
 TOP_K = 5
 N_QUERIES = 8  # query set = vec_id < N_QUERIES; corpus = the rest
+IVF_CELLS = 8
+IVF_NPROBE = 2
 
 
 def plane_weight(p, d) -> F.Column:
@@ -85,6 +87,108 @@ def ann_bruteforce(
     )
     return (
         c.crossJoin(F.broadcast(q))
+        .withColumn("cosine", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("rank").cast("long").alias("rank"),
+            "neighbor_id",
+            F.round("cosine", 6).alias("cosine"),
+        )
+    )
+
+
+def ivf_centroids(
+    embeddings: DataFrame, n_cells: int = IVF_CELLS, n_queries: int = N_QUERIES
+) -> DataFrame:
+    """Deterministic coarse quantizer: the ``n_cells`` corpus vectors
+    with the smallest portable hash act as cell centroids (a seeded
+    k-means would refine them; hash seeding keeps the oracle
+    re-derivable and the assignment logic — the scale-relevant part —
+    identical). Returns (cell_id, c_emb, c_nrm); dim-sized, broadcast
+    by callers."""
+    e = _with_norm(embeddings).where(F.col("vec_id") >= n_queries)
+    h = h60(F.concat(F.lit("ivf:"), F.col("vec_id").cast("string")))
+    # orderBy().limit() compiles to distributed TakeOrdered (per-partition
+    # top-K + merge) — no global sort; the row_number window then runs
+    # over only the K selected rows
+    top = e.withColumn("_h", h).orderBy("_h", "vec_id").limit(n_cells)
+    w = Window.orderBy("_h", "vec_id")
+    return (
+        top.withColumn("cell_id", F.row_number().over(w) - 1)
+        .select(
+            "cell_id",
+            F.col("emb").alias("c_emb"),
+            F.col("nrm").alias("c_nrm"),
+        )
+    )
+
+
+def _nearest_cells(vectors: DataFrame, cents: DataFrame, n: int) -> DataFrame:
+    """Top-n cells per vector by centroid cosine (ties → lower cell_id)."""
+    cos = _dot(F.col("emb"), F.col("c_emb")) / (F.col("nrm") * F.col("c_nrm"))
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("c_cos").desc(), F.col("cell_id").asc()
+    )
+    return (
+        vectors.crossJoin(F.broadcast(cents))
+        .withColumn("c_cos", cos)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= n)
+        .select("vec_id", "cell_id")
+    )
+
+
+def ann_ivf(
+    spark: SparkSession,
+    embeddings: DataFrame,
+    k: int = TOP_K,
+    n_queries: int = N_QUERIES,
+    n_cells: int = IVF_CELLS,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """IVF-style ANN: corpus vectors are assigned to their nearest
+    coarse cell (one narrow pass against a broadcast centroid table);
+    each query probes its ``nprobe`` nearest cells and ranks the cell
+    members by exact cosine. The inverted-file shape is the second
+    standard scale path next to ann_lsh: the only shuffle is the
+    (query-cell × cell-members) equi-join on cell_id, candidate count
+    is bounded by cell occupancy × nprobe, and recall/cost is tuned by
+    (n_cells, nprobe). At 100 TB the assignment pass is scan-bound and
+    the cells become the partition layout of a vector table."""
+    cents = ivf_centroids(embeddings, n_cells, n_queries)
+    e = _with_norm(embeddings)
+    corpus = e.where(F.col("vec_id") >= n_queries)
+    queries = e.where(F.col("vec_id") < n_queries)
+
+    assign = _nearest_cells(corpus, cents, 1)
+    probe = _nearest_cells(queries, cents, nprobe).select(
+        F.col("vec_id").alias("query_id"), "cell_id"
+    )
+    cand = (
+        probe.join(assign, "cell_id")
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    c = corpus.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("emb").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    cos = _dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_nrm") * F.col("c_nrm"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.join(F.broadcast(q), "query_id")
+        .join(c, "neighbor_id")
         .withColumn("cosine", cos)
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)

@@ -272,6 +272,8 @@ WHERE {dot.format(x='a.emb', y='b.emb')} / (a.nrm * b.nrm)
 def simsearch_oracles(emb: str) -> dict[str, str]:
     from transner_spark.operators.simsearch import (
         DIM,
+        IVF_CELLS,
+        IVF_NPROBE,
         N_QUERIES,
         N_TABLES,
         PLANES_PER_TABLE,
@@ -337,6 +339,45 @@ WITH {norms}, p AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
     {dot.format(x='q.emb', y='c.emb')} / (q.nrm * c.nrm) AS cosine
   FROM n q, n c WHERE q.vec_id < {N_QUERIES} AND c.vec_id >= {N_QUERIES}
+), r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM p
+)
+{rank_tail}
+""",
+        "ann_ivf": f"""
+WITH {norms}, cents AS (
+  SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cell_id,
+         emb AS c_emb, nrm AS c_nrm
+  FROM (SELECT vec_id, emb, nrm, {_h60("('ivf:' || vec_id)")} AS h
+        FROM n WHERE vec_id >= {N_QUERIES}
+        ORDER BY h, vec_id LIMIT {IVF_CELLS})
+), assign AS (
+  SELECT vec_id, cell_id FROM (
+    SELECT x.vec_id, c.cell_id,
+           row_number() OVER (PARTITION BY x.vec_id
+             ORDER BY {dot.format(x='x.emb', y='c.c_emb')} / (x.nrm * c.c_nrm) DESC,
+                      c.cell_id ASC) AS rn
+    FROM n x, cents c WHERE x.vec_id >= {N_QUERIES})
+  WHERE rn = 1
+), probe AS (
+  SELECT vec_id AS query_id, cell_id FROM (
+    SELECT x.vec_id, c.cell_id,
+           row_number() OVER (PARTITION BY x.vec_id
+             ORDER BY {dot.format(x='x.emb', y='c.c_emb')} / (x.nrm * c.c_nrm) DESC,
+                      c.cell_id ASC) AS rn
+    FROM n x, cents c WHERE x.vec_id < {N_QUERIES})
+  WHERE rn <= {IVF_NPROBE}
+), cand AS (
+  SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+  FROM probe p JOIN assign a USING (cell_id)
+), p AS (
+  SELECT query_id, neighbor_id,
+         {dot.format(x='q.emb', y='c.emb')} / (q.nrm * c.nrm) AS cosine
+  FROM cand
+  JOIN n q ON q.vec_id = cand.query_id
+  JOIN n c ON c.vec_id = cand.neighbor_id
 ), r AS (
   SELECT *, row_number() OVER (
     PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
