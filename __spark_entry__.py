@@ -158,6 +158,12 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lang_id(spark.read.parquet(os.path.join(sf_dir, "documents.parquet")))
 
 
+def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from transner_spark.operators.textops import corpus_filter
+
+    return corpus_filter(spark.read.parquet(os.path.join(sf_dir, "documents.parquet")))
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from transner_spark.operators.textops import doc_fingerprint
 
@@ -518,6 +524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
+        "corpus_filter": q_corpus_filter,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_clusters": q_dedup_clusters,

@@ -52,6 +52,38 @@ def ws_tokens(col: F.Column) -> F.Column:
         .otherwise(F.split(F.trim(col), r"\s+"))
 
 
+def quality_expr(text: F.Column) -> F.Column:
+    """The deterministic quality score as a reusable Column expression
+    (shared by text_stats and corpus_filter — identical by construction)."""
+    toks = ws_tokens(text)
+    n_ws = F.size(toks)
+    n_bpe = F.size(F.regexp_extract_all(text, F.lit(BPE_PATTERN), F.lit(0)))
+    n_punct = F.size(F.regexp_extract_all(text, F.lit(PUNCT_PATTERN), F.lit(0)))
+    n_stop = F.size(F.filter(toks, lambda t: F.lower(t).isin(*STOPWORDS)))
+    punct_ratio = n_punct / F.greatest(n_bpe, F.lit(1))
+    stop_ratio = n_stop / F.greatest(n_ws, F.lit(1))
+    return F.round(
+        F.least(F.lit(1.0), n_ws / F.lit(50.0))
+        * (F.lit(1.0) - F.least(F.lit(1.0), punct_ratio))
+        * (F.lit(0.5) + F.lit(0.5) * F.least(F.lit(1.0), stop_ratio * 5.0)),
+        6,
+    )
+
+
+def lang_pred_expr(text: F.Column) -> F.Column:
+    """Marker-word language prediction as a reusable Column expression."""
+    toks = F.transform(ws_tokens(text), F.lower)
+    counts = {
+        lang: F.size(F.filter(toks, lambda t: t.isin(*words))).cast("long")
+        for lang, words in sorted(LANG_MARKERS.items())
+    }
+    best = F.greatest(*counts.values())
+    pred = F.when(best == 0, F.lit("und"))
+    for lang in sorted(LANG_MARKERS):  # alphabetical ⇒ deterministic ties
+        pred = pred.when(counts[lang] == best, F.lit(lang))
+    return pred
+
+
 def text_stats(docs: DataFrame) -> DataFrame:
     """Per-document token counts, punctuation/stopword ratios, and a
     deterministic quality score (the length/punct/stopword heuristic a
@@ -64,14 +96,7 @@ def text_stats(docs: DataFrame) -> DataFrame:
     sum_tok_chars = F.aggregate(
         toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
     )
-    punct_ratio = n_punct / F.greatest(n_bpe, F.lit(1))
-    stop_ratio = n_stop / F.greatest(n_ws, F.lit(1))
-    quality = F.round(
-        F.least(F.lit(1.0), n_ws / F.lit(50.0))
-        * (F.lit(1.0) - F.least(F.lit(1.0), punct_ratio))
-        * (F.lit(0.5) + F.lit(0.5) * F.least(F.lit(1.0), stop_ratio * 5.0)),
-        6,
-    )
+    quality = quality_expr(F.col("text"))
     return docs.select(
         "doc_id",
         F.length("text").cast("long").alias("n_chars"),
@@ -105,6 +130,46 @@ def lang_id(docs: DataFrame) -> DataFrame:
         "lang_declared",
         pred.alias("lang_pred"),
         best.alias("marker_hits"),
+    )
+
+
+QUALITY_MIN = 0.3  # corpus_filter default keep threshold
+
+
+def corpus_filter(
+    docs: DataFrame,
+    min_quality: float = QUALITY_MIN,
+    allowed_langs: tuple[str, ...] | None = None,
+) -> DataFrame:
+    """Single-pass corpus curation — the compose step a pretraining
+    pipeline actually runs: quality threshold + language filter + exact
+    near-dup keeper, decided per document in ONE narrow projection plus
+    ONE shuffle (the dup-keeper window on the normalized-text hash).
+    Joining the standalone text_stats/lang_id/dedup_exact outputs would
+    cost three scans and two extra shuffles for the same answer.
+
+    Returns every doc with its flags (not pre-filtered) so downstream
+    consumers can audit rejection reasons: (doc_id, quality_score,
+    lang_pred, quality_ok, lang_ok, not_dup, keep_doc)."""
+    from pyspark.sql import Window
+
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    w = Window.partitionBy(h60(norm)).orderBy("doc_id")
+    quality = quality_expr(F.col("text"))
+    pred = lang_pred_expr(F.col("text"))
+    lang_ok = (
+        pred != "und" if allowed_langs is None else pred.isin(*allowed_langs)
+    )
+    out = docs.select(
+        "doc_id",
+        quality.alias("quality_score"),
+        pred.alias("lang_pred"),
+        (quality >= min_quality).alias("quality_ok"),
+        lang_ok.alias("lang_ok"),
+        (F.row_number().over(w) == 1).alias("not_dup"),
+    )
+    return out.withColumn(
+        "keep_doc", F.col("quality_ok") & F.col("lang_ok") & F.col("not_dup")
     )
 
 

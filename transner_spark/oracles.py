@@ -63,7 +63,43 @@ def textops_oracles(docs: str) -> dict[str, str]:
         f"WHEN c_{lg} = best THEN '{lg}'" for lg in langs
     ) + " END"
     k = FINGERPRINT_K
+    quality_sql = f"""round(
+    least(1.0, len(toks) / 50.0)
+    * (1.0 - least(1.0,
+        len(regexp_extract_all(text, '{PUNCT_PATTERN}'))
+        / greatest(len(regexp_extract_all(text, '{BPE_PATTERN}')), 1)))
+    * (0.5 + 0.5 * least(1.0,
+        (len(list_filter(toks, t -> lower(t) IN {_in_list(STOPWORDS)}))
+         / greatest(len(toks), 1)) * 5.0)),
+    6)"""
+    norm_hash = _h60("lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))")
     return {
+        # composed curation decision: quality + langID + exact-dup keeper
+        "corpus_filter": f"""
+WITH t AS (
+  SELECT doc_id, text, {_TOKS} AS toks FROM read_parquet('{docs}')
+), q AS (
+  SELECT doc_id, text, toks, {quality_sql} AS quality_score FROM t
+), lc AS (
+  SELECT doc_id, quality_score,
+  {count_cols.replace('toks', 'ltoks')}
+  FROM (SELECT doc_id, quality_score,
+               [lower(x) for x in toks] AS ltoks FROM q)
+), lp AS (
+  SELECT doc_id, quality_score, {pred_case} AS lang_pred
+  FROM (SELECT *, {greatest} AS best FROM lc)
+), kk AS (
+  SELECT doc_id, row_number() OVER (
+    PARTITION BY {norm_hash} ORDER BY doc_id) = 1 AS not_dup
+  FROM read_parquet('{docs}')
+)
+SELECT doc_id, quality_score, lang_pred,
+       quality_score >= 0.3 AS quality_ok,
+       lang_pred <> 'und' AS lang_ok,
+       not_dup,
+       (quality_score >= 0.3 AND lang_pred <> 'und' AND not_dup) AS keep_doc
+FROM lp JOIN kk USING (doc_id)
+""",
         "text_stats": f"""
 WITH t AS (
   SELECT doc_id, text, {_TOKS} AS toks
