@@ -238,6 +238,23 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_ivf(spark, _emb(spark, sf_dir))
 
 
+def q_ann_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from transner_spark.operators.simsearch import ann_recall
+
+    return ann_recall(spark, _emb(spark, sf_dir), method="lsh")
+
+
+def q_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative algorithm (driver-looped Lloyd's): rows-only gate per
+    the driver contract — quality/determinism pinned in pytest."""
+    from transner_spark.operators.simsearch import kmeans_refine
+
+    assign, _ = kmeans_refine(spark, _emb(spark, sf_dir))
+    return assign.select(
+        "vec_id", F.col("cell_id").cast("long").alias("cell_id")
+    )
+
+
 def q_mm_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     from transner_spark.operators.multimodal import asset_metadata
 
@@ -535,6 +552,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bruteforce": q_ann_bruteforce,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
+        "ann_recall_lsh": q_ann_recall_lsh,
+        "kmeans_cells": q_kmeans_cells,
         "mm_metadata": q_mm_metadata,
         "mm_features": q_mm_features,
         "mm_frames": q_mm_frames,
@@ -574,6 +593,9 @@ def oracle_sql() -> dict[str, str]:
     out = dict(textops_oracles(docs))
     out.update(dedup_oracles(docs, emb))
     out.update(simsearch_oracles(emb))
+    from transner_spark.oracles import ann_recall_oracle
+
+    out.update(ann_recall_oracle(emb, "lsh"))
     out.update(multimodal_oracles(docs))
     from transner_spark.oracles import events_oracles
 

@@ -252,3 +252,37 @@ def test_ann_ivf_nprobe_bounds_candidates(spark, emb_df):
     for q in {r["query_id"] for r in out}:
         ranks = sorted(r["rank"] for r in out if r["query_id"] == q)
         assert ranks == list(range(1, len(ranks) + 1))
+
+
+def test_kmeans_refine_improves_objective(spark, emb_df):
+    """Lloyd's objective (sum of cosine to the assigned centroid) must
+    not decrease across refinement rounds, and assignments stay total."""
+    from transner_spark.operators.simsearch import (
+        _dot,
+        _nearest_cells,
+        _with_norm,
+        ivf_centroids,
+        kmeans_refine,
+    )
+    from pyspark.sql import functions as F
+
+    def objective(cents):
+        corpus = _with_norm(emb_df).where(F.col("vec_id") >= 2)
+        a = _nearest_cells(corpus, cents, 1)
+        cos = _dot(F.col("emb"), F.col("c_emb")) / (F.col("nrm") * F.col("c_nrm"))
+        return (
+            corpus.join(a, "vec_id")
+            .join(cents, "cell_id")
+            .select(cos.alias("c"))
+            .agg(F.sum("c"))
+            .collect()[0][0]
+        )
+
+    base = objective(ivf_centroids(emb_df, n_cells=2, n_queries=2))
+    assign, cents = kmeans_refine(spark, emb_df, n_cells=2, iters=2, n_queries=2)
+    refined = objective(cents)
+    assert refined >= base - 1e-9
+    rows = assign.collect()
+    assert {r["vec_id"] for r in rows} == {2, 3, 4, 5}
+    assert all(r["cell_id"] in (0, 1) for r in rows)
+    assert cents.count() == 2  # empty cells keep their previous centroid

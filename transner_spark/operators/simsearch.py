@@ -201,6 +201,96 @@ def ann_ivf(
     )
 
 
+def ann_recall(
+    spark: SparkSession,
+    embeddings: DataFrame,
+    method: str = "lsh",
+    k: int = TOP_K,
+    n_queries: int = N_QUERIES,
+) -> DataFrame:
+    """Recall@k of an approximate index against the exact top-k — the
+    evaluation loop an ANN deployment runs before trusting (L, k) /
+    (n_cells, nprobe) settings. Per query: exact result size, approx
+    hits inside the exact set, and recall. Both sides are the existing
+    operators; the join is per-(query, neighbor) — dim-sized, since the
+    query set is bounded."""
+    if method == "lsh":
+        approx = ann_lsh(spark, embeddings, k=k, n_queries=n_queries)
+    elif method == "ivf":
+        approx = ann_ivf(spark, embeddings, k=k, n_queries=n_queries)
+    else:
+        raise ValueError(f"unknown ANN method: {method}")
+    exact = ann_bruteforce(embeddings, k=k, n_queries=n_queries)
+
+    a = approx.select("query_id", "neighbor_id", F.lit(1).alias("_hit"))
+    joined = exact.select("query_id", "neighbor_id").join(
+        a, ["query_id", "neighbor_id"], "left"
+    )
+    return (
+        joined.groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_exact"),
+            F.count("_hit").cast("long").alias("n_hits"),
+        )
+        .withColumn(
+            "recall", F.round(F.col("n_hits") / F.col("n_exact"), 6)
+        )
+    )
+
+
+def kmeans_refine(
+    spark: SparkSession,
+    embeddings: DataFrame,
+    n_cells: int = IVF_CELLS,
+    iters: int = 2,
+    n_queries: int = N_QUERIES,
+) -> tuple[DataFrame, DataFrame]:
+    """Lloyd's refinement of the hash-seeded IVF centroids: per round,
+    assign every corpus vector to its max-cosine cell (one narrow pass
+    against the broadcast centroid table), then recompute each cell's
+    centroid as the element-wise mean (posexplode → per-(cell, dim)
+    avg → re-assemble). Driver-looped — Catalyst cannot express the
+    loop — with a localCheckpoint per round to cut lineage, exactly the
+    connected-components iteration pattern. Cells that lose all members
+    keep their previous centroid.
+
+    Returns (assignments(vec_id, cell_id), centroids(cell_id, c_emb,
+    c_nrm)). This is an ITERATIVE algorithm: per the driver contract it
+    gets a rows-only gate (no SQL oracle); quality is pinned by
+    tests/test_trainops.py (the Lloyd objective must not decrease and a
+    refined index must keep exact recall when probing all cells)."""
+    corpus = _with_norm(embeddings).where(F.col("vec_id") >= n_queries)
+    cents = ivf_centroids(embeddings, n_cells, n_queries).localCheckpoint()
+    assign = None
+    for _ in range(iters):
+        assign = _nearest_cells(corpus, cents, 1)
+        dims = (
+            corpus.join(assign, "vec_id")
+            .select("cell_id", F.posexplode("emb").alias("pos", "v"))
+            .groupBy("cell_id", "pos")
+            .agg(F.avg("v").alias("m"))
+        )
+        new_emb = (
+            dims.groupBy("cell_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("c_emb")
+            )
+        )
+        # empty cells keep their previous centroid
+        prev = cents.select("cell_id", F.col("c_emb").alias("prev_emb"))
+        merged = prev.join(new_emb, "cell_id", "left").select(
+            "cell_id",
+            F.coalesce(F.col("c_emb"), F.col("prev_emb")).alias("c_emb"),
+        )
+        cents = merged.withColumn(
+            "c_nrm", F.sqrt(_dot(F.col("c_emb"), F.col("c_emb")))
+        ).localCheckpoint()
+    return assign, cents
+
+
 def lsh_buckets(spark: SparkSession, embeddings: DataFrame) -> DataFrame:
     """(vec_id, table_id, bucket): k sign bits per table, planes ordered
     by plane_id (plane p belongs to table p div k). Plane dimensionality

@@ -446,6 +446,26 @@ WITH {norms}, b AS (
     }
 
 
+def ann_recall_oracle(emb: str, method: str = "lsh") -> dict[str, str]:
+    """Recall@k as a composition of the existing exact and approximate
+    oracle derivations (each wrapped as a subquery)."""
+    o = simsearch_oracles(emb)
+    approx_sql = o["ann_lsh"] if method == "lsh" else o["ann_ivf"]
+    exact_sql = o["ann_bruteforce"]
+    return {
+        f"ann_recall_{method}": f"""
+SELECT e.query_id,
+       CAST(count(*) AS BIGINT) AS n_exact,
+       CAST(count(a.neighbor_id) AS BIGINT) AS n_hits,
+       round(count(a.neighbor_id) / count(*), 6) AS recall
+FROM ({exact_sql}) e
+LEFT JOIN ({approx_sql}) a
+  ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+GROUP BY e.query_id
+"""
+    }
+
+
 def relational_oracles(
     docs: str, keys: str, mentions_golden: str, cache: str
 ) -> dict[str, str]:
