@@ -330,11 +330,8 @@ def q_t11_corpus_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
         inline_conll,
     )
 
-    return concat_corpus(
-        inline_conll(
-            inline_annotate(_docs(spark, sf_dir).select("doc_id", "text"))
-        )
-    )
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return concat_corpus(inline_conll(inline_annotate(docs)), docs)
 
 
 def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -57,7 +57,7 @@ def test_corpus_concat_parity(spark, docs, annotated):
     conll = inline_conll(annotated)
     got = [
         r["line"]
-        for r in concat_corpus(conll)
+        for r in concat_corpus(conll, docs)
         .orderBy("doc_id", "src_line", "out_idx")
         .collect()
     ]
@@ -132,3 +132,26 @@ def test_conll_state_machine_cases(spark):
         "end O",
         # "$open never" opens an entity that never closes → dropped
     ]
+
+
+def test_empty_doc_still_gets_corpus_separator(spark):
+    """A doc producing zero CoNLL lines (whitespace-only text) still
+    contributes its per-doc blank separator (reference appends
+    data+'\\n' per file unconditionally)."""
+    docs = spark.createDataFrame(
+        [(0, "go $alpha$PER now"), (1, "   ")], "doc_id long, text string"
+    )
+    ann = docs.select("doc_id", docs["text"].alias("annotated"))
+    conll = inline_conll(ann)
+    assert conll.where("doc_id = 1").count() == 0
+    corpus = concat_corpus(conll, docs)
+    seps = corpus.where("line = '' AND src_line = 2147483648")
+    assert {r["doc_id"] for r in seps.collect()} == {0, 1}
+    want = K.concat_corpus_lines(
+        [K.create_conll_lines("go $alpha$PER now"), K.create_conll_lines("   ")]
+    )
+    got = [
+        r["line"]
+        for r in corpus.orderBy("doc_id", "src_line", "out_idx").collect()
+    ]
+    assert got == want

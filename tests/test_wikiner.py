@@ -131,3 +131,25 @@ def test_bio_conversion_in_lines(spark, spark_tokens):
     tags = {r["line"].split(" ")[-1] for r in conll.collect() if r["line"]}
     assert any(t.startswith("B-") for t in tags)
     assert any(t.startswith("I-") for t in tags)
+
+
+def test_space_only_line_is_not_a_separator(spark, tmp_path):
+    """Reference blank test is `line == '\\n'` exactly: a space-only line
+    contributes no tokens but does NOT split or terminate an article —
+    and a file ENDING in a space-only line keeps its final article."""
+    p = tmp_path / "sp.txt"
+    p.write_text("a|N|O .|P|O\n \nb|N|O .|P|O\n", encoding="utf-8")
+    toks = wikiner_scan(read_wikiner_lines(spark, str(p)))
+    rows = toks.orderBy("article_id", "tok_idx").collect()
+    # one article containing a . b . (the space line is a no-op)
+    assert {r["article_id"] for r in rows} == {0}
+    assert [r["word"] for r in rows] == ["a", ".", "b", "."]
+    data, _ = K.read_wikiner(str(p))
+    assert data == [["a", ".", "b", "."]]
+
+    p2 = tmp_path / "sp2.txt"
+    p2.write_text("a|N|O .|P|O\n \n", encoding="utf-8")
+    toks2 = wikiner_scan(read_wikiner_lines(spark, str(p2)))
+    assert {r["word"] for r in toks2.collect()} == {"a", "."}
+    data2, _ = K.read_wikiner(str(p2))
+    assert data2 == [["a", "."]]

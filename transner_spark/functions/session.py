@@ -41,7 +41,8 @@ def get_spark(
         # config UNSET so the cluster default + AQE coalescing govern
         # shuffle parallelism — hardcoding 32 here would silently cap a
         # 1000-executor job.
-        n = master[master.find("[") + 1 : master.find("]")] if "[" in master else ""
+        inner = master[master.find("[") + 1 : master.find("]")] if "[" in master else ""
+        n = inner.split(",")[0]  # local[N,maxFailures] is valid syntax
         shuffle_partitions = 32 if n in ("*", "") else int(n)
 
     builder = SparkSession.builder

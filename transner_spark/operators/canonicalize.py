@@ -158,4 +158,6 @@ def canonicalize(
     tests/test_canonicalize_star.py."""
     if method == "iterative":
         return connected_components(links_to_edges(links), max_iterations)
+    if method != "star":
+        raise ValueError(f"unknown canonicalize method: {method!r}")
     return canonicalize_star(links)

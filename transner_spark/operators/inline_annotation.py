@@ -48,6 +48,9 @@ def t10_entities(docs: DataFrame) -> DataFrame:
     hash. (The reference reads entities from GrAF XMLs — external data
     this sandbox lacks — so the dict is synthesized; the emit logic is
     what T10 pins.)"""
+    # ASCII-whitespace tokenization (Java \s); the Python kernel twin
+    # uses str.split() which also splits non-ASCII Unicode whitespace —
+    # a bounded, documented divergence irrelevant for ASCII corpora.
     words = (
         docs.select(F.explode(F.split(F.col("text"), r"\s+")).alias("w"))
         .where(F.col("w") != "")
@@ -166,18 +169,19 @@ def inline_conll(annotated: DataFrame) -> DataFrame:
     )
 
 
-def concat_corpus(conll: DataFrame) -> DataFrame:
+def concat_corpus(conll: DataFrame, docs: DataFrame) -> DataFrame:
     """T11: corpus concat — every doc's conll lines plus one trailing
-    blank line per doc (reference: ``data + '\\n'`` per file). Global
-    file order = (doc_id, src_line, out_idx); the extra blank sorts last
-    via the sentinel indices."""
-    sep = (
-        conll.select("doc_id").distinct().select(
-            "doc_id",
-            F.lit(2**31).cast("long").alias("src_line"),
-            F.lit(0).cast("long").alias("out_idx"),
-            F.lit("").alias("line"),
-        )
+    blank line per doc (reference: ``data + '\\n'`` per FILE, whether or
+    not the file has content — hence the doc universe comes from
+    ``docs``, not from the conll output: a doc whose text yields zero
+    CoNLL lines still contributes its separator). Global file order =
+    (doc_id, src_line, out_idx); the extra blank sorts last via the
+    sentinel indices."""
+    sep = docs.select("doc_id").distinct().select(
+        "doc_id",
+        F.lit(2**31).cast("long").alias("src_line"),
+        F.lit(0).cast("long").alias("out_idx"),
+        F.lit("").alias("line"),
     )
     return conll.unionByName(sep)
 

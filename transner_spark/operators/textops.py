@@ -52,14 +52,12 @@ def ws_tokens(col: F.Column) -> F.Column:
         .otherwise(F.split(F.trim(col), r"\s+"))
 
 
-def quality_expr(text: F.Column) -> F.Column:
-    """The deterministic quality score as a reusable Column expression
-    (shared by text_stats and corpus_filter — identical by construction)."""
-    toks = ws_tokens(text)
-    n_ws = F.size(toks)
-    n_bpe = F.size(F.regexp_extract_all(text, F.lit(BPE_PATTERN), F.lit(0)))
-    n_punct = F.size(F.regexp_extract_all(text, F.lit(PUNCT_PATTERN), F.lit(0)))
-    n_stop = F.size(F.filter(toks, lambda t: F.lower(t).isin(*STOPWORDS)))
+def quality_from_counts(
+    n_ws: F.Column, n_bpe: F.Column, n_punct: F.Column, n_stop: F.Column
+) -> F.Column:
+    """The deterministic quality score from pre-computed counts — the
+    single definition shared by text_stats and corpus_filter, so callers
+    that already built the counts don't re-derive the regex passes."""
     punct_ratio = n_punct / F.greatest(n_bpe, F.lit(1))
     stop_ratio = n_stop / F.greatest(n_ws, F.lit(1))
     return F.round(
@@ -67,6 +65,17 @@ def quality_expr(text: F.Column) -> F.Column:
         * (F.lit(1.0) - F.least(F.lit(1.0), punct_ratio))
         * (F.lit(0.5) + F.lit(0.5) * F.least(F.lit(1.0), stop_ratio * 5.0)),
         6,
+    )
+
+
+def quality_expr(text: F.Column) -> F.Column:
+    """Quality score straight from a text column."""
+    toks = ws_tokens(text)
+    return quality_from_counts(
+        F.size(toks),
+        F.size(F.regexp_extract_all(text, F.lit(BPE_PATTERN), F.lit(0))),
+        F.size(F.regexp_extract_all(text, F.lit(PUNCT_PATTERN), F.lit(0))),
+        F.size(F.filter(toks, lambda t: F.lower(t).isin(*STOPWORDS))),
     )
 
 
@@ -96,7 +105,7 @@ def text_stats(docs: DataFrame) -> DataFrame:
     sum_tok_chars = F.aggregate(
         toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
     )
-    quality = quality_expr(F.col("text"))
+    quality = quality_from_counts(n_ws, n_bpe, n_punct, n_stop)
     return docs.select(
         "doc_id",
         F.length("text").cast("long").alias("n_chars"),

@@ -57,7 +57,11 @@ def wikiner_scan(lines: DataFrame) -> DataFrame:
     within the article; article ids number non-empty line groups densely
     per file."""
     w = Window.partitionBy("file").orderBy("lid")
-    blank = F.trim(F.col("text")) == ""
+    # reference blank test is `line == '\n'` EXACTLY (dataset_wikiNER.py:51)
+    # — after the text source strips the newline that is text == "". A
+    # space-only line is NOT a separator: it contributes no tokens but
+    # keeps the article open (line.split() yields nothing).
+    blank = F.col("text") == ""
     lines = lines.withColumn("_blank", blank).withColumn(
         "grp", F.sum(F.col("_blank").cast("int")).over(
             w.rowsBetween(Window.unboundedPreceding, 0)
@@ -78,7 +82,11 @@ def wikiner_scan(lines: DataFrame) -> DataFrame:
     aw = Window.partitionBy("file").orderBy("grp")
     nb = nb.withColumn("article_id", F.dense_rank().over(aw) - 1)
 
-    # line.split() semantics: ANY whitespace run separates tokens
+    # line.split()-style tokenization over ASCII whitespace runs. Known
+    # bounded divergence from the Python reference: str.split() also
+    # splits on non-ASCII Unicode whitespace (NBSP etc.) which Java's
+    # \s does not — real WikiNER corpora (and the synthetic one) are
+    # ASCII-whitespace separated, so this only matters for exotic input.
     toks = nb.select(
         "file",
         "article_id",

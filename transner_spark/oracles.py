@@ -674,21 +674,21 @@ def wikiner_oracles(lines_pq: str) -> dict[str, str]:
 l AS (SELECT line_no, text FROM read_parquet('{lines_pq}')),
 b AS (
   SELECT line_no, text,
-         sum(CASE WHEN trim(text) = '' THEN 1 ELSE 0 END)
+         sum(CASE WHEN text = '' THEN 1 ELSE 0 END)
            OVER (ORDER BY line_no ROWS UNBOUNDED PRECEDING) AS grp
   FROM l
 ),
 -- reference tail-flush quirk (dataset_wikiNER.py:74-79): a file whose
--- last line is blank DROPS its final article
+-- last line is exactly the newline (text empty) DROPS its final article
 tail AS (
-  SELECT CASE WHEN trim(text) = '' THEN 1 ELSE 0 END AS last_blank
+  SELECT CASE WHEN text = '' THEN 1 ELSE 0 END AS last_blank
   FROM l ORDER BY line_no DESC LIMIT 1
 ),
 art AS (
   SELECT line_no, text, dense_rank() OVER (ORDER BY grp) - 1 AS article_id
-  FROM b WHERE trim(text) <> ''
+  FROM b WHERE text <> ''
     AND NOT ((SELECT last_blank FROM tail) = 1
-             AND grp = (SELECT max(grp) FROM b WHERE trim(text) <> ''))
+             AND grp = (SELECT max(grp) FROM b WHERE text <> ''))
 ),
 tok0 AS (
   SELECT article_id, line_no,
@@ -870,9 +870,11 @@ SELECT doc_id, src_line, out_idx, line FROM conll
 WITH RECURSIVE {ann_fold}, {sm_fold}
 SELECT doc_id, src_line, out_idx, line FROM conll
 UNION ALL
+-- one separator per DOC (reference appends data+'\\n' per file even if
+-- the file produced no conll lines) — hence the doc table, not conll
 SELECT DISTINCT doc_id, CAST(2147483648 AS BIGINT) AS src_line,
        CAST(0 AS BIGINT) AS out_idx, '' AS line
-FROM conll
+FROM read_parquet('{docs}')
 """,
     }
 
