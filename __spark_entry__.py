@@ -118,6 +118,26 @@ def q_kg_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mentions_religion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R2 end-to-end against INDEPENDENT SQL (not the golden): the
+    religion-gazetteer mentions are the one NER output a SQL engine can
+    re-derive — lower().split() membership against the religions set,
+    first-occurrence offset via strpos, value restored from the original
+    text. Chips at the mentions-golden caveat for the rule subset."""
+    from transner_spark.operators.annotate import explode_mentions
+
+    m = explode_mentions(_annotated(spark, sf_dir))
+    return m.where(
+        (F.col("type") == "RELIGION") & (F.col("source") == "gazetteer")
+    ).select(
+        "conv_id",
+        F.col("turn_idx").cast("long").alias("turn_idx"),
+        "value",
+        F.col("offset").cast("long").alias("offset"),
+        "confidence",
+    )
+
+
 def q_length_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2: word-count guard routes overlong turns; survivors counted by role."""
     from transner_spark.operators.annotate import split_quarantine
@@ -505,6 +525,35 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _religion_mentions_sql(cache: str) -> str:
+    """Independent SQL derivation of the R2 religion-gazetteer mentions
+    (ner.py:240-251 semantics: lower().split() word membership, offset =
+    first occurrence in the lowered sentence, value = the original-case
+    substring, constant 0.9 confidence). The religions set is the same
+    committed fixture data the kernel loads."""
+    from transner_spark.data.gazetteers import load_religions_set
+
+    words = ", ".join(
+        "'" + w.replace("'", "''") + "'" for w in sorted(load_religions_set())
+    )
+    return f"""
+        WITH t AS (
+          SELECT conv_id, turn_idx, text FROM read_parquet('{cache}')
+          WHERE len(regexp_split_to_array(trim(text), '\\s+')) <= 150
+        ), w AS (
+          SELECT conv_id, turn_idx, text,
+                 unnest(regexp_split_to_array(lower(text), '\\s+')) AS word
+          FROM t
+        )
+        SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+               substr(text, strpos(lower(text), word), length(word)) AS value,
+               CAST(strpos(lower(text), word) - 1 AS BIGINT) AS "offset",
+               0.9 AS confidence
+        FROM w
+        WHERE word <> '' AND word IN ({words})
+    """
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG pipeline (annotate → link → canonicalize →
     materialize) at sf0.001 scale; conversation count derives from the
@@ -533,6 +582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_links": q_kg_links,
         "kg_canonical": q_kg_canonical,
         "kg_edges": q_kg_edges,
+        "mentions_religion": q_mentions_religion,
         "length_guard": q_length_guard,
         "turn_ordering": q_turn_ordering,
         "text_stats": q_text_stats,
@@ -644,6 +694,7 @@ def oracle_sql() -> dict[str, str]:
         # re-derivations from the upstream goldens (kg_derived_oracles)
         # added below, after this dict.
         # independent SQL oracles (logic re-derived in DuckDB, not golden)
+        "mentions_religion": _religion_mentions_sql(cache),
         "length_guard": f"""
             SELECT role, COUNT(*) AS n_turns
             FROM read_parquet('{cache}')
