@@ -138,6 +138,40 @@ def q_mentions_religion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mentions_uri(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1's URI pattern is the one regex that is RE2-safe, so its
+    mentions get an independent SQL gate (offsets re-derived with a
+    recursive strpos walk over the in-order match list)."""
+    from transner_spark.operators.annotate import explode_mentions
+
+    m = explode_mentions(_annotated(spark, sf_dir))
+    return m.where(F.col("type") == "URI").select(
+        "conv_id",
+        F.col("turn_idx").cast("long").alias("turn_idx"),
+        "value",
+        F.col("offset").cast("long").alias("offset"),
+        "confidence",
+    )
+
+
+def q_triples_structural(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The structural used_tool triples re-derived end-to-end: oracle =
+    plain SQL over the raw transcripts (no golden involved)."""
+    return (
+        _triples(spark, sf_dir)
+        .where(F.col("pred") == "used_tool")
+        .select(
+            "conv_id",
+            F.col("turn_idx").cast("long").alias("turn_idx"),
+            "subj_value",
+            "subj_type",
+            "obj_value",
+            "obj_type",
+            "confidence",
+        )
+    )
+
+
 def q_length_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2: word-count guard routes overlong turns; survivors counted by role."""
     from transner_spark.operators.annotate import split_quarantine
@@ -583,6 +617,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_canonical": q_kg_canonical,
         "kg_edges": q_kg_edges,
         "mentions_religion": q_mentions_religion,
+        "mentions_uri": q_mentions_uri,
+        "triples_structural": q_triples_structural,
         "length_guard": q_length_guard,
         "turn_ordering": q_turn_ordering,
         "text_stats": q_text_stats,
@@ -695,6 +731,40 @@ def oracle_sql() -> dict[str, str]:
         # added below, after this dict.
         # independent SQL oracles (logic re-derived in DuckDB, not golden)
         "mentions_religion": _religion_mentions_sql(cache),
+        "mentions_uri": f"""
+            WITH RECURSIVE t AS (
+              SELECT conv_id, turn_idx, text FROM read_parquet('{cache}')
+              WHERE len(regexp_split_to_array(trim(text), '\\s+')) <= 150
+            ), m AS (
+              SELECT conv_id, turn_idx, text,
+                     regexp_extract_all(text, '\\[URL_[0-9]+\\]') AS ms
+              FROM t
+            ), wk AS (
+              SELECT conv_id, turn_idx, text, ms, 1 AS i,
+                     strpos(text, ms[1]) AS pos
+              FROM m WHERE len(ms) >= 1
+              UNION ALL
+              SELECT conv_id, turn_idx, text, ms, i + 1,
+                     pos + length(ms[i]) - 1
+                       + strpos(substr(text, pos + length(ms[i])), ms[i + 1])
+              FROM wk WHERE i < len(ms)
+            )
+            SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+                   ms[i] AS value, CAST(pos - 1 AS BIGINT) AS "offset",
+                   0.9 AS confidence
+            FROM wk
+        """,
+        "triples_structural": f"""
+            SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+                   'agent:' || coalesce(role, 'unknown') AS subj_value,
+                   'AGENT' AS subj_type,
+                   'tool:' || tool AS obj_value,
+                   'TOOL' AS obj_type,
+                   1.0 AS confidence
+            FROM read_parquet('{cache}')
+            WHERE tool IS NOT NULL
+              AND len(regexp_split_to_array(trim(text), '\\s+')) <= 150
+        """,
         "length_guard": f"""
             SELECT role, COUNT(*) AS n_turns
             FROM read_parquet('{cache}')
