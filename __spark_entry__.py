@@ -564,7 +564,13 @@ def _religion_mentions_sql(cache: str) -> str:
     (ner.py:240-251 semantics: lower().split() word membership, offset =
     first occurrence in the lowered sentence, value = the original-case
     substring, constant 0.9 confidence). The religions set is the same
-    committed fixture data the kernel loads."""
+    committed fixture data the kernel loads.
+
+    Tokenization here (and in mentions_uri's length-guard filter) uses
+    RE2 ``\\s+`` — ASCII whitespace — vs the kernel's Python
+    str.split(), which also splits non-ASCII Unicode whitespace: the
+    same accepted, documented divergence class as the WikiNER/T10
+    chains; the corpora are ASCII-whitespace separated."""
     from transner_spark.data.gazetteers import load_religions_set
 
     words = ", ".join(
@@ -754,15 +760,19 @@ def oracle_sql() -> dict[str, str]:
                    0.9 AS confidence
             FROM wk
         """,
+        # Python-truthiness semantics kept exactly: empty-string tool
+        # emits NO triple (`if ... and tool:`), empty-string role maps
+        # to 'unknown' (`role or 'unknown'`)
         "triples_structural": f"""
             SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
-                   'agent:' || coalesce(role, 'unknown') AS subj_value,
+                   'agent:' || (CASE WHEN role IS NULL OR role = ''
+                                     THEN 'unknown' ELSE role END) AS subj_value,
                    'AGENT' AS subj_type,
                    'tool:' || tool AS obj_value,
                    'TOOL' AS obj_type,
                    1.0 AS confidence
             FROM read_parquet('{cache}')
-            WHERE tool IS NOT NULL
+            WHERE tool IS NOT NULL AND tool <> ''
               AND len(regexp_split_to_array(trim(text), '\\s+')) <= 150
         """,
         "length_guard": f"""

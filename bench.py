@@ -152,16 +152,22 @@ def run_trainops_timed(spark, sf_dir: str) -> dict:
     timings: dict[str, float] = {}
     counts: dict[str, int] = {}
 
-    # warm-up on a sample: the first execution of the big sketch
+    # warm-up on bounded slices: the first execution of the big sketch
     # expressions pays whole-stage-codegen JIT compilation (measured
     # 7.6s cold vs 1.9s steady for the minhash pass) — same steady-state
-    # policy as the pipeline's warm_up()
+    # policy as the pipeline's warm_up(). Every timed op below gets a
+    # warm pass; the ANN slice keeps the query ids plus a small corpus.
+    from pyspark.sql import functions as _F
+
     sample = docs.sample(0.05, seed=7)
     text_stats(sample).count()
+    lang_id(sample).count()
+    doc_fingerprint(sample).count()
     dedup_minhash_lsh(sample).count()
     dedup_simhash(sample).count()
-    ann_lsh(spark, emb).count()
-    ann_ivf(spark, emb).count()
+    emb_small = emb.where(_F.col("vec_id") < 512)
+    ann_lsh(spark, emb_small).count()
+    ann_ivf(spark, emb_small).count()
 
     # the sketch ops persist signature intermediates internally and hold
     # them for the session; clear between measurements so each op is
