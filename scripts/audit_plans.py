@@ -84,6 +84,13 @@ def main() -> None:
     audit("t10_inline_annotate", ann)
     audit("t10_inline_conll", inline_conll(ann))
     audit("dedup_clusters", dedup_clusters(docs))
+
+    from transner_spark.operators.simsearch import ann_ivf, ann_recall
+    from transner_spark.operators.textops import corpus_filter
+
+    audit("corpus_filter", corpus_filter(docs))
+    audit("ann_ivf", ann_ivf(spark, emb))
+    audit("ann_recall_lsh", ann_recall(spark, emb, method="lsh"))
     spark.stop()
 
 
