@@ -154,6 +154,26 @@ def q_mentions_uri(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_triples_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-1 (adjacent-mention + predicate-phrase) triples, checked
+    against an independent SQL re-derivation from the golden mentions +
+    raw text (norm columns excluded — see _relational_triples_sql)."""
+    return (
+        _triples(spark, sf_dir)
+        .where(F.col("pred") != "used_tool")
+        .select(
+            "conv_id",
+            F.col("turn_idx").cast("long").alias("turn_idx"),
+            "subj_value",
+            "subj_type",
+            "pred",
+            "obj_value",
+            "obj_type",
+            "confidence",
+        )
+    )
+
+
 def q_triples_structural(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The structural used_tool triples re-derived end-to-end: oracle =
     plain SQL over the raw transcripts (no golden involved)."""
@@ -559,6 +579,78 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _relational_triples_sql(cache: str, g_mentions: str) -> str:
+    """Independent SQL derivation of rule-1 relational triples
+    (kernels/triples.extract_triples_turn rule 1) from the golden
+    mentions + raw text: node mentions sorted by (offset, mention_id),
+    ADJACENT pairs, predicate phrase searched word-bounded in the
+    lowered between-span, FIRST lexicon match in longest-phrase-first
+    order wins, passive phrases reverse subj/obj, confidence = min of
+    the pair. The kernel's lookaround word boundaries are re-expressed
+    with consuming alternatives (RE2 has no lookarounds) — equivalent
+    for existence tests. Norm columns are excluded (normalize_surface is
+    kernel-side); value/type/pred/confidence are fully checked."""
+    import re as _re
+
+    from transner_spark.kernels.triples import _LEXICON, _NODE_TYPES
+
+    def sq(s: str) -> str:
+        return s.replace("'", "''")
+
+    lex_rows = ",\n              ".join(
+        f"({i}, '{sq(pred)}', {str(bool(rev)).upper()}, "
+        f"'(^|[^a-z0-9])' || '{sq(_re.escape(phrase))}' || '($|[^a-z0-9])')"
+        for i, (phrase, pred, rev) in enumerate(_LEXICON)
+    )
+    node_types = ", ".join(f"'{t}'" for t in sorted(_NODE_TYPES))
+    return f"""
+        WITH m AS (
+          SELECT conv_id, turn_idx, mention_id, type, value, "offset",
+                 confidence
+          FROM read_parquet('{g_mentions}')
+          WHERE type IN ({node_types})
+        ), t AS (
+          SELECT conv_id, turn_idx, lower(text) AS lowered
+          FROM read_parquet('{cache}')
+        ), o AS (
+          SELECT m.*, t.lowered FROM m JOIN t USING (conv_id, turn_idx)
+        ), p AS (
+          SELECT conv_id, turn_idx, lowered, mention_id AS a_mid,
+                 value AS a_value, type AS a_type, "offset" AS a_off,
+                 confidence AS a_conf,
+                 lead(value) OVER w AS b_value, lead(type) OVER w AS b_type,
+                 lead("offset") OVER w AS b_off,
+                 lead(confidence) OVER w AS b_conf
+          FROM o
+          WINDOW w AS (PARTITION BY conv_id, turn_idx
+                       ORDER BY "offset", mention_id)
+        ), r AS (
+          SELECT *,
+                 substr(lowered, a_off + length(a_value) + 1,
+                        b_off - a_off - length(a_value)) AS betw
+          FROM p
+          WHERE b_value IS NOT NULL
+            AND b_off > a_off + length(a_value)
+        ), lex(ord, pred, rev, pat) AS (
+          VALUES {lex_rows}
+        ), hit AS (
+          SELECT r.*, lex.pred, lex.rev,
+                 row_number() OVER (
+                   PARTITION BY r.conv_id, r.turn_idx, r.a_mid
+                   ORDER BY lex.ord) AS rn
+          FROM r JOIN lex ON regexp_matches(r.betw, lex.pat)
+        )
+        SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+               CASE WHEN rev THEN b_value ELSE a_value END AS subj_value,
+               CASE WHEN rev THEN b_type ELSE a_type END AS subj_type,
+               pred,
+               CASE WHEN rev THEN a_value ELSE b_value END AS obj_value,
+               CASE WHEN rev THEN a_type ELSE b_type END AS obj_type,
+               least(a_conf, b_conf) AS confidence
+        FROM hit WHERE rn = 1
+    """
+
+
 def _religion_mentions_sql(cache: str) -> str:
     """Independent SQL derivation of the R2 religion-gazetteer mentions
     (ner.py:240-251 semantics: lower().split() word membership, offset =
@@ -625,6 +717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mentions_religion": q_mentions_religion,
         "mentions_uri": q_mentions_uri,
         "triples_structural": q_triples_structural,
+        "triples_relational": q_triples_relational,
         "length_guard": q_length_guard,
         "turn_ordering": q_turn_ordering,
         "text_stats": q_text_stats,
@@ -737,6 +830,7 @@ def oracle_sql() -> dict[str, str]:
         # added below, after this dict.
         # independent SQL oracles (logic re-derived in DuckDB, not golden)
         "mentions_religion": _religion_mentions_sql(cache),
+        "triples_relational": _relational_triples_sql(cache, g("mentions")),
         "mentions_uri": f"""
             WITH RECURSIVE t AS (
               SELECT conv_id, turn_idx, text FROM read_parquet('{cache}')
