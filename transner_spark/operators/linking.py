@@ -168,7 +168,25 @@ def link_surfaces(
     # staging table write between the two linking passes.
     exact = exact.localCheckpoint()
 
-    residual = exact.where(F.col("method") == "none").select("norm_key")
+    # Size-aware fan-in for the fuzzy pass: the checkpoint makes count()
+    # nearly free, and the residual is DIM-sized (distinct unmatched
+    # surfaces), so running its 5-stage gram pipeline at the session's
+    # full width schedules near-empty tasks per stage. Partition count
+    # scales with actual rows (~50k surfaces per partition), so a huge
+    # surface table still parallelizes; coalesce on a checkpoint is
+    # narrow. (Local-mode gains are within run noise — the win is at
+    # cluster widths, where the per-stage task count would otherwise be
+    # the cluster default.)
+    n_exact = exact.count()
+    fuzzy_parts = max(1, min(
+        spark.sparkContext.defaultParallelism, n_exact // 50_000 + 1
+    ))
+
+    residual = (
+        exact.where(F.col("method") == "none")
+        .select("norm_key")
+        .coalesce(fuzzy_parts)
+    )
     n = cfg.link_ngram
 
     mention_grams = with_grams(residual, "norm_key", n).select(
