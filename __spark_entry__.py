@@ -320,6 +320,12 @@ def q_ann_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_recall(spark, _emb(spark, sf_dir), method="lsh")
 
 
+def q_ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from transner_spark.operators.simsearch import ann_recall
+
+    return ann_recall(spark, _emb(spark, sf_dir), method="ivf")
+
+
 def q_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterative algorithm (driver-looped Lloyd's): rows-only gate per
     the driver contract — quality/determinism pinned in pytest."""
@@ -747,6 +753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "ann_recall_lsh": q_ann_recall_lsh,
+        "ann_recall_ivf": q_ann_recall_ivf,
         "kmeans_cells": q_kmeans_cells,
         "mm_metadata": q_mm_metadata,
         "mm_features": q_mm_features,
@@ -790,6 +797,7 @@ def oracle_sql() -> dict[str, str]:
     from transner_spark.oracles import ann_recall_oracle
 
     out.update(ann_recall_oracle(emb, "lsh"))
+    out.update(ann_recall_oracle(emb, "ivf"))
     out.update(multimodal_oracles(docs))
     from transner_spark.oracles import events_oracles
 
