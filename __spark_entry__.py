@@ -118,6 +118,18 @@ def q_kg_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_preprocess_proc_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/P2 against an independent SQL re-derivation (per-character
+    list comprehension over the emission rule)."""
+    from transner_spark.operators.annotate import preprocessed_turns
+
+    return preprocessed_turns(_transcripts(spark, sf_dir)).select(
+        "conv_id",
+        F.col("turn_idx").cast("long").alias("turn_idx"),
+        "proc_text",
+    )
+
+
 def q_mentions_religion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R2 end-to-end against INDEPENDENT SQL (not the golden): the
     religion-gazetteer mentions are the one NER output a SQL engine can
@@ -669,6 +681,43 @@ def _relational_triples_sql(cache: str, g_mentions: str) -> str:
     """
 
 
+def _preprocess_sql(cache: str) -> str:
+    """Independent SQL derivation of the punctuation preprocess (P1/P2,
+    preprocessing.py:47-89 semantics): the per-character emission rule —
+    drop a space that follows punctuation (with the offset-0 wraparound
+    reading the LAST char), pad punctuation with a leading space unless
+    the previous char is a space or punctuation and a trailing space
+    unless at end of string — is a pure per-position function, so the
+    whole transform is one character-indexed list comprehension."""
+    import string
+
+    p_sql = (string.punctuation + "“" + "”").replace("'", "''")
+    piece = f"""
+              CASE
+                WHEN substr(text, i, 1) = ' '
+                     AND strpos('{p_sql}', substr(text,
+                           CASE WHEN i = 1 THEN length(text)
+                                ELSE i - 1 END, 1)) > 0
+                  THEN ''
+                WHEN strpos('{p_sql}', substr(text, i, 1)) > 0
+                  THEN (CASE WHEN i > 1 AND substr(text, i - 1, 1) <> ' '
+                              AND strpos('{p_sql}',
+                                         substr(text, i - 1, 1)) = 0
+                         THEN ' ' ELSE '' END)
+                       || substr(text, i, 1)
+                       || (CASE WHEN i < length(text) THEN ' ' ELSE '' END)
+                ELSE substr(text, i, 1)
+              END"""
+    return f"""
+        SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+               lower(array_to_string(
+                 [{piece} for i in range(1, length(text) + 1)], ''))
+                 AS proc_text
+        FROM read_parquet('{cache}')
+        WHERE len(regexp_split_to_array(trim(text), '\\s+')) <= 150
+    """
+
+
 def _religion_mentions_sql(cache: str) -> str:
     """Independent SQL derivation of the R2 religion-gazetteer mentions
     (ner.py:240-251 semantics: lower().split() word membership, offset =
@@ -732,6 +781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_links": q_kg_links,
         "kg_canonical": q_kg_canonical,
         "kg_edges": q_kg_edges,
+        "preprocess_proc_text": q_preprocess_proc_text,
         "mentions_religion": q_mentions_religion,
         "mentions_uri": q_mentions_uri,
         "triples_structural": q_triples_structural,
@@ -849,6 +899,7 @@ def oracle_sql() -> dict[str, str]:
         # re-derivations from the upstream goldens (kg_derived_oracles)
         # added below, after this dict.
         # independent SQL oracles (logic re-derived in DuckDB, not golden)
+        "preprocess_proc_text": _preprocess_sql(cache),
         "mentions_religion": _religion_mentions_sql(cache),
         "triples_relational": _relational_triples_sql(cache, g("mentions")),
         "mentions_uri": f"""

@@ -186,3 +186,32 @@ def explode_triples(annotated: DataFrame) -> DataFrame:
         "t.obj_norm",
         "t.confidence",
     )
+
+
+def preprocessed_turns(
+    transcripts: DataFrame, cfg: PipelineConfig | None = None
+) -> DataFrame:
+    """P1/P2 exposed as a queryable surface: the punctuation-separating
+    preprocess (kernels/preprocess.preprocess_one — with its
+    space-after-punct drop and offset-0 ``s[-1]`` wraparound quirks)
+    applied per kept turn. Exists so the correctness gate can verify the
+    NER core's first stage against an INDEPENDENT DuckDB re-derivation
+    (a per-character list comprehension — the emission rule is a pure
+    per-position function, see __spark_entry__'s preprocess oracle)."""
+    from transner_spark.kernels.preprocess import preprocess_one
+
+    cfg = cfg or PipelineConfig()
+    kept, _ = split_quarantine(transcripts, cfg)
+
+    def run(batches):
+        for pdf in batches:
+            out = pdf[["conv_id", "turn_idx"]].copy()
+            out["proc_text"] = [
+                preprocess_one(t, do_lower_case=cfg.lowercase)[0]
+                for t in pdf["text"]
+            ]
+            yield out
+
+    return kept.mapInPandas(
+        run, schema="conv_id string, turn_idx int, proc_text string"
+    )
