@@ -599,6 +599,16 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _norm_sql(expr: str) -> str:
+    """SQL twin of kernels/triples.normalize_surface (see the
+    corpus-verified equivalence note in _relational_triples_sql)."""
+    return (
+        "regexp_replace(trim(regexp_replace(lower(strip_accents("
+        + expr
+        + ")), '[^a-z0-9]+', ' ', 'g')), ' +', ' ', 'g')"
+    )
+
+
 def _relational_triples_sql(cache: str, g_mentions: str) -> str:
     """Independent SQL derivation of rule-1 relational triples
     (kernels/triples.extract_triples_turn rule 1) from the golden
@@ -665,17 +675,13 @@ def _relational_triples_sql(cache: str, g_mentions: str) -> str:
         SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
                CASE WHEN rev THEN b_value ELSE a_value END AS subj_value,
                CASE WHEN rev THEN b_type ELSE a_type END AS subj_type,
-               regexp_replace(trim(regexp_replace(
-                 lower(strip_accents(CASE WHEN rev THEN b_value
-                                          ELSE a_value END)),
-                 '[^a-z0-9]+', ' ', 'g')), ' +', ' ', 'g') AS subj_norm,
+               {_norm_sql("CASE WHEN rev THEN b_value ELSE a_value END")}
+                 AS subj_norm,
                pred,
                CASE WHEN rev THEN a_value ELSE b_value END AS obj_value,
                CASE WHEN rev THEN a_type ELSE b_type END AS obj_type,
-               regexp_replace(trim(regexp_replace(
-                 lower(strip_accents(CASE WHEN rev THEN a_value
-                                          ELSE b_value END)),
-                 '[^a-z0-9]+', ' ', 'g')), ' +', ' ', 'g') AS obj_norm,
+               {_norm_sql("CASE WHEN rev THEN a_value ELSE b_value END")}
+                 AS obj_norm,
                least(a_conf, b_conf) AS confidence
         FROM hit WHERE rn = 1
     """
@@ -710,9 +716,9 @@ def _preprocess_sql(cache: str) -> str:
               END"""
     return f"""
         SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
-               lower(array_to_string(
-                 [{piece} for i in range(1, length(text) + 1)], ''))
-                 AS proc_text
+               coalesce(lower(array_to_string(
+                 [{piece} for i in range(1, length(text) + 1)], '')), '')
+                 AS proc_text  -- empty text: [] aggregates to NULL, kernel gives ''
         FROM read_parquet('{cache}')
         WHERE len(regexp_split_to_array(trim(text), '\\s+')) <= 150
     """

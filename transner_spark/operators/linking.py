@@ -177,9 +177,9 @@ def link_surfaces(
     # narrow. (Local-mode gains are within run noise — the win is at
     # cluster widths, where the per-stage task count would otherwise be
     # the cluster default.)
-    n_exact = exact.count()
+    n_residual = exact.where(F.col("method") == "none").count()
     fuzzy_parts = max(1, min(
-        spark.sparkContext.defaultParallelism, n_exact // 50_000 + 1
+        spark.sparkContext.defaultParallelism, n_residual // 50_000 + 1
     ))
 
     residual = (
