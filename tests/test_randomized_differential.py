@@ -99,7 +99,9 @@ def test_inline_annotation_random_corpus(spark):
         n = rng.randint(0, 25)
         ws = []
         for _ in range(n):
-            w = rng.choice(WORDS + ["$odd", "a$b", "$x$PER"])
+            # "$a$b$c" (>=3 '$'s) buffers while ent=False, exercising the
+            # reference's append-on-start-of-entity quirk (ADVICE r2)
+            w = rng.choice(WORDS + ["$odd", "a$b", "$x$PER", "$a$b$c"])
             ws.append(w)
         sep = rng.choice([" ", "  "])
         texts.append(sep.join(ws))

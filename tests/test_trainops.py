@@ -108,14 +108,26 @@ def test_ann_bruteforce_ranks(spark, emb_df):
 def test_ann_lsh_subset_of_bruteforce_candidates(spark, emb_df):
     from transner_spark.operators.simsearch import ann_lsh
 
-    out = ann_lsh(spark, emb_df, k=3, n_queries=2).collect()
-    # planes adapt to the 4-dim fixture; at least one query must find a
-    # bucket-mate (vectors 0/1 and 2/3 are near-parallel pairs)
+    out = ann_lsh(spark, emb_df, k=3, n_queries=2, dim=4).collect()
+    # at least one query must find a bucket-mate (vectors 0/1 and 2/3
+    # are near-parallel pairs)
     assert len(out) > 0
     # LSH returns ranked bucket-mates only; ranks are contiguous from 1
     for q in {r["query_id"] for r in out}:
         ranks = sorted(r["rank"] for r in out if r["query_id"] == q)
         assert ranks == list(range(1, len(ranks) + 1))
+
+
+def test_ann_lsh_dim_mismatch_fails_loud(spark, emb_df):
+    """The in-plan guard replaced the driver-side .first() dim probe: a
+    planes/vector dim mismatch must raise, not silently NULL the dot
+    products and return an empty candidate set."""
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+    from transner_spark.operators.simsearch import ann_lsh
+
+    with pytest.raises(SparkRuntimeException, match="dim mismatch"):
+        ann_lsh(spark, emb_df, k=3, n_queries=2, dim=64).collect()
 
 
 def test_mm_features_match_payload(spark, docs_df):

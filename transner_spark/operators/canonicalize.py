@@ -54,6 +54,7 @@ def connected_components(edges: DataFrame, max_iterations: int = 25) -> DataFram
         .localCheckpoint()
     )
 
+    changed = 1
     for _ in range(max_iterations):
         # propagate: every node also hears its neighbors' labels
         neighbor_labels = (
@@ -77,6 +78,16 @@ def connected_components(edges: DataFrame, max_iterations: int = 25) -> DataFram
         labels = new_labels
         if changed == 0:
             break
+    else:
+        if changed != 0:
+            # a component with diameter > max_iterations would otherwise
+            # return partially-propagated (wrong) labels — fail loud,
+            # matching the repo's block-guard posture (ADVICE r2)
+            raise RuntimeError(
+                "connected_components: labels did not converge within "
+                f"{max_iterations} iterations (a component's diameter "
+                "exceeds the cap) — raise max_iterations"
+            )
 
     return labels.select("node_id", F.col("label").alias("canon_id"))
 

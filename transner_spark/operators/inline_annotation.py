@@ -133,7 +133,10 @@ def _conll_lines_for_words(words: Column) -> Column:
         new_ann = (
             F.when(~outer | single, acc["ann"])
             .when(endw, F.array().cast("array<string>"))
-            .when(startw, F.array(F.element_at(parts, 2)))
+            # reference APPENDS to the buffer on start-of-entity
+            # (parser.create_conll annotation.append(word.split('$')[1]))
+            # — words with >=3 '$'s buffered while ent=False survive
+            .when(startw, F.concat(acc["ann"], F.array(F.element_at(parts, 2))))
             .otherwise(F.concat(acc["ann"], F.array(w)))
         )
         new_ent = (

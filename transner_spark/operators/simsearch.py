@@ -111,17 +111,22 @@ def ivf_centroids(
     e = _with_norm(embeddings).where(F.col("vec_id") >= n_queries)
     h = h60(F.concat(F.lit("ivf:"), F.col("vec_id").cast("string")))
     # orderBy().limit() compiles to distributed TakeOrdered (per-partition
-    # top-K + merge) — no global sort; the row_number window then runs
-    # over only the K selected rows
+    # top-K + merge) — no global sort. cell_id enumeration then happens
+    # on the n_cells-row dim side via array_sort + posexplode instead of
+    # a no-partition window (which would warn and, on a non-dim frame,
+    # single-thread; VERDICT r2 item 5).
     top = e.withColumn("_h", h).orderBy("_h", "vec_id").limit(n_cells)
-    w = Window.orderBy("_h", "vec_id")
-    return (
-        top.withColumn("cell_id", F.row_number().over(w) - 1)
-        .select(
-            "cell_id",
-            F.col("emb").alias("c_emb"),
-            F.col("nrm").alias("c_nrm"),
-        )
+    packed = top.agg(
+        F.array_sort(
+            F.collect_list(F.struct("_h", "vec_id", "emb", "nrm"))
+        ).alias("cells")
+    )
+    return packed.select(
+        F.posexplode("cells").alias("cell_id", "c")
+    ).select(
+        "cell_id",
+        F.col("c.emb").alias("c_emb"),
+        F.col("c.nrm").alias("c_nrm"),
     )
 
 
@@ -291,17 +296,34 @@ def kmeans_refine(
     return assign, cents
 
 
-def lsh_buckets(spark: SparkSession, embeddings: DataFrame) -> DataFrame:
+def lsh_buckets(
+    spark: SparkSession, embeddings: DataFrame, dim: int = DIM
+) -> DataFrame:
     """(vec_id, table_id, bucket): k sign bits per table, planes ordered
     by plane_id (plane p belongs to table p div k). Plane dimensionality
-    is read from the data — a fixed-dim mismatch would otherwise NULL
-    out every zip_with dot product and silently empty the join."""
-    first = embeddings.select(F.size("embedding").alias("d")).first()
-    dim = int(first["d"]) if first is not None else DIM
+    comes from config (``dim``) with an in-plan guard: a mismatch would
+    otherwise NULL out every zip_with dot product and silently empty the
+    join — fail loud instead, without the driver-job ``.first()`` probe
+    this used to run per call (VERDICT r2 item 8)."""
     planes = hyperplanes(spark, dim=dim)
+    guarded = _with_norm(embeddings).where(
+        F.when(
+            F.size("emb") != dim,
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"lsh_buckets: embedding dim mismatch (planes dim="
+                        f"{dim}, vector dim="
+                    ),
+                    F.size("emb").cast("string"),
+                    F.lit(") — pass dim= matching the data"),
+                )
+            ),
+        ).otherwise(F.lit(True))
+    )
     bit = (_dot(F.col("emb"), F.col("weights")) >= 0).cast("long")
     scored = (
-        _with_norm(embeddings)
+        guarded
         .crossJoin(F.broadcast(planes))
         .select(
             "vec_id",
@@ -331,13 +353,14 @@ def ann_lsh(
     embeddings: DataFrame,
     k: int = TOP_K,
     n_queries: int = N_QUERIES,
+    dim: int = DIM,
 ) -> DataFrame:
     """LSH-bucketed ANN: candidates share a bucket in ≥1 table; rank
     survivors by exact cosine. Recall < 1 by construction — the oracle
     replicates the same (L, k) configuration exactly."""
     # persist: the bucket job (broadcast plane join + groupBy) would
     # otherwise run once per side of the candidate join
-    buckets = lsh_buckets(spark, embeddings).persist()
+    buckets = lsh_buckets(spark, embeddings, dim=dim).persist()
     qb = buckets.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), "table_id", "bucket"
     )

@@ -836,7 +836,7 @@ sm AS (
     CASE WHEN NOT {outer} THEN sm.ann_buf
          WHEN {cnt} = 2 THEN sm.ann_buf
          WHEN {cnt} = 1 AND sm.ent THEN CAST([] AS VARCHAR[])
-         WHEN {cnt} = 1 THEN [{p_}[2]]
+         WHEN {cnt} = 1 THEN list_append(sm.ann_buf, {p_}[2])
          ELSE list_append(sm.ann_buf, {w_}) END,
     CASE WHEN NOT {outer} THEN list_append(sm.outl, {w_} || ' O')
          WHEN {cnt} = 2 THEN list_append(sm.outl, {p_}[2] || ' ' || {p_}[3])

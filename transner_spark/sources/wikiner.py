@@ -115,7 +115,11 @@ def ensure_wikiner_raw(repo_root: str, sf_dir: str) -> tuple[str, str]:
             lines.append(" ".join(toks[i : i + TOKENS_PER_LINE]))
 
     os.makedirs(os.path.dirname(txt_path), exist_ok=True)
-    with open(txt_path, "w", encoding="utf-8") as f:
+    # tmp + os.replace, parquet last (matches ensure_alias_dim_parquet):
+    # a crash mid-write must not leave both paths existing with a
+    # truncated parquet that the existence check above would accept
+    txt_tmp, pq_tmp = txt_path + ".tmp", pq_path + ".tmp"
+    with open(txt_tmp, "w", encoding="utf-8") as f:
         f.write("\n".join(lines) + "\n")
     pq_mod.write_table(
         pa.table(
@@ -124,6 +128,8 @@ def ensure_wikiner_raw(repo_root: str, sf_dir: str) -> tuple[str, str]:
                 "text": pa.array(lines, type=pa.string()),
             }
         ),
-        pq_path,
+        pq_tmp,
     )
+    os.replace(txt_tmp, txt_path)
+    os.replace(pq_tmp, pq_path)
     return txt_path, pq_path
