@@ -339,8 +339,10 @@ def q_ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Iterative algorithm (driver-looped Lloyd's): rows-only gate per
-    the driver contract — quality/determinism pinned in pytest."""
+    """Driver-looped Lloyd's with a FIXED iteration count (iters=2), so
+    the loop is unrollable: oracles.kmeans_oracle chains the same rounds
+    as recursive-free CTEs and value-checks the final assignment.
+    Quality/determinism additionally pinned in pytest."""
     from transner_spark.operators.simsearch import kmeans_refine
 
     assign, _ = kmeans_refine(spark, _emb(spark, sf_dir))
@@ -854,6 +856,9 @@ def oracle_sql() -> dict[str, str]:
 
     out.update(ann_recall_oracle(emb, "lsh"))
     out.update(ann_recall_oracle(emb, "ivf"))
+    from transner_spark.oracles import kmeans_oracle
+
+    out.update(kmeans_oracle(emb))
     out.update(multimodal_oracles(docs))
     from transner_spark.oracles import events_oracles
 

@@ -466,6 +466,76 @@ GROUP BY e.query_id
     }
 
 
+def kmeans_oracle(emb: str, iters: int = 2) -> dict[str, str]:
+    """Fixed-iteration unroll of ``kmeans_refine``'s Lloyd loop (VERDICT
+    r2 item 2 — the one gate row that lacked a value oracle): round i
+    assigns every corpus vector to its max-cosine centroid of round i-1
+    (ties → lower cell_id); the centroid update is the per-cell
+    element-wise mean, empty cells keeping their previous centroid. The
+    Spark operator loops on the driver; the oracle unrolls the same
+    ``iters`` rounds as chained CTEs, so the returned assignment (round
+    ``iters``, scored against the round-``iters-1`` centroids) is
+    value-checked, not just row-counted. Float-cast discipline mirrors
+    the operator: raw float embeddings are widened per element before
+    any arithmetic, dot products sum in index order."""
+    from transner_spark.operators.simsearch import IVF_CELLS, N_QUERIES
+
+    dot = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "[CAST({x}[i] AS DOUBLE) * CAST({y}[i] AS DOUBLE) "
+        "for i in range(1, len({x}) + 1)]), (acc, v) -> acc + v)"
+    )
+    ctes = [
+        f"""e AS (SELECT vec_id, embedding AS emb FROM read_parquet('{emb}')),
+n AS (
+  SELECT vec_id, emb, sqrt({dot.format(x='emb', y='emb')}) AS nrm
+  FROM e WHERE vec_id >= {N_QUERIES}
+),
+cents0 AS (
+  SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cell_id,
+         CAST(emb AS DOUBLE[]) AS c_emb, nrm AS c_nrm
+  FROM (SELECT vec_id, emb, nrm, {_h60("('ivf:' || vec_id)")} AS h
+        FROM n ORDER BY h, vec_id LIMIT {IVF_CELLS})
+)"""
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(f"""assign{i} AS (
+  SELECT vec_id, cell_id FROM (
+    SELECT x.vec_id, c.cell_id,
+           row_number() OVER (PARTITION BY x.vec_id
+             ORDER BY {dot.format(x='x.emb', y='c.c_emb')} / (x.nrm * c.c_nrm) DESC,
+                      c.cell_id ASC) AS rn
+    FROM n x, cents{i - 1} c)
+  WHERE rn = 1
+)""")
+        if i == iters:
+            break  # the returned assignment needs no further update
+        ctes.append(f"""mem{i} AS (
+  SELECT a.cell_id,
+         unnest([{{'p': p, 'v': CAST(x.emb[p] AS DOUBLE)}}
+                 for p in range(1, len(x.emb) + 1)]) AS u
+  FROM assign{i} a JOIN n x USING (vec_id)
+),
+newc{i} AS (
+  SELECT cell_id, list(m ORDER BY pos) AS c_emb FROM (
+    SELECT cell_id, u.p AS pos, avg(u.v) AS m
+    FROM mem{i} GROUP BY cell_id, u.p)
+  GROUP BY cell_id
+),
+cents{i} AS (
+  SELECT cell_id, c_emb, sqrt({dot.format(x='c_emb', y='c_emb')}) AS c_nrm
+  FROM (SELECT c0.cell_id, coalesce(nc.c_emb, c0.c_emb) AS c_emb
+        FROM cents{i - 1} c0 LEFT JOIN newc{i} nc USING (cell_id))
+)""")
+    body = ",\n".join(ctes)
+    return {
+        "kmeans_cells": f"""
+WITH {body}
+SELECT vec_id, CAST(cell_id AS BIGINT) AS cell_id FROM assign{iters}
+"""
+    }
+
+
 def relational_oracles(
     docs: str, keys: str, mentions_golden: str, cache: str
 ) -> dict[str, str]:
