@@ -298,3 +298,29 @@ def test_kmeans_refine_improves_objective(spark, emb_df):
     assert {r["vec_id"] for r in rows} == {2, 3, 4, 5}
     assert all(r["cell_id"] in (0, 1) for r in rows)
     assert cents.count() == 2  # empty cells keep their previous centroid
+
+
+def test_ann_recall_floors_on_testdata(spark):
+    """Regression floor for the shipped ANN configs (VERDICT r2 item 6):
+    ann_recall_{lsh,ivf} gate rows verify the recall COMPUTATION; this
+    pins the recall LEVEL, so a (L, k) / (n_cells, nprobe) tuning break
+    that silently craters candidate generation fails loudly. The
+    synthetic embeddings are near-uniform — adversarial for ANN — so the
+    absolute levels are modest by data shape (measured mean recall@5:
+    lsh 0.45, ivf 0.35 at sf0.01); the floor 0.25 gives tuning headroom
+    while still catching a bucketing collapse (which lands near 0)."""
+    import os
+
+    import pytest
+
+    sf_dir = "/root/testdata/sf0.01"
+    if not os.path.exists(os.path.join(sf_dir, "embeddings.parquet")):
+        pytest.skip("driver testdata unavailable")
+    from transner_spark.operators.simsearch import ann_recall
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    for method in ("lsh", "ivf"):
+        rows = ann_recall(spark, emb, method=method).collect()
+        assert len(rows) == 8, method
+        mean_recall = sum(r["recall"] for r in rows) / len(rows)
+        assert mean_recall >= 0.25, (method, mean_recall)
