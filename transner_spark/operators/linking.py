@@ -29,21 +29,32 @@ from pyspark.sql import functions as F
 
 from transner_spark.config import PipelineConfig
 from transner_spark.data.aliases import build_alias_rows
-from transner_spark.kernels.linking import char_ngrams
 from transner_spark.kernels.oracle import STRUCTURAL_TYPES
 from transner_spark.kernels.triples import normalize_surface
 
 
 def node_surfaces(triples: DataFrame) -> DataFrame:
-    """Distinct non-structural normalized node surfaces."""
+    """Distinct non-structural normalized node surfaces.
+
+    Single scan: subj and obj are emitted from ONE pass over the triples
+    (explode of a 2-element array, structural slots nulled) instead of a
+    union of two filtered projections — the union shape read the
+    (cached, array-heavy) triples table twice per execution."""
     structural = list(STRUCTURAL_TYPES)
-    subs = triples.where(~F.col("subj_type").isin(structural)).select(
-        F.col("subj_norm").alias("norm_key")
+    # nulls/empties are stripped INSIDE the array expression (not by a
+    # row filter after the explode): a plan-level filter can be
+    # reordered around downstream deterministic UDF projections by the
+    # optimizer (observed: MinHashLSH's HashingTF NPEing on a null key
+    # in the join plan), while an expression-level filter guarantees no
+    # stage ever materializes a null norm_key
+    keys = F.filter(
+        F.array(
+            F.when(~F.col("subj_type").isin(structural), F.col("subj_norm")),
+            F.when(~F.col("obj_type").isin(structural), F.col("obj_norm")),
+        ),
+        lambda x: x.isNotNull() & (x != ""),
     )
-    objs = triples.where(~F.col("obj_type").isin(structural)).select(
-        F.col("obj_norm").alias("norm_key")
-    )
-    return subs.unionByName(objs).where(F.col("norm_key") != "").distinct()
+    return triples.select(F.explode(keys).alias("norm_key")).distinct()
 
 
 # single-session dimension cache: the alias dictionary is static, so
@@ -67,43 +78,49 @@ def _dim_cached(spark: SparkSession, name: str, build) -> DataFrame:
     return _DIM_CACHE["dims"][name]
 
 
+def _alias_dim_source(spark: SparkSession) -> DataFrame:
+    """The alias-dictionary parquet (alias_id, entity_key, alias, type,
+    norm) — materialized once by ensure_alias_dim_parquet; the SAME file
+    the DuckDB kg_links oracle reads. Reading it beats re-running the
+    python normalize loop + createDataFrame on every fresh session
+    (measured ~1.1s → ~0.2s of per-session dim-build cost at sf0.1)."""
+    import os
+
+    from transner_spark.data.aliases import ensure_alias_dim_parquet
+
+    repo = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    return spark.read.parquet(ensure_alias_dim_parquet(repo))
+
+
 def exact_alias_dim(spark: SparkSession) -> DataFrame:
-    """norm_alias → min entity_key (driver-built: the dictionary is a dim)."""
+    """norm_alias → min entity_key (duplicate normalized aliases resolve
+    to the lexicographically smallest entity_key, as kernels/linking)."""
 
     def build() -> DataFrame:
-        import pandas as pd
-
-        best: dict[str, str] = {}
-        for entity_key, alias, _ty in build_alias_rows():
-            norm = normalize_surface(alias)
-            if norm not in best or best[norm] > entity_key:
-                best[norm] = entity_key
-        items = sorted(best.items())
-        return spark.createDataFrame(
-            pd.DataFrame(items, columns=["norm_alias", "entity_key"]),
-            "norm_alias string, entity_key string",
+        return (
+            _alias_dim_source(spark)
+            .groupBy(F.col("norm").alias("norm_alias"))
+            .agg(F.min("entity_key").alias("entity_key"))
         )
 
     return _dim_cached(spark, "exact", build)
 
 
 def alias_gram_dim(spark: SparkSession, n: int) -> DataFrame:
-    """Inverted gram index over the alias dictionary (exploded, broadcast)."""
+    """Inverted gram index over the alias dictionary (exploded,
+    broadcast). Grams come from with_grams — the Catalyst twin of
+    kernels/linking.char_ngrams (identical distinct gram sets, pinned by
+    the parity tests)."""
 
     def build() -> DataFrame:
-        import pandas as pd
-
-        rows = []
-        for alias_id, (entity_key, alias, _ty) in enumerate(build_alias_rows()):
-            norm = normalize_surface(alias)
-            grams = char_ngrams(norm, n)
-            for gram in grams:
-                rows.append((alias_id, entity_key, alias, len(grams), gram))
-        return spark.createDataFrame(
-            pd.DataFrame(
-                rows, columns=["alias_id", "entity_key", "alias", "a_n", "gram"]
-            ),
-            "alias_id long, entity_key string, alias string, a_n int, gram string",
+        return with_grams(_alias_dim_source(spark), "norm", n).select(
+            "alias_id",
+            "entity_key",
+            "alias",
+            F.col("n_grams").cast("int").alias("a_n"),
+            F.explode("grams").alias("gram"),
         )
 
     return _dim_cached(spark, f"gram{n}", build)
@@ -168,25 +185,15 @@ def link_surfaces(
     # staging table write between the two linking passes.
     exact = exact.localCheckpoint()
 
-    # Size-aware fan-in for the fuzzy pass: the checkpoint makes count()
-    # nearly free, and the residual is DIM-sized (distinct unmatched
-    # surfaces), so running its 5-stage gram pipeline at the session's
-    # full width schedules near-empty tasks per stage. Partition count
-    # scales with actual rows (~50k surfaces per partition), so a huge
-    # surface table still parallelizes; coalesce on a checkpoint is
-    # narrow. (Local-mode gains are within run noise — the win is at
-    # cluster widths, where the per-stage task count would otherwise be
-    # the cluster default.)
-    n_residual = exact.where(F.col("method") == "none").count()
-    fuzzy_parts = max(1, min(
-        spark.sparkContext.defaultParallelism, n_residual // 50_000 + 1
-    ))
-
-    residual = (
-        exact.where(F.col("method") == "none")
-        .select("norm_key")
-        .coalesce(fuzzy_parts)
-    )
+    # Width of the fuzzy pass: the residual is DIM-sized (distinct
+    # unmatched surfaces), and since the session factory sets AQE
+    # coalescing to size-based (parallelismFirst=false), every exchange
+    # in the gram pipeline auto-coalesces to advisory-sized partitions —
+    # the explicit count()-driven coalesce this used to do (r2's
+    # size-aware fan-in) is subsumed, saving one job per link call while
+    # staying correct at cluster widths (a huge surface table still gets
+    # thousands of advisory-sized partitions).
+    residual = exact.where(F.col("method") == "none").select("norm_key")
     n = cfg.link_ngram
 
     mention_grams = with_grams(residual, "norm_key", n).select(
