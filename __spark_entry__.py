@@ -454,6 +454,30 @@ def q_region_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return region_containment(_docs(spark, sf_dir))
 
 
+def q_graf_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7 front-to-back: parse the 4-file GrAF standoff XML sets
+    (mapInPandas over binaryFile) and containment-merge them into the
+    reference's .conll output. The DuckDB oracle re-derives the merge
+    from element parquet twins the generator renders independently of
+    the XML, so parse AND merge are both cross-checked."""
+    from transner_spark.operators.graf import graf_merge
+    from transner_spark.sources.graf import (
+        ensure_graf_raw,
+        read_graf_ners,
+        read_graf_pos,
+        read_graf_regions,
+        read_graf_sents,
+    )
+
+    graf_dir = ensure_graf_raw(REPO, sf_dir)
+    return graf_merge(
+        read_graf_regions(spark, graf_dir),
+        read_graf_sents(spark, graf_dir),
+        read_graf_pos(spark, graf_dir),
+        read_graf_ners(spark, graf_dir),
+    )
+
+
 def q_substring_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     from transner_spark.data.aliases import ensure_keys_parquet
     from transner_spark.operators.relational import substring_antijoin
@@ -826,6 +850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iob_to_bio": q_iob_to_bio,
         "split_train_val_test": q_split_train_val_test,
         "region_containment": q_region_containment,
+        "graf_merge": q_graf_merge,
         "substring_antijoin": q_substring_antijoin,
         "mention_overlap_pairs": q_mention_overlap_pairs,
         "pipeline_lineage": q_pipeline_lineage,
@@ -868,6 +893,18 @@ def oracle_sql() -> dict[str, str]:
 
     _, wikiner_pq = ensure_wikiner_raw(REPO, "/root/testdata/sf0.01")
     out.update(wikiner_oracles(wikiner_pq))
+    from transner_spark.oracles import graf_oracle
+    from transner_spark.sources.graf import ensure_graf_raw, graf_twin_path
+
+    ensure_graf_raw(REPO, "/root/testdata/sf0.01")
+    out.update(
+        graf_oracle(
+            graf_twin_path(REPO, sf, "regions"),
+            graf_twin_path(REPO, sf, "sents"),
+            graf_twin_path(REPO, sf, "pos"),
+            graf_twin_path(REPO, sf, "ners"),
+        )
+    )
     from transner_spark.oracles import inline_annotation_oracles
 
     out.update(inline_annotation_oracles(docs))

@@ -466,6 +466,93 @@ GROUP BY e.query_id
     }
 
 
+def graf_oracle(
+    regions: str, sents: str, pos: str, ners: str, conf_threshold: float = 0.75
+) -> dict[str, str]:
+    """Independent re-derivation of the GrAF merge + CoNLL annotation
+    (operators/graf.py) from the element-level parquet twins, which the
+    generator renders separately from the XML files the Spark side
+    parses — so the gate cross-checks parse AND merge. Semantics follow
+    graf_merger.do_merge/annotation.annotate: label=='s' filter,
+    linkless-annotation drop (inner region join), duplicate-sent_start
+    overwrite (max_by seq) with first-occurrence position (min seq),
+    first-containing-sentence token assignment, duplicate-ref NER
+    overwrite, conf filter, containment multi-emission, and a blank line
+    after every sentence-final emission."""
+    return {
+        "graf_merge": f"""
+WITH r AS (SELECT * FROM read_parquet('{regions}')),
+s1 AS (
+  SELECT s.doc_id, r.start AS sent_start,
+         max_by(r."end", s.seq) AS sent_end, min(s.seq) AS spos
+  FROM read_parquet('{sents}') s
+  JOIN r ON r.doc_id = s.doc_id AND r.region_id = s.region_id
+  WHERE s.label = 's'
+  GROUP BY s.doc_id, r.start
+),
+tr AS (
+  SELECT p.doc_id, p.seq, p.word, p.sent_ord, r.start AS tstart,
+         r."end" AS tend
+  FROM read_parquet('{pos}') p
+  JOIN r ON r.doc_id = p.doc_id AND r.region_id = p.region_id
+),
+ts AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id, seq ORDER BY spos) AS rn
+  FROM (
+    SELECT t.*, s.sent_start, s.sent_end, s.spos
+    FROM tr t JOIN s1 s ON s.doc_id = t.doc_id
+     AND t.tstart >= s.sent_start AND t.tend <= s.sent_end)
+),
+t2 AS (
+  SELECT doc_id, sent_start, sent_ord,
+         max_by(word, seq) AS word, max_by(tstart, seq) AS tstart,
+         max_by(tend, seq) AS tend, max_by(sent_end, seq) AS sent_end
+  FROM ts WHERE rn = 1
+  GROUP BY doc_id, sent_start, sent_ord
+),
+nr AS (
+  SELECT n.doc_id,
+         max_by(r.start, n.seq) AS ner_start,
+         max_by(r."end", n.seq) AS ner_end,
+         max_by(n.label, n.seq) AS ner_label,
+         max_by(n.conf, n.seq) AS conf,
+         min(n.seq) AS npos
+  FROM read_parquet('{ners}') n
+  JOIN r ON r.doc_id = n.doc_id AND r.region_id = n.region_id
+  GROUP BY n.doc_id, n.ref
+),
+kept AS (SELECT * FROM nr WHERE CAST(conf AS DOUBLE) >= {conf_threshold}),
+m AS (
+  SELECT t.doc_id, t.sent_start, t.sent_ord,
+         CASE WHEN k.ner_label IS NOT NULL
+              THEN t.word || chr(9) || k.ner_label
+              ELSE t.word || chr(9) || 'O' END AS base_line,
+         t.tend, t.sent_end, k.ner_start, k.npos
+  FROM t2 t LEFT JOIN kept k
+    ON k.doc_id = t.doc_id
+   AND t.tstart >= k.ner_start AND t.tend <= k.ner_end
+),
+e AS (
+  SELECT doc_id, sent_start, sent_ord, ner_start, npos,
+         unnest([{{'eidx': i, 'line': arr[i]}}
+                 for i in range(1, len(arr) + 1)]) AS u
+  FROM (
+    SELECT *, CASE WHEN tend = sent_end
+                   THEN [base_line, ''] ELSE [base_line] END AS arr
+    FROM m)
+)
+SELECT doc_id,
+       CAST(row_number() OVER (
+         PARTITION BY doc_id
+         ORDER BY sent_start, CAST(sent_ord AS INT),
+                  ner_start ASC NULLS FIRST, npos ASC NULLS FIRST,
+                  u.eidx) - 1 AS BIGINT) AS out_idx,
+       u.line AS line
+FROM e
+"""
+    }
+
+
 def kmeans_oracle(emb: str, iters: int = 2) -> dict[str, str]:
     """Fixed-iteration unroll of ``kmeans_refine``'s Lloyd loop (VERDICT
     r2 item 2 — the one gate row that lacked a value oracle): round i
