@@ -611,6 +611,86 @@ def q_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_windowed_counts_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPEND-mode streaming windowed-aggregate gate (production
+    semantics: each window emitted exactly once when the watermark
+    closes it, parquet file sink accumulating across restarts). Three
+    availableNow passes over an append-only directory: the corpus file,
+    then two far-future watermark-sentinel turns — the first advances
+    the watermark past the data horizon, the second runs the batch that
+    flushes the remaining windows (emission lags the watermark by one
+    batch). The sentinels' own windows never close, so the final sink
+    holds exactly the real data windows — same oracle as the
+    complete-mode gate."""
+    import shutil
+    import tempfile
+    from datetime import timedelta
+
+    from transner_spark.sources.transcripts import ensure_transcripts_parquet
+    from transner_spark.streaming.incremental import (
+        TRANSCRIPT_SCHEMA,
+        stream_windowed_counts_append,
+    )
+
+    src = ensure_transcripts_parquet(REPO, sf_dir)
+    max_ts = spark.read.parquet(src).agg(F.max("ts")).collect()[0][0]
+    work = tempfile.mkdtemp(prefix="streama_gate_")
+    try:
+        in_dir = os.path.join(work, "in")
+        out_dir = os.path.join(work, "out")
+        ck = os.path.join(work, "ck")
+        os.makedirs(in_dir)
+        shutil.copy(src, os.path.join(in_dir, "part-00000.parquet"))
+
+        def run() -> None:
+            stream_windowed_counts_append(
+                spark, in_dir, out_dir, ck
+            ).awaitTermination()
+
+        run()
+        # second sentinel sits 60s after the first: far enough past the
+        # data to flush every real window, close enough that the FIRST
+        # sentinel's own window never closes (stays inside its watermark
+        # horizon) — so the sink ends with exactly the real windows
+        for seconds in (60 * 86400, 60 * 86400 + 60):
+            # sentinel turn: a guaranteed mention — the URI regex matches
+            # the reference's [URL_n] placeholder shape — so the
+            # POST-explode watermark node actually sees the sentinel's ts
+            # (a mention-less turn is dropped by the explode and would
+            # never advance the watermark)
+            sentinel = [
+                (
+                    "__watermark_sentinel__",
+                    0,
+                    "user",
+                    "see [URL_1] to advance the watermark",
+                    None,
+                    max_ts + timedelta(seconds=seconds),
+                )
+            ]
+            spark.createDataFrame(sentinel, TRANSCRIPT_SCHEMA).coalesce(
+                1
+            ).write.mode("append").parquet(in_dir)
+            run()
+
+        out = (
+            spark.read.parquet(out_dir)
+            .select(
+                F.col("start").cast("long").alias("start_epoch"),
+                F.col("end").cast("long").alias("end_epoch"),
+                "type",
+                F.col("n_mentions").cast("long").alias("n_mentions"),
+            )
+            .toPandas()
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        out,
+        "start_epoch long, end_epoch long, type string, n_mentions long",
+    )
+
+
 def q_role_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from transner_spark.operators.relational import role_transitions
 
@@ -856,6 +936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_lineage": q_pipeline_lineage,
         "stream_mentions_batch_eq": q_stream_mentions_batch_eq,
         "stream_windowed_counts": q_stream_windowed_counts,
+        "stream_windowed_counts_append": q_stream_windowed_counts_append,
         "role_transitions": q_role_transitions,
         "sessionize_events": q_sessionize_events,
     }
@@ -1010,6 +1091,16 @@ def oracle_sql() -> dict[str, str]:
         # streaming windowed agg vs a plain SQL window aggregate over the
         # batch mentions golden (ts joined from the transcripts cache)
         "stream_windowed_counts": f"""
+            SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS start_epoch,
+                   CAST(floor(epoch(ts) / 600) * 600 + 600 AS BIGINT) AS end_epoch,
+                   m.type, CAST(COUNT(*) AS BIGINT) AS n_mentions
+            FROM read_parquet('{g("mentions")}') m
+            JOIN read_parquet('{cache}') tc USING (conv_id, turn_idx)
+            GROUP BY 1, 2, 3
+        """,
+        # append-mode twin: the file sink must end up holding exactly
+        # the same closed windows the complete-mode gate reports
+        "stream_windowed_counts_append": f"""
             SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS start_epoch,
                    CAST(floor(epoch(ts) / 600) * 600 + 600 AS BIGINT) AS end_epoch,
                    m.type, CAST(COUNT(*) AS BIGINT) AS n_mentions

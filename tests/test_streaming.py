@@ -117,3 +117,49 @@ def test_stateful_conversation_assembly(spark, tiny_pdf, tmp_path):
         assert r["n_roles"] == e["n_roles"]
         assert r["first_ts"] == e["first_ts"] and r["last_ts"] == e["last_ts"]
         assert r["closed_by"] == "timeout"
+
+
+def test_append_mode_windowed_counts_flush(spark, tmp_path):
+    """Append-mode file-sink aggregate (production semantics): after two
+    far-future sentinel turns advance the watermark (the second inside
+    the first's horizon), the sink holds exactly the batch-derived real
+    windows and neither sentinel window."""
+    import shutil
+    from datetime import timedelta
+
+    from pyspark.sql import functions as F
+    from transner_spark.operators.annotate import annotate_turns
+    from transner_spark.sources.transcripts import ensure_transcripts_parquet
+    from transner_spark.streaming.incremental import (
+        TRANSCRIPT_SCHEMA,
+        stream_windowed_counts_append,
+    )
+
+    src = ensure_transcripts_parquet("/root/repo", "/root/testdata/sf0.001")
+    max_ts = spark.read.parquet(src).agg(F.max("ts")).collect()[0][0]
+    in_dir, out_dir, ck = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+    (tmp_path / "in").mkdir()
+    shutil.copy(src, in_dir + "/part-00000.parquet")
+
+    stream_windowed_counts_append(spark, in_dir, out_dir, ck).awaitTermination()
+    for seconds in (60 * 86400, 60 * 86400 + 60):
+        row = [("__sentinel__", 0, "user", "see [URL_1] now", None,
+                max_ts + timedelta(seconds=seconds))]
+        spark.createDataFrame(row, TRANSCRIPT_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+        stream_windowed_counts_append(spark, in_dir, out_dir, ck).awaitTermination()
+
+    got = spark.read.parquet(out_dir)
+    # batch-derived expectation over the REAL corpus only
+    batch = annotate_turns(spark.read.parquet(src)).select(
+        "ts", F.explode("mentions").alias("m")
+    )
+    want = (
+        batch.groupBy(F.window("ts", "10 minutes").alias("w"), F.col("m.type").alias("type"))
+        .agg(F.count(F.lit(1)).alias("n_mentions"))
+        .select("w.start", "w.end", "type", "n_mentions")
+    )
+    g = {tuple(r) for r in got.collect()}
+    w = {tuple(r) for r in want.collect()}
+    assert g == w and len(g) > 0

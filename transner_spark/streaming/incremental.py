@@ -119,6 +119,55 @@ def stream_windowed_mention_counts(
     )
 
 
+def stream_windowed_counts_append(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+    cfg: PipelineConfig | None = None,
+):
+    """PRODUCTION append-mode windowed aggregate into a parquet file
+    sink: a window row is emitted exactly once, when the watermark
+    passes its end, and the file sink accumulates flushed windows across
+    query restarts — so repeated ``availableNow`` runs over an
+    append-only input directory build up the closed windows
+    incrementally, exactly the backfill-then-tail deployment shape.
+
+    Emission lags the watermark by one micro-batch (state eviction in
+    batch N uses the watermark computed after batch N-1), so a caller
+    that needs ALL windows flushed must let later data — or a sentinel
+    row past the horizon — advance the watermark and then run one more
+    batch. The append-mode GATE does exactly that, proving the
+    production semantics the complete-mode gate can't
+    (stream_windowed_mention_counts docstring)."""
+    stream = read_transcripts_stream(spark, input_dir)
+    annotated = annotate_turns(stream, cfg)
+    mentions = annotated.select(
+        "ts", F.explode("mentions").alias("m")
+    ).select("ts", F.col("m.type").alias("type"))
+    counts = (
+        mentions.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "type")
+        .agg(F.count(F.lit(1)).alias("n_mentions"))
+        .select(
+            F.col("w.start").alias("start"),
+            F.col("w.end").alias("end"),
+            "type",
+            "n_mentions",
+        )
+    )
+    return (
+        counts.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 # ---------------------------------------------------------------- stateful
 CONV_STATE_SCHEMA = "n_turns INT, first_ts TIMESTAMP, last_ts TIMESTAMP, roles STRING"
 CONV_OUT_SCHEMA = (
