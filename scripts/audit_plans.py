@@ -91,6 +91,26 @@ def main() -> None:
     audit("corpus_filter", corpus_filter(docs))
     audit("ann_ivf", ann_ivf(spark, emb))
     audit("ann_recall_lsh", ann_recall(spark, emb, method="lsh"))
+
+    from transner_spark.operators.graf import graf_merge
+    from transner_spark.sources.graf import (
+        ensure_graf_raw,
+        read_graf_ners,
+        read_graf_pos,
+        read_graf_regions,
+        read_graf_sents,
+    )
+
+    graf_dir = ensure_graf_raw(REPO, sf)
+    audit(
+        "graf_merge",
+        graf_merge(
+            read_graf_regions(spark, graf_dir),
+            read_graf_sents(spark, graf_dir),
+            read_graf_pos(spark, graf_dir),
+            read_graf_ners(spark, graf_dir),
+        ),
+    )
     spark.stop()
 
 

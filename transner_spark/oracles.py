@@ -324,9 +324,10 @@ def simsearch_oracles(emb: str) -> dict[str, str]:
     w_pd = (
         "((" + _h60("('plane:' || p || ',' || d)") + " % 2001 - 1000) / 1000.0)"
     )
-    # dim read from the data (len(emb)), matching lsh_buckets' dynamic
-    # dimension sniff — a fixed DIM here would silently NULL the plane
-    # dot products for non-default-dim embeddings (ADVICE r1).
+    # dim read from the data (len(emb)); the Spark side uses the config
+    # dim with an in-plan mismatch guard (lsh_buckets), so on guarded
+    # data both sides agree — reading len(emb) here keeps the oracle
+    # free of the config constant.
     plane_dot = (
         "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
         f"[CAST(emb[d + 1] AS DOUBLE) * {w_pd} for d in range(0, len(emb))]), "
