@@ -614,64 +614,26 @@ def q_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_stream_windowed_counts_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     """APPEND-mode streaming windowed-aggregate gate (production
     semantics: each window emitted exactly once when the watermark
-    closes it, parquet file sink accumulating across restarts). Three
-    availableNow passes over an append-only directory: the corpus file,
-    then two far-future watermark-sentinel turns — the first advances
-    the watermark past the data horizon, the second runs the batch that
-    flushes the remaining windows (emission lags the watermark by one
-    batch). The sentinels' own windows never close, so the final sink
-    holds exactly the real data windows — same oracle as the
+    closes it, parquet file sink accumulating across restarts). The
+    sentinel choreography that flushes every real window lives in
+    run_append_counts_to_horizon (shared with the pytest twin); the
+    final sink holds exactly the real data windows — same oracle as the
     complete-mode gate."""
     import shutil
     import tempfile
-    from datetime import timedelta
 
     from transner_spark.sources.transcripts import ensure_transcripts_parquet
     from transner_spark.streaming.incremental import (
-        TRANSCRIPT_SCHEMA,
-        stream_windowed_counts_append,
+        run_append_counts_to_horizon,
     )
 
     src = ensure_transcripts_parquet(REPO, sf_dir)
-    max_ts = spark.read.parquet(src).agg(F.max("ts")).collect()[0][0]
     work = tempfile.mkdtemp(prefix="streama_gate_")
     try:
         in_dir = os.path.join(work, "in")
         out_dir = os.path.join(work, "out")
         ck = os.path.join(work, "ck")
-        os.makedirs(in_dir)
-        shutil.copy(src, os.path.join(in_dir, "part-00000.parquet"))
-
-        def run() -> None:
-            stream_windowed_counts_append(
-                spark, in_dir, out_dir, ck
-            ).awaitTermination()
-
-        run()
-        # second sentinel sits 60s after the first: far enough past the
-        # data to flush every real window, close enough that the FIRST
-        # sentinel's own window never closes (stays inside its watermark
-        # horizon) — so the sink ends with exactly the real windows
-        for seconds in (60 * 86400, 60 * 86400 + 60):
-            # sentinel turn: a guaranteed mention — the URI regex matches
-            # the reference's [URL_n] placeholder shape — so the
-            # POST-explode watermark node actually sees the sentinel's ts
-            # (a mention-less turn is dropped by the explode and would
-            # never advance the watermark)
-            sentinel = [
-                (
-                    "__watermark_sentinel__",
-                    0,
-                    "user",
-                    "see [URL_1] to advance the watermark",
-                    None,
-                    max_ts + timedelta(seconds=seconds),
-                )
-            ]
-            spark.createDataFrame(sentinel, TRANSCRIPT_SCHEMA).coalesce(
-                1
-            ).write.mode("append").parquet(in_dir)
-            run()
+        run_append_counts_to_horizon(spark, src, in_dir, out_dir, ck)
 
         out = (
             spark.read.parquet(out_dir)

@@ -120,7 +120,9 @@ def ensure_scaling_corpus(turns: int = 1_600_000) -> str:
     measure the sandbox, not the pipeline. Distributed generation, 64
     output splits."""
     out = os.path.join(REPO, "data", "cache", "scaling", "transcripts.parquet")
-    if os.path.exists(out):
+    # _SUCCESS check: a bare directory check would accept a partially
+    # written corpus if generation crashed mid-write
+    if os.path.exists(os.path.join(out, "_SUCCESS")):
         return out
     from transner_spark.sources.transcripts import generate_transcripts_spark
 

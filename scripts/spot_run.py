@@ -23,7 +23,9 @@ from bench import build_session, run_pipeline_timed  # noqa: E402
 def main() -> None:
     n_turns = int(sys.argv[1]) if len(sys.argv) > 1 else 6_400_000
     corpus = os.path.join(REPO, "data", "cache", "spot", "transcripts.parquet")
-    if not os.path.exists(corpus):
+    # _SUCCESS check: a bare directory check would accept a partially
+    # written output if generation crashed mid-write
+    if not os.path.exists(os.path.join(corpus, "_SUCCESS")):
         from transner_spark.sources.transcripts import generate_transcripts_spark
 
         spark = build_session("local[32]", 32)

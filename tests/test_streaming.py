@@ -124,31 +124,16 @@ def test_append_mode_windowed_counts_flush(spark, tmp_path):
     far-future sentinel turns advance the watermark (the second inside
     the first's horizon), the sink holds exactly the batch-derived real
     windows and neither sentinel window."""
-    import shutil
-    from datetime import timedelta
-
     from pyspark.sql import functions as F
     from transner_spark.operators.annotate import annotate_turns
     from transner_spark.sources.transcripts import ensure_transcripts_parquet
     from transner_spark.streaming.incremental import (
-        TRANSCRIPT_SCHEMA,
-        stream_windowed_counts_append,
+        run_append_counts_to_horizon,
     )
 
     src = ensure_transcripts_parquet("/root/repo", "/root/testdata/sf0.001")
-    max_ts = spark.read.parquet(src).agg(F.max("ts")).collect()[0][0]
     in_dir, out_dir, ck = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
-    (tmp_path / "in").mkdir()
-    shutil.copy(src, in_dir + "/part-00000.parquet")
-
-    stream_windowed_counts_append(spark, in_dir, out_dir, ck).awaitTermination()
-    for seconds in (60 * 86400, 60 * 86400 + 60):
-        row = [("__sentinel__", 0, "user", "see [URL_1] now", None,
-                max_ts + timedelta(seconds=seconds))]
-        spark.createDataFrame(row, TRANSCRIPT_SCHEMA).coalesce(1).write.mode(
-            "append"
-        ).parquet(in_dir)
-        stream_windowed_counts_append(spark, in_dir, out_dir, ck).awaitTermination()
+    run_append_counts_to_horizon(spark, src, in_dir, out_dir, ck)
 
     got = spark.read.parquet(out_dir)
     # batch-derived expectation over the REAL corpus only

@@ -50,11 +50,15 @@ def merge_graf(
     for a in sent_annos:
         if a.get("label") != "s":
             continue
-        sent: dict = {}
         rid = a.get("region_id")
-        if rid is not None:  # last link wins; linkless → no start/end
-            sent["sent_start"], sent["sent_end"] = regions[rid]
-        sent["tokens"] = {}
+        if rid is None:
+            # a linkless label=='s' annotation would KeyError the
+            # reference (sents[sent['sent_start']] with no start set);
+            # the operator/oracle drop it via the inner region join —
+            # drop here too so the twin comparison stays total
+            continue
+        sent: dict = {"tokens": {}}
+        sent["sent_start"], sent["sent_end"] = regions[rid]
         sents[sent["sent_start"]] = sent
 
     for a in pos_annos:

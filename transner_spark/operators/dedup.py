@@ -418,17 +418,23 @@ def _dot(a: Column, b: Column) -> Column:
 
 
 def dedup_embedding_cosine_lsh(
-    spark, embeddings: DataFrame, threshold: float = COSINE_THRESHOLD
+    spark,
+    embeddings: DataFrame,
+    threshold: float = COSINE_THRESHOLD,
+    dim: int | None = None,
 ) -> DataFrame:
     """Scale path for embedding near-dup: candidates share a
     random-hyperplane LSH bucket in ≥1 table (simsearch.lsh_buckets —
     no reliance on a precomputed label), verified by exact cosine.
     Same blocked-equi-join shape as the sketch dedups: at 100 TB the
     shuffle is on (table, bucket) keys and the pair count stays
-    near-linear for non-degenerate data; recall is tuned by (L, k)."""
-    from transner_spark.operators.simsearch import lsh_buckets
+    near-linear for non-degenerate data; recall is tuned by (L, k).
+    ``dim`` plumbs the hyperplane dimensionality to lsh_buckets for
+    non-default-dim embeddings (its in-plan guard fails loud on a
+    mismatch)."""
+    from transner_spark.operators.simsearch import DIM, lsh_buckets
 
-    buckets = lsh_buckets(spark, embeddings).persist()
+    buckets = lsh_buckets(spark, embeddings, dim=dim or DIM).persist()
     a, b = buckets.alias("a"), buckets.alias("b")
     cand = (
         a.join(

@@ -186,14 +186,27 @@ def link_surfaces(
     exact = exact.localCheckpoint()
 
     # Width of the fuzzy pass: the residual is DIM-sized (distinct
-    # unmatched surfaces), and since the session factory sets AQE
-    # coalescing to size-based (parallelismFirst=false), every exchange
-    # in the gram pipeline auto-coalesces to advisory-sized partitions —
-    # the explicit count()-driven coalesce this used to do (r2's
-    # size-aware fan-in) is subsumed, saving one job per link call while
-    # staying correct at cluster widths (a huge surface table still gets
-    # thousands of advisory-sized partitions).
+    # unmatched surfaces). When the session coalesces shuffles by SIZE
+    # (AQE parallelismFirst=false — set by this repo's session factory),
+    # every exchange in the gram pipeline auto-coalesces to
+    # advisory-sized partitions and no explicit fan-in is needed, while
+    # a huge surface table still gets thousands of advisory-sized
+    # partitions. Under an EXTERNAL session without that flag (the
+    # driver contract hands queries() an arbitrary SparkSession), fall
+    # back to the r2 count()-driven size-aware coalesce — otherwise the
+    # dim-sized pipeline schedules defaultParallelism near-empty tasks
+    # per stage.
     residual = exact.where(F.col("method") == "none").select("norm_key")
+    pf = spark.conf.get(
+        "spark.sql.adaptive.coalescePartitions.parallelismFirst", "true"
+    )
+    aqe = spark.conf.get("spark.sql.adaptive.enabled", "false")
+    if not (str(aqe).lower() == "true" and str(pf).lower() == "false"):
+        n_residual = residual.count()  # cheap: reads the checkpoint
+        fuzzy_parts = max(1, min(
+            spark.sparkContext.defaultParallelism, n_residual // 50_000 + 1
+        ))
+        residual = residual.coalesce(fuzzy_parts)
     n = cfg.link_ngram
 
     mention_grams = with_grams(residual, "norm_key", n).select(

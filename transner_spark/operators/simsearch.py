@@ -37,6 +37,7 @@ TOP_K = 5
 N_QUERIES = 8  # query set = vec_id < N_QUERIES; corpus = the rest
 IVF_CELLS = 8
 IVF_NPROBE = 2
+KMEANS_SUM_BLOCK = 4096  # vec_id block width of the deterministic mean
 
 
 def plane_weight(p, d) -> F.Column:
@@ -212,6 +213,7 @@ def ann_recall(
     method: str = "lsh",
     k: int = TOP_K,
     n_queries: int = N_QUERIES,
+    dim: int = DIM,
 ) -> DataFrame:
     """Recall@k of an approximate index against the exact top-k — the
     evaluation loop an ANN deployment runs before trusting (L, k) /
@@ -220,7 +222,7 @@ def ann_recall(
     operators; the join is per-(query, neighbor) — dim-sized, since the
     query set is bounded."""
     if method == "lsh":
-        approx = ann_lsh(spark, embeddings, k=k, n_queries=n_queries)
+        approx = ann_lsh(spark, embeddings, k=k, n_queries=n_queries, dim=dim)
     elif method == "ivf":
         approx = ann_ivf(spark, embeddings, k=k, n_queries=n_queries)
     else:
@@ -269,11 +271,40 @@ def kmeans_refine(
     assign = None
     for _ in range(iters):
         assign = _nearest_cells(corpus, cents, 1)
+        # Deterministic hierarchical mean (order-pinned, engine-portable):
+        # per (cell, dim), sum vec_id-ordered blocks of ≤KMEANS_SUM_BLOCK
+        # values, then sum the block sums in block order. A commutative
+        # avg() would leave the double summation order to each engine's
+        # aggregation internals — ulp drift that could flip a near-tie
+        # assignment between Spark and the DuckDB oracle. Block arrays
+        # stay bounded, so this scales (two shuffles per round instead
+        # of one; integer counts stay commutative-exact).
         dims = (
             corpus.join(assign, "vec_id")
-            .select("cell_id", F.posexplode("emb").alias("pos", "v"))
+            .select("cell_id", "vec_id", F.posexplode("emb").alias("pos", "v"))
+            .withColumn(
+                "blk", F.floor(F.col("vec_id") / KMEANS_SUM_BLOCK).cast("long")
+            )
+            .groupBy("cell_id", "pos", "blk")
+            .agg(
+                F.aggregate(
+                    F.array_sort(F.collect_list(F.struct("vec_id", "v"))),
+                    F.lit(0.0),
+                    lambda acc, s: acc + s["v"].cast("double"),
+                ).alias("bsum"),
+                F.count(F.lit(1)).alias("bcnt"),
+            )
             .groupBy("cell_id", "pos")
-            .agg(F.avg("v").alias("m"))
+            .agg(
+                (
+                    F.aggregate(
+                        F.array_sort(F.collect_list(F.struct("blk", "bsum"))),
+                        F.lit(0.0),
+                        lambda acc, s: acc + s["bsum"],
+                    )
+                    / F.sum("bcnt")
+                ).alias("m")
+            )
         )
         new_emb = (
             dims.groupBy("cell_id")

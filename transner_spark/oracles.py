@@ -565,8 +565,15 @@ def kmeans_oracle(emb: str, iters: int = 2) -> dict[str, str]:
     ``iters``, scored against the round-``iters-1`` centroids) is
     value-checked, not just row-counted. Float-cast discipline mirrors
     the operator: raw float embeddings are widened per element before
-    any arithmetic, dot products sum in index order."""
-    from transner_spark.operators.simsearch import IVF_CELLS, N_QUERIES
+    any arithmetic, dot products sum in index order, and the centroid
+    mean uses the same deterministic hierarchical summation (vec_id-
+    ordered blocks of KMEANS_SUM_BLOCK, block sums added in block order)
+    so both engines add doubles in the identical order."""
+    from transner_spark.operators.simsearch import (
+        IVF_CELLS,
+        KMEANS_SUM_BLOCK,
+        N_QUERIES,
+    )
 
     dot = (
         "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
@@ -599,15 +606,27 @@ cents0 AS (
         if i == iters:
             break  # the returned assignment needs no further update
         ctes.append(f"""mem{i} AS (
-  SELECT a.cell_id,
+  SELECT a.cell_id, x.vec_id,
          unnest([{{'p': p, 'v': CAST(x.emb[p] AS DOUBLE)}}
                  for p in range(1, len(x.emb) + 1)]) AS u
   FROM assign{i} a JOIN n x USING (vec_id)
 ),
+blk{i} AS (
+  SELECT cell_id, u.p AS pos, vec_id // {KMEANS_SUM_BLOCK} AS blk,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                  list(u.v ORDER BY vec_id)),
+                     (acc, v) -> acc + v) AS bsum,
+         count(*) AS bcnt
+  FROM mem{i}
+  GROUP BY cell_id, u.p, vec_id // {KMEANS_SUM_BLOCK}
+),
 newc{i} AS (
   SELECT cell_id, list(m ORDER BY pos) AS c_emb FROM (
-    SELECT cell_id, u.p AS pos, avg(u.v) AS m
-    FROM mem{i} GROUP BY cell_id, u.p)
+    SELECT cell_id, pos,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                    list(bsum ORDER BY blk)),
+                       (acc, v) -> acc + v) / sum(bcnt) AS m
+    FROM blk{i} GROUP BY cell_id, pos)
   GROUP BY cell_id
 ),
 cents{i} AS (

@@ -17,6 +17,8 @@ streaming semantics (the test path, and the natural backfill mode).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -166,6 +168,60 @@ def stream_windowed_counts_append(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def run_append_counts_to_horizon(
+    spark: SparkSession,
+    src_parquet: str,
+    in_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+    cfg: PipelineConfig | None = None,
+):
+    """Drive stream_windowed_counts_append until every REAL data window
+    has flushed: copy the corpus file into ``in_dir``, then append two
+    far-future watermark-sentinel turns — each bearing a ``[URL_n]``
+    mention so the POST-explode watermark node actually sees its ts (a
+    mention-less turn is dropped by the explode and would never advance
+    the watermark) — running one availableNow pass after each arrival.
+    The first sentinel advances the watermark past the data horizon; the
+    second (60 seconds later — far past the data, but inside the first
+    sentinel's own watermark horizon, so ITS window never closes) runs
+    the batch that performs the flush (emission lags the watermark by
+    one batch). The parquet sink then holds exactly the real data
+    windows and neither sentinel's. Shared by the append-mode gate and
+    its pytest twin so both pin the same semantics."""
+    import shutil
+    from datetime import timedelta
+
+    from pyspark.sql import functions as F
+
+    os.makedirs(in_dir, exist_ok=True)
+    shutil.copy(src_parquet, os.path.join(in_dir, "part-00000.parquet"))
+    max_ts = spark.read.parquet(src_parquet).agg(F.max("ts")).collect()[0][0]
+
+    stream_windowed_counts_append(
+        spark, in_dir, output_dir, checkpoint_dir, window, watermark, cfg
+    ).awaitTermination()
+    for seconds in (60 * 86400, 60 * 86400 + 60):
+        sentinel = [
+            (
+                "__watermark_sentinel__",
+                0,
+                "user",
+                "see [URL_1] to advance the watermark",
+                None,
+                max_ts + timedelta(seconds=seconds),
+            )
+        ]
+        spark.createDataFrame(sentinel, TRANSCRIPT_SCHEMA).coalesce(
+            1
+        ).write.mode("append").parquet(in_dir)
+        stream_windowed_counts_append(
+            spark, in_dir, output_dir, checkpoint_dir, window, watermark, cfg
+        ).awaitTermination()
 
 
 # ---------------------------------------------------------------- stateful
