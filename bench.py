@@ -315,6 +315,36 @@ def run_trainops_timed(spark, sf_dir: str) -> dict:
     return {"timings": timings, "rss": rss, "counts": counts}
 
 
+def run_scaling_level(n: int) -> None:
+    """One scaling leg in an ISOLATED process (spawned by --scaling):
+    sharing a python process/JVM across legs lets heap growth, GC state,
+    and fragmentation from earlier (wider) legs bleed into later
+    measurements — a subprocess per leg gives each level the same cold
+    JVM. Prints one JSON line."""
+    import shutil
+    import tempfile
+
+    corpus = ensure_scaling_corpus()
+    workdir = tempfile.mkdtemp(prefix=f"transner_lvl{n}_")
+    try:
+        spark = build_session(f"local[{n}]", n)
+        r = run_pipeline_timed(spark, "", workdir, transcripts_path=corpus)
+        spark.stop()
+        print(json.dumps(r))
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+def _run_level_subprocess(n: int) -> dict:
+    import subprocess
+
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--level", str(n)],
+        capture_output=True, text=True, check=True,
+    )
+    return json.loads(proc.stdout.strip().splitlines()[-1])
+
+
 def main() -> None:
     import shutil
     import tempfile
@@ -322,6 +352,9 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     scaling = "--scaling" in sys.argv
+    if "--level" in sys.argv:
+        run_scaling_level(int(sys.argv[sys.argv.index("--level") + 1]))
+        return
 
     workdir = tempfile.mkdtemp(prefix="transner_bench_")
     try:
@@ -362,16 +395,9 @@ def main() -> None:
         }
 
         if scaling:
-            corpus = ensure_scaling_corpus()
-            levels = {}
-            for n in SCALING_LEVELS:
-                spark = build_session(f"local[{n}]", n)
-                r = run_pipeline_timed(
-                    spark, sf_dir, os.path.join(workdir, f"s{n}"),
-                    transcripts_path=corpus,
-                )
-                spark.stop()
-                levels[n] = r
+            ensure_scaling_corpus()
+            # one fresh subprocess (cold JVM) per leg — see run_scaling_level
+            levels = {n: _run_level_subprocess(n) for n in SCALING_LEVELS}
             effs = {
                 (lo, hi): (
                     levels[hi]["triples_per_sec"] / levels[lo]["triples_per_sec"]
@@ -406,8 +432,11 @@ def _write_bench_md(sf_dir: str, levels: dict, effs: dict) -> None:
         f"Input: deterministic synthetic transcripts, {levels[lo]['turns']} "
         f"turns, 64 parquet splits — the same data at every parallelism "
         f"level (the sandbox proxy for N- vs 4N-executor clusters). Each "
-        "timed run is preceded by a warm-up pass so python-worker spin-up "
-        "is excluded: the metric is steady-state pipeline throughput.",
+        "leg runs in its own subprocess (cold JVM — sharing one process "
+        "lets heap/GC state from earlier legs contaminate later ones; "
+        "measured: the in-process local[32] leg ran 2x slower than the "
+        "isolated one) and is preceded by a full-pipeline warm-up pass, "
+        "so the metric is steady-state pipeline throughput.",
         "",
         f"Headline pair local[{lo}] vs local[{hi}]: in local mode every "
         "'executor core' costs ~2 host threads (a JVM task thread plus an "
