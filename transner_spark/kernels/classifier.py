@@ -21,8 +21,9 @@ Confidence is derived downstream via softmax-max per token
 
 from __future__ import annotations
 
-import zlib
+import hashlib
 from abc import ABC, abstractmethod
+from functools import lru_cache
 
 from transner_spark.data import lexicons
 from transner_spark.data.gazetteers import load_cities_set
@@ -40,9 +41,14 @@ class TokenClassifier(ABC):
 
 
 def _stable_hash(token: str) -> int:
-    return zlib.crc32(token.encode("utf-8"))
+    """Portable 60-bit hash — the same construction as
+    functions/hashing.h60 (first 15 hex chars of md5), so the DuckDB
+    mentions oracle can recompute the logit for any token in SQL
+    (DuckDB has no crc32; md5 it shares bit-for-bit)."""
+    return int(hashlib.md5(token.encode("utf-8")).hexdigest()[:15], 16)
 
 
+@lru_cache(maxsize=1 << 16)
 def _logit_for(token: str, label: str) -> float:
     """Deterministic one-hot logit magnitude.
 
