@@ -454,6 +454,24 @@ def q_region_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return region_containment(_docs(spark, sf_dir))
 
 
+def q_mentions_ner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CLASSIFIER-path mentions (source='model') with a fully
+    independent DuckDB oracle (oracles_ner.mentions_ner_sql): preprocess
+    + offset map, greedy lexicon tiling, h60 one-hot softmax confidence,
+    the verbatim BIO decode state machine, and the P8 remap are all
+    re-derived in SQL — the chain that was golden-replay-only through
+    round 2. Only the phrase/name dictionaries are shared DATA
+    (ner_phrases/ner_names parquet, the alias_dim convention)."""
+    from transner_spark.operators.annotate import explode_mentions
+
+    return explode_mentions(_annotated(spark, sf_dir)).where(
+        F.col("source") == "model"
+    ).select(
+        "conv_id", "turn_idx", "mention_id", "type", "value", "offset",
+        "confidence",
+    )
+
+
 def q_graf_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T7 front-to-back: parse the 4-file GrAF standoff XML sets
     (mapInPandas over binaryFile) and containment-merge them into the
@@ -893,6 +911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_train_val_test": q_split_train_val_test,
         "region_containment": q_region_containment,
         "graf_merge": q_graf_merge,
+        "mentions_ner": q_mentions_ner,
         "substring_antijoin": q_substring_antijoin,
         "mention_overlap_pairs": q_mention_overlap_pairs,
         "pipeline_lineage": q_pipeline_lineage,
@@ -936,6 +955,11 @@ def oracle_sql() -> dict[str, str]:
 
     _, wikiner_pq = ensure_wikiner_raw(REPO, "/root/testdata/sf0.01")
     out.update(wikiner_oracles(wikiner_pq))
+    from transner_spark.data.lexicons import ensure_ner_lexicon_parquet
+    from transner_spark.oracles_ner import mentions_ner_sql
+
+    ph, nm = ensure_ner_lexicon_parquet(REPO)
+    out["mentions_ner"] = mentions_ner_sql(cache, ph, nm)
     from transner_spark.oracles import graf_oracle
     from transner_spark.sources.graf import ensure_graf_raw, graf_twin_path
 

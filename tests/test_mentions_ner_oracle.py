@@ -1,0 +1,82 @@
+"""The independent DuckDB classifier-mentions oracle vs the python
+kernel chain (ner_batch) on crafted inputs — pins the SQL re-derivation
+of preprocess+map, greedy tiling, softmax confidence, BIO decode, and
+the P8 remap on constructions the synthetic corpus may not exercise."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+from transner_spark.data.lexicons import ensure_ner_lexicon_parquet
+from transner_spark.kernels.ner_pipeline import ner_batch
+from transner_spark.oracles_ner import mentions_ner_sql
+
+CRAFTED = [
+    "Mario Rossi flew to Naples yesterday",          # name chain + city
+    "il signor Rossi called dr Bianchi",             # title promotions
+    "rossi rossi mario mario",                       # repeated tokens (shared offsets)
+    "Maria,Verdi visited Milan!!",                   # punctuation splits + case restore
+    "acme bank talked to Abn Amro about abn amro",   # multi-token phrases
+    "unknown words only here",                       # no entities
+    "",                                              # empty turn
+    "...!!!",                                        # punctuation only
+    "mario",                                         # trailing entity (flush quirk)
+    "Mario Rossi.",                                  # entity closed by punct token
+    "  leading  spaces mario   rossi  ",             # whitespace runs
+]
+
+
+def test_mentions_ner_oracle_matches_kernel(tmp_path):
+    rows = [("c0", i, t) for i, t in enumerate(CRAFTED)]
+    src = tmp_path / "turns.parquet"
+    pd.DataFrame(rows, columns=["conv_id", "turn_idx", "text"]).to_parquet(
+        src, index=False
+    )
+    ph, nm = ensure_ner_lexicon_parquet("/root/repo")
+    got = duckdb.sql(mentions_ner_sql(str(src), ph, nm)).df()
+
+    want_rows = []
+    results = ner_batch([t for _, _, t in rows])
+    for (conv_id, turn_idx, _), res in zip(rows, results):
+        mid = 0
+        for e in res["entities"]:
+            if e["source"] != "model":
+                continue
+            want_rows.append(
+                (conv_id, turn_idx, mid, e["type"], e["value"], e["offset"],
+                 e["confidence"])
+            )
+            mid += 1
+    want = pd.DataFrame(
+        want_rows,
+        columns=["conv_id", "turn_idx", "mention_id", "type", "value",
+                 "offset", "confidence"],
+    )
+    assert len(want) > 4, "crafted inputs must actually produce mentions"
+    key = ["conv_id", "turn_idx", "mention_id"]
+    g = got.sort_values(key).reset_index(drop=True)
+    w = want.sort_values(key).reset_index(drop=True)
+    assert len(g) == len(w), (len(g), len(w))
+    for c in ["type", "value", "offset", "confidence"]:
+        mism = (g[c].values != w[c].values).sum()
+        assert mism == 0, (c, g[g[c].values != w[c].values].head())
+
+
+@pytest.mark.parametrize("sf", ["sf0.001"])
+def test_mentions_ner_oracle_matches_golden(sf):
+    """Corpus-wide: the SQL chain reproduces every model-path golden
+    mention bit-for-bit (including the truncated-mean confidences)."""
+    cache = f"/root/repo/data/cache/{sf}/transcripts.parquet"
+    golden = f"/root/repo/data/golden/{sf}/mentions.parquet"
+    ph, nm = ensure_ner_lexicon_parquet("/root/repo")
+    got = duckdb.sql(mentions_ner_sql(cache, ph, nm)).df()
+    want = pd.read_parquet(golden)
+    want = want[want.source == "model"].drop(columns=["source"])
+    key = ["conv_id", "turn_idx", "mention_id"]
+    g = got.sort_values(key).reset_index(drop=True)
+    w = want.sort_values(key).reset_index(drop=True)
+    assert len(g) == len(w)
+    for c in ["type", "value", "offset", "confidence"]:
+        assert (g[c].values == w[c].values).all(), c

@@ -116,3 +116,44 @@ LANG_STOPWORDS = {
     "it": ("il", "la", "di", "che", "è", "un", "una", "per", "sono", "del", "con"),
     "nl": ("de", "het", "een", "van", "en", "is", "dat", "aan", "door", "met", "voor"),
 }
+
+
+def ensure_ner_lexicon_parquet(repo_root: str) -> tuple[str, str]:
+    """Materialize the lexicon classifier's data as parquet dims for the
+    independent DuckDB mentions oracle (same shared-DATA convention as
+    alias_dim.parquet): phrases (space-joined pre-tokenized key, type,
+    n_toks) dumped from the LexiconClassifier's own phrase dict — so the
+    oracle matches against exactly the keys the classifier matches — and
+    names (word, kind in first/surname/title). Only the matching/tiling
+    LOGIC is re-derived in SQL. Returns (phrases_path, names_path)."""
+    import os
+
+    import pandas as pd
+
+    from transner_spark.kernels.classifier import LexiconClassifier
+
+    base = os.path.join(repo_root, "data", "cache")
+    p_path = os.path.join(base, "ner_phrases.parquet")
+    n_path = os.path.join(base, "ner_names.parquet")
+    if os.path.exists(p_path) and os.path.exists(n_path):
+        return p_path, n_path
+
+    os.makedirs(base, exist_ok=True)
+    clf = LexiconClassifier()
+    phrases = sorted(
+        (" ".join(toks), ty, len(toks)) for toks, ty in clf.phrase_type.items()
+    )
+    names = (
+        [(w, "first") for w in sorted(clf.first_names)]
+        + [(w, "surname") for w in sorted(clf.surnames)]
+        + [(w, "title") for w in sorted(clf.titles)]
+    )
+    tmp = p_path + ".tmp"
+    pd.DataFrame(phrases, columns=["phrase", "ty", "n_toks"]).to_parquet(
+        tmp, index=False
+    )
+    os.replace(tmp, p_path)
+    tmp = n_path + ".tmp"
+    pd.DataFrame(names, columns=["word", "kind"]).to_parquet(tmp, index=False)
+    os.replace(tmp, n_path)
+    return p_path, n_path

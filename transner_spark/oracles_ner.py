@@ -1,0 +1,371 @@
+"""Independent DuckDB derivation of the CLASSIFIER-path mentions
+(source='model') — the chain the gate could previously only golden-replay.
+
+Re-derives, in SQL, every stage of kernels/ner_pipeline for the model
+path:
+
+1. P1/P2 preprocess WITH the char-level offset map (per-position emission
+   rule — same derivation as the r2 ``preprocess_proc_text`` oracle,
+   extended to emit (char, original-index-or-−1) structs);
+2. tokenization of the processed string (whitespace runs);
+3. P3 lexicon classification: greedy longest-phrase tiling + first-name
+   chains + title/surname promotion as a recursive CTE over token
+   position — the phrase dictionary and name sets are shared DATA
+   (``ner_phrases.parquet``/``ner_names.parquet``, dumped from the
+   classifier's own tables, the alias_dim convention), the
+   matching/tiling LOGIC is re-derived here;
+4. P4 softmax-max confidence: the one-hot logit is h60-derived
+   (portable md5 hash), and the softmax sum replays python's
+   label-order left fold exactly (the 1.0 term sits at the tag's label
+   index, so FP addition order matches ``sum(exp(v-m) ...)``);
+5. P6/P7 BIO decode: verbatim ner.py branch semantics as a recursive
+   CTE — incremental ``find``-from-current-offset token location
+   (repeated tokens share offsets), B/I/O close rules with the
+   strip-'' è'' quirk, the score-leak quirks (an O-close seeds the next
+   span's score list; a B after O appends to it), string-truncated mean
+   confidence (``str(mean)[:6]``), threshold at close, and the
+   no-state-clear end-of-string flush;
+6. P8 offset remap + case restore, including the reference quirk of
+   indexing the offset map with the already-remapped offset.
+
+Python-``str.split``-vs-RE2 ``\\s+`` tokenization is the same accepted
+ASCII-whitespace divergence class documented for the WikiNER/T10
+oracles. The regex-PII subset (source='regex') remains non-derivable in
+SQL (EU_IBAN's ``[]?`` has no RE2 translation — kernels/rules.py);
+religion-gazetteer and URI subsets have their own oracles.
+"""
+
+from __future__ import annotations
+
+import string
+
+from transner_spark.functions.hashing import h60_sql
+from transner_spark.kernels.decode import LABELS
+
+SERVICE_THRESHOLD = 0.75
+
+
+def _punct_sql() -> str:
+    return (string.punctuation + "“" + "”").replace("'", "''")
+
+
+def _proc_with_map() -> str:
+    """CTE fragment: per-turn processed string + offset map as a list of
+    structs {c: processed char, o: original 0-based index or -1}."""
+    p = _punct_sql()
+    # i is the 1-based ORIGINAL index; kernel original_offset = i - 1
+    piece = f"""
+      CASE
+        WHEN substr(text, i, 1) = ' '
+             AND strpos('{p}', substr(text,
+                   CASE WHEN i = 1 THEN length(text) ELSE i - 1 END, 1)) > 0
+          THEN CAST([] AS STRUCT(c VARCHAR, o INT)[])
+        WHEN strpos('{p}', substr(text, i, 1)) > 0
+          THEN (CASE WHEN i > 1 AND substr(text, i - 1, 1) <> ' '
+                      AND strpos('{p}', substr(text, i - 1, 1)) = 0
+                 THEN [{{'c': ' ', 'o': -1}}]
+                 ELSE CAST([] AS STRUCT(c VARCHAR, o INT)[]) END)
+               || [{{'c': substr(text, i, 1), 'o': i - 1}}]
+               || (CASE WHEN i < length(text)
+                    THEN [{{'c': ' ',
+                            'o': CASE WHEN substr(text, i + 1, 1) = ' '
+                                      THEN i ELSE -1 END}}]
+                    ELSE CAST([] AS STRUCT(c VARCHAR, o INT)[]) END)
+        ELSE [{{'c': substr(text, i, 1), 'o': i - 1}}]
+      END"""
+    return f"""
+pm AS (
+  SELECT conv_id, turn_idx, text,
+         flatten([{piece} for i in range(1, length(text) + 1)]) AS em
+  FROM t
+),
+proc AS (
+  SELECT conv_id, turn_idx, text,
+         coalesce(lower(array_to_string([e.c for e in em], '')), '') AS s,
+         [e.o for e in em] AS omap
+  FROM pm
+)"""
+
+
+def _tagger_ctes(phrases: str, names: str, max_phrase_len: int = 4) -> str:
+    """CTE fragment: greedy tiling of BIO tags over the token array."""
+    # chain length of consecutive surname|firstname tokens after pos i
+    # (list_position returns 0 — not NULL — when absent, hence nullif)
+    chain = (
+        "coalesce(nullif(list_position("
+        "[NOT (d.issn[j] OR d.isf[j]) for j in range(d.i + 1, d.n + 1)],"
+        " true), 0) - 1, d.n - d.i)"
+    )
+    return f"""
+toks AS (
+  SELECT conv_id, turn_idx, text, s, omap,
+         list_filter(regexp_split_to_array(s, '\\s+'), x -> x <> '') AS tk
+  FROM proc
+),
+nl AS (
+  SELECT list(word) FILTER (kind = 'first') AS nf,
+         list(word) FILTER (kind = 'surname') AS ns,
+         list(word) FILTER (kind = 'title') AS nt
+  FROM read_parquet('{names}')
+),
+flags AS (
+  SELECT conv_id, turn_idx, text, s, omap, tk, len(tk) AS n,
+         [list_contains(nl.nf, x) for x in tk] AS isf,
+         [list_contains(nl.ns, x) for x in tk] AS issn,
+         [list_contains(nl.nt, x) for x in tk] AS ist
+  FROM toks CROSS JOIN nl
+),
+win AS (
+  SELECT f.conv_id, f.turn_idx, r.i, rl.L,
+         array_to_string(list_slice(f.tk, r.i, r.i + rl.L - 1), ' ') AS ph
+  FROM flags f,
+       unnest(range(1, f.n + 1)) r(i),
+       range(1, {max_phrase_len} + 1) rl(L)
+  WHERE r.i + rl.L - 1 <= f.n
+),
+pmatch AS (
+  SELECT w.conv_id, w.turn_idx, w.i,
+         max(w.L) AS bl, max_by(p.ty, w.L) AS bty
+  FROM win w JOIN read_parquet('{phrases}') p
+    ON p.phrase = w.ph AND p.n_toks = w.L
+  GROUP BY 1, 2, 3
+),
+pmap AS (
+  SELECT conv_id, turn_idx,
+         map_from_entries(
+           list({{'k': i, 'v': {{'bl': bl, 'bty': bty}}}})) AS mp
+  FROM pmatch GROUP BY 1, 2
+),
+tin AS (
+  SELECT f.*,
+         [coalesce(map_extract(p.mp, i)[1].bl, 0)
+          for i in range(1, f.n + 1)] AS bls,
+         [map_extract(p.mp, i)[1].bty
+          for i in range(1, f.n + 1)] AS btys
+  FROM flags f LEFT JOIN pmap p USING (conv_id, turn_idx)
+),
+tile AS (
+  SELECT conv_id, turn_idx, text, s, omap, tk, n, isf, issn, ist, bls, btys,
+         1 AS i, CAST([] AS VARCHAR[]) AS tags
+  FROM tin
+  UNION ALL
+  SELECT d.conv_id, d.turn_idx, d.text, d.s, d.omap, d.tk, d.n,
+         d.isf, d.issn, d.ist, d.bls, d.btys,
+         CASE
+           WHEN d.bls[d.i] > 0 THEN d.i + d.bls[d.i]
+           WHEN d.isf[d.i] THEN d.i + 1 + {chain}
+           WHEN d.ist[d.i] AND d.i + 1 <= d.n AND d.issn[d.i + 1]
+             THEN d.i + 2
+           ELSE d.i + 1
+         END AS i,
+         d.tags || CASE
+           WHEN d.bls[d.i] > 0 THEN
+             ['B-' || d.btys[d.i]]
+             || ['I-' || d.btys[d.i] for _x in range(1, d.bls[d.i])]
+           WHEN d.isf[d.i] THEN
+             ['B-PER'] || ['I-PER' for _x in range(1, {chain} + 1)]
+           WHEN d.ist[d.i] AND d.i + 1 <= d.n AND d.issn[d.i + 1]
+             THEN ['O', 'B-PER']
+           WHEN d.issn[d.i] AND d.i > 1 AND d.ist[d.i - 1]
+             THEN ['B-PER']
+           ELSE ['O']
+         END AS tags
+  FROM tile d WHERE d.i <= d.n
+),
+tagged AS (
+  SELECT conv_id, turn_idx, text, s, omap, tk, n, tags
+  FROM tile WHERE i = n + 1
+)"""
+
+
+def _conf_cte() -> str:
+    """CTE fragment: per-token softmax-max confidence replaying python's
+    label-order summation."""
+    labels = ", ".join("'" + lb + "'" for lb in LABELS)
+    h = h60_sql("(tk[i] || '|' || tags[i])")
+    z = (
+        f"CASE WHEN {h} % 12 = 0 THEN 2.2 "
+        f"ELSE 4.0 + ({h} % 80) / 40.0 END"
+    )
+    # python: sum(exp(v - m) for v in xs) with the 1.0 term at the tag's
+    # label index — replicate the fold order exactly
+    return f"""
+conf AS (
+  SELECT conv_id, turn_idx, text, s, omap, tk, n, tags,
+         [1.0 / list_reduce(list_prepend(0.0,
+            [CASE WHEN j = list_position([{labels}], tags[i]) THEN 1.0
+                  ELSE exp(-({z})) END
+             for j in range(1, {len(LABELS)} + 1)]),
+            (acc, v) -> acc + v)
+          for i in range(1, n + 1)] AS confs
+  FROM tagged
+)"""
+
+
+_SHORT_TO_TYPE = (
+    "CASE {a} WHEN 'PER' THEN 'PERSON' WHEN 'LOC' THEN 'LOCATION' "
+    "WHEN 'ORG' THEN 'ORGANIZATION' WHEN 'MISC' THEN 'MISCELLANEOUS' "
+    "WHEN 'DOC' THEN 'DOCUMENT' WHEN 'PROC' THEN 'PROCEDURE' END"
+)
+
+
+def _close_ent(atype: str, avalue: str, ascores: str, beg: str, strip: str) -> str:
+    """Entity struct for ner.py close(): value[:-1], optional ' è' strip,
+    string-truncated mean confidence."""
+    val0 = f"substr({avalue}, 1, len({avalue}) - 1)"
+    val = (
+        f"CASE WHEN {strip} AND len({val0}) >= 2 "
+        f"AND substr({val0}, len({val0}) - 1, 2) = ' è' "
+        f"THEN substr({val0}, 1, len({val0}) - 2) ELSE {val0} END"
+    )
+    mean = (
+        f"list_reduce(list_prepend(0.0, {ascores}), (a, b) -> a + b)"
+        f" / len({ascores})"
+    )
+    conf = f"CAST(substr(CAST(({mean}) AS VARCHAR), 1, 6) AS DOUBLE)"
+    return (
+        "{'ty': " + _SHORT_TO_TYPE.format(a=atype) + ", "
+        "'val': " + val + ", "
+        "'conf': " + conf + ", "
+        "'off': " + beg + "}"
+    )
+
+
+def _decode_ctes(threshold: float) -> str:
+    """CTE fragment: the verbatim ner.py decode state machine."""
+    c1 = _close_ent("h.atype", "h.avalue", "h.ascores", "h.beg", "h.strip1")
+    c2 = _close_ent("atype", "avalue", "ascores", "beg", "false")
+    return f"""
+dec AS (
+  SELECT conv_id, turn_idx, text, s, omap, tk, n, tags, confs,
+         0 AS k, 0 AS curr, CAST(NULL AS INT) AS beg,
+         CAST(NULL AS VARCHAR) AS atype, '' AS avalue,
+         CAST([] AS DOUBLE[]) AS ascores,
+         CAST([] AS STRUCT(ty VARCHAR, val VARCHAR,
+                           conf DOUBLE, off INT)[]) AS ents
+  FROM conf
+  UNION ALL
+  SELECT conv_id, turn_idx, text, s, omap, tk, n, tags, confs,
+         k, curr, beg, atype, avalue, ascores,
+         CASE WHEN curr >= len(s) AND atype IS NOT NULL
+              THEN (CASE WHEN ({c2}).conf >= {threshold}
+                         THEN list_append(ents, {c2}) ELSE ents END)
+              ELSE ents END AS ents
+  FROM (
+    -- layer g: post-branch state (ents includes the in-branch close)
+    SELECT h.conv_id, h.turn_idx, h.text, h.s, h.omap, h.tk, h.n,
+           h.tags, h.confs, h.k, h.curr,
+           CASE
+             WHEN h.is_b THEN h.curr
+             WHEN h.is_i AND h.atype IS NULL THEN h.curr
+             WHEN h.is_i AND h.atype IS NOT NULL AND h.ty <> h.atype
+               THEN h.curr
+             WHEN h.is_o AND h.atype IS NOT NULL THEN CAST(NULL AS INT)
+             ELSE h.beg
+           END AS beg,
+           CASE
+             WHEN h.is_b OR (h.is_i AND (h.atype IS NULL OR h.ty <> h.atype))
+               THEN h.ty
+             WHEN h.is_o AND h.atype IS NOT NULL THEN CAST(NULL AS VARCHAR)
+             ELSE h.atype
+           END AS atype,
+           CASE
+             WHEN h.is_b THEN
+               (CASE WHEN h.atype IS NOT NULL THEN '' ELSE h.avalue END)
+               || h.tok || ' '
+             WHEN h.is_i AND (h.atype IS NULL OR h.ty = h.atype)
+               THEN h.avalue || h.tok || ' '
+             WHEN h.is_i THEN h.tok || ' '
+             WHEN h.is_o AND h.atype IS NOT NULL THEN ''
+             ELSE h.avalue
+           END AS avalue,
+           CASE
+             WHEN h.is_b THEN
+               list_append(
+                 CASE WHEN h.atype IS NOT NULL
+                      THEN CAST([] AS DOUBLE[]) ELSE h.ascores END, h.cf)
+             WHEN h.is_i AND (h.atype IS NULL OR h.ty = h.atype)
+               THEN list_append(h.ascores, h.cf)
+             WHEN h.is_i THEN [h.cf]
+             WHEN h.is_o AND h.atype IS NOT NULL THEN [h.cf]
+             ELSE h.ascores
+           END AS ascores,
+           CASE WHEN h.do_close AND ({c1}).conf >= {threshold}
+                THEN list_append(h.ents, {c1}) ELSE h.ents END AS ents
+    FROM (
+      -- layer h: current token (index k, already advanced), branch flags
+      SELECT d.*,
+             d.tk[d.k] AS tok, d.tags[d.k] AS tag, d.confs[d.k] AS cf,
+             starts_with(d.tags[d.k], 'B') AS is_b,
+             starts_with(d.tags[d.k], 'I') AS is_i,
+             starts_with(d.tags[d.k], 'O') AS is_o,
+             substr(d.tags[d.k], 3) AS ty,
+             d.atype IS NOT NULL
+               AND (starts_with(d.tags[d.k], 'B')
+                    OR starts_with(d.tags[d.k], 'O')
+                    OR (starts_with(d.tags[d.k], 'I')
+                        AND substr(d.tags[d.k], 3) <> d.atype)) AS do_close,
+             d.atype IS NOT NULL
+               AND (starts_with(d.tags[d.k], 'B')
+                    OR starts_with(d.tags[d.k], 'O')) AS strip1
+      FROM (
+        SELECT dec.conv_id, dec.turn_idx, dec.text, dec.s, dec.omap,
+               dec.tk, dec.n, dec.tags, dec.confs,
+               dec.k + 1 AS k,
+               dec.curr + strpos(substr(dec.s, dec.curr + 1),
+                                 dec.tk[dec.k + 1]) - 1 AS curr,
+               dec.beg, dec.atype, dec.avalue, dec.ascores, dec.ents
+        FROM dec WHERE dec.k < dec.n
+      ) d
+    ) h
+  ) g
+),
+decoded AS (
+  SELECT conv_id, turn_idx, text, s, omap, ents
+  FROM dec WHERE k = n
+)"""
+
+
+def mentions_ner_sql(
+    cache: str, phrases: str, names: str, threshold: float = SERVICE_THRESHOLD
+) -> str:
+    # the P8 quirk: the -1 count indexes the offset map at the REMAPPED
+    # (original-coordinate) positions
+    remap_cnt = (
+        "len(list_filter([x.omap[j] for j in "
+        "range(x.e.off0 + 1, x.e.off0 + len(x.e.val) + 1)], v -> v = -1))"
+    )
+    return f"""
+WITH RECURSIVE
+t AS (
+  SELECT conv_id, turn_idx, text FROM read_parquet('{cache}')
+  WHERE len(regexp_split_to_array(trim(text), '\\s+')) <= 150
+),
+{_proc_with_map()},
+{_tagger_ctes(phrases, names)},
+{_conf_cte()},
+{_decode_ctes(threshold)},
+ex AS (
+  SELECT conv_id, turn_idx, text, omap,
+         unnest([{{'mid': i - 1,
+                   'ty': ents[i].ty,
+                   'val': ents[i].val,
+                   'conf': ents[i].conf,
+                   'off0': omap[ents[i].off + 1]}}
+                 for i in range(1, len(ents) + 1)]) AS e
+  FROM decoded
+),
+cased AS (
+  SELECT x.conv_id, x.turn_idx, x.e.mid AS mention_id, x.e.ty AS type,
+         substr(x.text, x.e.off0 + 1,
+                len(x.e.val) - {remap_cnt}) AS v1,
+         x.e.off0 AS "offset", x.e.conf AS confidence
+  FROM ex x
+)
+SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+       CAST(mention_id AS BIGINT) AS mention_id, type,
+       CASE WHEN v1 <> '' AND substr(v1, len(v1), 1) = ' '
+            THEN substr(v1, 1, len(v1) - 1) ELSE v1 END AS value,
+       CAST("offset" AS BIGINT) AS "offset", confidence
+FROM cased
+"""
