@@ -472,6 +472,28 @@ def q_mentions_ner(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mentions_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RE2-safe PII regex mentions (6 of 8 patterns) with an
+    independent SQL oracle (oracles_ner.mentions_regex_sql — a
+    position-exact finditer emulation via lazy-prefix extraction).
+    With mentions_ner + mentions_religion + mentions_uri, the only
+    golden-only mention subset left is EU_IBAN (python-re-specific
+    ``[]?``)."""
+    from transner_spark.oracles_ner import RE2_SAFE_TYPES
+    from transner_spark.operators.annotate import explode_mentions
+
+    return explode_mentions(_annotated(spark, sf_dir)).where(
+        F.col("type").isin(list(RE2_SAFE_TYPES))
+    ).select(
+        "conv_id",
+        F.col("turn_idx").cast("long").alias("turn_idx"),
+        "type",
+        "value",
+        F.col("offset").cast("long").alias("offset"),
+        "confidence",
+    )
+
+
 def q_graf_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T7 front-to-back: parse the 4-file GrAF standoff XML sets
     (mapInPandas over binaryFile) and containment-merge them into the
@@ -912,6 +934,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "region_containment": q_region_containment,
         "graf_merge": q_graf_merge,
         "mentions_ner": q_mentions_ner,
+        "mentions_regex": q_mentions_regex,
         "substring_antijoin": q_substring_antijoin,
         "mention_overlap_pairs": q_mention_overlap_pairs,
         "pipeline_lineage": q_pipeline_lineage,
@@ -960,6 +983,9 @@ def oracle_sql() -> dict[str, str]:
 
     ph, nm = ensure_ner_lexicon_parquet(REPO)
     out["mentions_ner"] = mentions_ner_sql(cache, ph, nm)
+    from transner_spark.oracles_ner import mentions_regex_sql
+
+    out["mentions_regex"] = mentions_regex_sql(cache)
     from transner_spark.oracles import graf_oracle
     from transner_spark.sources.graf import ensure_graf_raw, graf_twin_path
 

@@ -80,3 +80,43 @@ def test_mentions_ner_oracle_matches_golden(sf):
     assert len(g) == len(w)
     for c in ["type", "value", "offset", "confidence"]:
         assert (g[c].values == w[c].values).all(), c
+
+
+def test_mentions_regex_oracle_matches_kernel(tmp_path):
+    """Position-exact finditer emulation vs kernels/rules.find_from_regex
+    on adversarial inputs: the strpos-relocation trap (a match string
+    occurring earlier as a NON-match, end guard satisfied only by $),
+    ^-anchored first matches, boundary-char trims, and multiple
+    same-pattern matches per line."""
+    from transner_spark.kernels.rules import find_from_regex
+    from transner_spark.oracles_ner import RE2_SAFE_TYPES, mentions_regex_sql
+
+    texts = [
+        "id 123456789x and then 123456789",    # trap: last match via $
+        "123456789 starts the line",            # ^ start guard
+        "a@b.co c@d.net,x 1.2.3.4. 10.0.0.1",   # emails + ipv4 + trims
+        "phone +39 0612345678 end",
+        "RSSMRA85T10A562S. code",               # fiscal + trailing-dot trim
+        "AB123456C near AB123456 and QQ999999M",
+        "",
+    ]
+    src = tmp_path / "t.parquet"
+    pd.DataFrame(
+        [("c", i, t) for i, t in enumerate(texts)],
+        columns=["conv_id", "turn_idx", "text"],
+    ).to_parquet(src, index=False)
+    got = duckdb.sql(mentions_regex_sql(str(src))).df()
+    want = pd.DataFrame(
+        [
+            ("c", i, e["type"], e["value"], e["offset"], e["confidence"])
+            for i, t in enumerate(texts)
+            for e in find_from_regex(t)
+            if e["type"] in RE2_SAFE_TYPES
+        ],
+        columns=["conv_id", "turn_idx", "type", "value", "offset", "confidence"],
+    )
+    assert len(want) >= 8
+    key = ["conv_id", "turn_idx", "type", "offset"]
+    g = got.sort_values(key).reset_index(drop=True).astype(str)
+    w = want.sort_values(key).reset_index(drop=True).astype(str)
+    assert g.equals(w), (g.to_string(), w.to_string())

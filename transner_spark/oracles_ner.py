@@ -30,9 +30,13 @@ path:
 
 Python-``str.split``-vs-RE2 ``\\s+`` tokenization is the same accepted
 ASCII-whitespace divergence class documented for the WikiNER/T10
-oracles. The regex-PII subset (source='regex') remains non-derivable in
-SQL (EU_IBAN's ``[]?`` has no RE2 translation — kernels/rules.py);
-religion-gazetteer and URI subsets have their own oracles.
+oracles.
+
+``mentions_regex_sql`` below additionally derives the RE2-SAFE PII
+regex subsets (6 of 8 patterns) with a position-exact finditer
+emulation; after it, URI (own gate) and religion (own gate) included,
+the ONLY golden-replay-only mention subset left is EU_IBAN, whose
+``[]?`` construct has no RE2 translation (kernels/rules.py).
 """
 
 from __future__ import annotations
@@ -368,4 +372,95 @@ SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
             THEN substr(v1, 1, len(v1) - 1) ELSE v1 END AS value,
        CAST("offset" AS BIGINT) AS "offset", confidence
 FROM cased
+"""
+
+
+# ----------------------------------------------------- regex PII subset
+RE2_SAFE_TYPES = (
+    "IT_FISCAL_CODE",
+    "NL_CITIZEN_SERVICE_NUMBER",
+    "UK_NATIONAL_ID_NUMBER",
+    "EU_PHONE_NUMBER",
+    "EMAIL_ADDRESS",
+    "IPV4_ADDRESS",
+)
+
+
+def _sql_lit(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def mentions_regex_sql(cache: str) -> str:
+    """Independent SQL derivation of the RE2-safe PII regex mentions
+    (6 of the 8 reference patterns; URI has its own gate, EU_IBAN's
+    ``[]?`` stays python-only — kernels/rules.py).
+
+    finditer emulation that is POSITION-EXACT: each step matches
+    ``(?s)^(.*?)(PATTERN)`` against the remaining suffix — the lazy
+    prefix (group 1) gives the match position directly, avoiding the
+    strpos-relocation trap where a pattern's matched STRING occurs
+    earlier as a non-match (e.g. an end guard satisfied by ``$`` only at
+    the true site). The first step uses the verbatim pattern; later
+    steps use a variant whose start guard drops ``^`` (in finditer ``^``
+    matches only at position 0, but a suffix re-anchors it). ``$`` stays
+    correct because every suffix extends to the end of the text. The
+    boundary trim (drop one leading '.,: ' char / one trailing '., '
+    char) replays ner.py:227-231. RE2 ``\\s`` is ASCII-only vs python's
+    unicode ``\\s`` — the accepted, documented divergence class."""
+    from transner_spark.kernels.rules import REGEX_PATTERNS
+
+    start_full = r"(\s|^|[.,:])"
+    start_rest = r"(\s|[.,:])"
+    rows = []
+    for ty in RE2_SAFE_TYPES:
+        pat = REGEX_PATTERNS[ty]
+        assert pat.startswith(start_full), ty
+        p1 = "(?s)^(.*?)(" + pat + ")"
+        pn = "(?s)^(.*?)(" + start_rest + pat[len(start_full):] + ")"
+        rows.append(f"({_sql_lit(ty)}, {_sql_lit(p1)}, {_sql_lit(pn)})")
+    pats = ",\n        ".join(rows)
+    return f"""
+WITH RECURSIVE t AS (
+  SELECT conv_id, turn_idx, text FROM read_parquet('{cache}')
+  WHERE len(regexp_split_to_array(trim(text), '\\s+')) <= 150
+),
+pats(ty, p1, pn) AS (
+  SELECT * FROM (VALUES
+        {pats}) v
+),
+wk AS (
+  SELECT conv_id, turn_idx, ty, pn, text AS sfx, 0 AS boff,
+         regexp_extract(text, p1, 1) AS pre,
+         nullif(regexp_extract(text, p1, 2), '') AS m
+  FROM t CROSS JOIN pats
+  UNION ALL
+  SELECT conv_id, turn_idx, ty, pn, sfx2 AS sfx,
+         boff2 AS boff,
+         regexp_extract(sfx2, pn, 1) AS pre,
+         nullif(regexp_extract(sfx2, pn, 2), '') AS m
+  FROM (
+    SELECT conv_id, turn_idx, ty, pn,
+           substr(sfx, length(pre) + length(m) + 1) AS sfx2,
+           boff + length(pre) + length(m) AS boff2
+    FROM wk WHERE m IS NOT NULL
+  )
+),
+hits AS (
+  SELECT conv_id, turn_idx, ty,
+         boff + length(pre) AS pos0, m
+  FROM wk WHERE m IS NOT NULL
+),
+trimmed AS (
+  SELECT conv_id, turn_idx, ty,
+         CASE WHEN substr(m, 1, 1) IN ('.', ',', ':', ' ')
+              THEN substr(m, 2) ELSE m END AS v1,
+         CASE WHEN substr(m, 1, 1) IN ('.', ',', ':', ' ')
+              THEN pos0 + 1 ELSE pos0 END AS off1
+  FROM hits
+)
+SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, ty AS type,
+       CASE WHEN substr(v1, len(v1), 1) IN ('.', ',', ' ')
+            THEN substr(v1, 1, len(v1) - 1) ELSE v1 END AS value,
+       CAST(off1 AS BIGINT) AS "offset", 0.9 AS confidence
+FROM trimmed
 """
