@@ -717,10 +717,13 @@ def _norm_sql(expr: str) -> str:
     )
 
 
-def _relational_triples_sql(cache: str, g_mentions: str) -> str:
+def _relational_triples_sql(cache: str, mentions_src: str) -> str:
     """Independent SQL derivation of rule-1 relational triples
-    (kernels/triples.extract_triples_turn rule 1) from the golden
-    mentions + raw text: node mentions sorted by (offset, mention_id),
+    (kernels/triples.extract_triples_turn rule 1) from ``mentions_src``
+    (a FROM-able SQL fragment — since round 3 the SQL-DERIVED mentions
+    subquery, making the whole triples chain golden-free; a
+    read_parquet(golden) literal also works) + raw text:
+    node mentions sorted by (offset, mention_id),
     ADJACENT pairs, predicate phrase searched word-bounded in the
     lowered between-span, FIRST lexicon match in longest-phrase-first
     order wins, passive phrases reverse subj/obj, confidence = min of
@@ -747,7 +750,7 @@ def _relational_triples_sql(cache: str, g_mentions: str) -> str:
         WITH m AS (
           SELECT conv_id, turn_idx, mention_id, type, value, "offset",
                  confidence
-          FROM read_parquet('{g_mentions}')
+          FROM {mentions_src}
           WHERE type IN ({node_types})
         ), t AS (
           SELECT conv_id, turn_idx, lower(text) AS lowered
@@ -1023,13 +1026,14 @@ def oracle_sql() -> dict[str, str]:
             cache,
         )
     )
+    from transner_spark.oracles_ner import kg_mentions_sql
+
     out.update({
-        "kg_mentions": f"""
-            SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
-                   CAST(mention_id AS BIGINT) AS mention_id, type, value,
-                   CAST("offset" AS BIGINT) AS "offset", confidence, source
-            FROM read_parquet('{g("mentions")}')
-        """,
+        # FULLY independent since round 3 (was a golden replay):
+        # model + regex + gazetteer mentions AND the interleaved
+        # mention_id all re-derived in SQL (oracles_ner). The golden
+        # file remains a pytest cross-check.
+        "kg_mentions": kg_mentions_sql(cache, ph, nm),
         "kg_triples": f"""
             SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, subj_value,
                    subj_type, subj_norm, pred, obj_value, obj_type, obj_norm,
@@ -1042,7 +1046,11 @@ def oracle_sql() -> dict[str, str]:
         # independent SQL oracles (logic re-derived in DuckDB, not golden)
         "preprocess_proc_text": _preprocess_sql(cache),
         "mentions_religion": _religion_mentions_sql(cache),
-        "triples_relational": _relational_triples_sql(cache, g("mentions")),
+        # chained onto the SQL-DERIVED mentions (not the golden file):
+        # the rule-1 triples derivation is now golden-free end-to-end
+        "triples_relational": _relational_triples_sql(
+            cache, f"({kg_mentions_sql(cache, ph, nm)})"
+        ),
         "mentions_uri": f"""
             WITH RECURSIVE t AS (
               SELECT conv_id, turn_idx, text FROM read_parquet('{cache}')

@@ -122,3 +122,24 @@ def test_mentions_regex_oracle_matches_kernel(tmp_path):
     g = got.sort_values(key).reset_index(drop=True).astype(str)
     w = want.sort_values(key).reset_index(drop=True).astype(str)
     assert g.equals(w), (g.to_string(), w.to_string())
+
+
+def test_kg_mentions_combined_oracle_matches_golden():
+    """The COMBINED kg_mentions derivation (model + regex + gazetteer
+    with interleaved mention_id) reproduces the golden table
+    bit-for-bit — the golden file's remaining role is this cross-check;
+    the gate oracle is the SQL derivation itself."""
+    from transner_spark.data.lexicons import ensure_ner_lexicon_parquet
+    from transner_spark.oracles_ner import kg_mentions_sql
+
+    ph, nm = ensure_ner_lexicon_parquet("/root/repo")
+    got = duckdb.sql(
+        kg_mentions_sql("/root/repo/data/cache/sf0.001/transcripts.parquet", ph, nm)
+    ).df()
+    want = pd.read_parquet("/root/repo/data/golden/sf0.001/mentions.parquet")
+    key = ["conv_id", "turn_idx", "mention_id"]
+    g = got.sort_values(key).reset_index(drop=True)
+    w = want.sort_values(key).reset_index(drop=True)
+    assert len(g) == len(w)
+    for c in ["type", "value", "offset", "confidence", "source"]:
+        assert (g[c].values == w[c].values).all(), c

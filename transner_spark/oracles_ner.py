@@ -330,9 +330,10 @@ decoded AS (
 )"""
 
 
-def mentions_ner_sql(
-    cache: str, phrases: str, names: str, threshold: float = SERVICE_THRESHOLD
-) -> str:
+def _model_m_ctes() -> str:
+    """CTE fragment: P8 remap + case restore over the decoded entities →
+    ``model_m (conv_id, turn_idx, mid, type, value, offset,
+    confidence)`` in decode order."""
     # the P8 quirk: the -1 count indexes the offset map at the REMAPPED
     # (original-coordinate) positions
     remap_cnt = (
@@ -340,15 +341,6 @@ def mentions_ner_sql(
         "range(x.e.off0 + 1, x.e.off0 + len(x.e.val) + 1)], v -> v = -1))"
     )
     return f"""
-WITH RECURSIVE
-t AS (
-  SELECT conv_id, turn_idx, text FROM read_parquet('{cache}')
-  WHERE len(regexp_split_to_array(trim(text), '\\s+')) <= 150
-),
-{_proc_with_map()},
-{_tagger_ctes(phrases, names)},
-{_conf_cte()},
-{_decode_ctes(threshold)},
 ex AS (
   SELECT conv_id, turn_idx, text, omap,
          unnest([{{'mid': i - 1,
@@ -360,18 +352,47 @@ ex AS (
   FROM decoded
 ),
 cased AS (
-  SELECT x.conv_id, x.turn_idx, x.e.mid AS mention_id, x.e.ty AS type,
+  SELECT x.conv_id, x.turn_idx, x.e.mid AS mid, x.e.ty AS type,
          substr(x.text, x.e.off0 + 1,
                 len(x.e.val) - {remap_cnt}) AS v1,
          x.e.off0 AS "offset", x.e.conf AS confidence
   FROM ex x
-)
+),
+model_m AS (
+  SELECT conv_id, turn_idx, mid, type,
+         CASE WHEN v1 <> '' AND substr(v1, len(v1), 1) = ' '
+              THEN substr(v1, 1, len(v1) - 1) ELSE v1 END AS value,
+         "offset", confidence
+  FROM cased
+)"""
+
+
+def _model_chain(phrases: str, names: str, threshold: float) -> str:
+    return ",\n".join(
+        [
+            _proc_with_map(),
+            _tagger_ctes(phrases, names),
+            _conf_cte(),
+            _decode_ctes(threshold),
+            _model_m_ctes(),
+        ]
+    )
+
+
+def mentions_ner_sql(
+    cache: str, phrases: str, names: str, threshold: float = SERVICE_THRESHOLD
+) -> str:
+    return f"""
+WITH RECURSIVE
+t AS (
+  SELECT conv_id, turn_idx, text FROM read_parquet('{cache}')
+  WHERE len(regexp_split_to_array(trim(text), '\\s+')) <= 150
+),
+{_model_chain(phrases, names, threshold)}
 SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
-       CAST(mention_id AS BIGINT) AS mention_id, type,
-       CASE WHEN v1 <> '' AND substr(v1, len(v1), 1) = ' '
-            THEN substr(v1, 1, len(v1) - 1) ELSE v1 END AS value,
+       CAST(mid AS BIGINT) AS mention_id, type, value,
        CAST("offset" AS BIGINT) AS "offset", confidence
-FROM cased
+FROM model_m
 """
 
 
@@ -414,60 +435,160 @@ def mentions_regex_sql(cache: str) -> str:
     boundary trim (drop one leading '.,: ' char / one trailing '., '
     char) replays ner.py:227-231. RE2 ``\\s`` is ASCII-only vs python's
     unicode ``\\s`` — the accepted, documented divergence class."""
-    from transner_spark.kernels.rules import REGEX_PATTERNS
-
-    start_full = r"(\s|^|[.,:])"
-    start_rest = r"(\s|[.,:])"
-    rows = []
-    for ty in RE2_SAFE_TYPES:
-        pat = REGEX_PATTERNS[ty]
-        assert pat.startswith(start_full), ty
-        p1 = "(?s)^(.*?)(" + pat + ")"
-        pn = "(?s)^(.*?)(" + start_rest + pat[len(start_full):] + ")"
-        rows.append(f"({_sql_lit(ty)}, {_sql_lit(p1)}, {_sql_lit(pn)})")
-    pats = ",\n        ".join(rows)
     return f"""
 WITH RECURSIVE t AS (
   SELECT conv_id, turn_idx, text FROM read_parquet('{cache}')
   WHERE len(regexp_split_to_array(trim(text), '\\s+')) <= 150
 ),
-pats(ty, p1, pn) AS (
+{_regex_walk_ctes(RE2_SAFE_TYPES)}
+SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, type, value,
+       CAST("offset" AS BIGINT) AS "offset", confidence
+FROM regex_m
+"""
+
+
+def _regex_walk_ctes(types: tuple[str, ...]) -> str:
+    """CTE fragment: position-exact finditer walk over the given
+    patterns → ``regex_m (conv_id, turn_idx, prank, pos0, type, value,
+    offset, confidence)``. ``prank`` is the pattern's index in the
+    reference's pattern-dict order; within a pattern finditer order ==
+    ascending pos0 — together they give the entity-append order the
+    combined mention_id needs."""
+    from transner_spark.kernels.rules import REGEX_PATTERNS
+
+    start_full = r"(\s|^|[.,:])"
+    start_rest = r"(\s|[.,:])"
+    all_order = list(REGEX_PATTERNS)
+    rows = []
+    for ty in types:
+        pat = REGEX_PATTERNS[ty]
+        p1 = "(?s)^(.*?)(" + pat + ")"
+        if pat.startswith(start_full):
+            pn = "(?s)^(.*?)(" + start_rest + pat[len(start_full):] + ")"
+        else:
+            pn = p1  # no ^ in the pattern (URI) — suffix-safe as-is
+        rows.append(
+            f"({all_order.index(ty)}, {_sql_lit(ty)}, "
+            f"{_sql_lit(p1)}, {_sql_lit(pn)})"
+        )
+    pats = ",\n        ".join(rows)
+    return f"""
+pats(prank, ty, p1, pn) AS (
   SELECT * FROM (VALUES
         {pats}) v
 ),
 wk AS (
-  SELECT conv_id, turn_idx, ty, pn, text AS sfx, 0 AS boff,
+  SELECT conv_id, turn_idx, prank, ty, pn, text AS sfx, 0 AS boff,
          regexp_extract(text, p1, 1) AS pre,
          nullif(regexp_extract(text, p1, 2), '') AS m
   FROM t CROSS JOIN pats
   UNION ALL
-  SELECT conv_id, turn_idx, ty, pn, sfx2 AS sfx,
+  SELECT conv_id, turn_idx, prank, ty, pn, sfx2 AS sfx,
          boff2 AS boff,
          regexp_extract(sfx2, pn, 1) AS pre,
          nullif(regexp_extract(sfx2, pn, 2), '') AS m
   FROM (
-    SELECT conv_id, turn_idx, ty, pn,
+    SELECT conv_id, turn_idx, prank, ty, pn,
            substr(sfx, length(pre) + length(m) + 1) AS sfx2,
            boff + length(pre) + length(m) AS boff2
     FROM wk WHERE m IS NOT NULL
   )
 ),
 hits AS (
-  SELECT conv_id, turn_idx, ty,
+  SELECT conv_id, turn_idx, prank, ty,
          boff + length(pre) AS pos0, m
   FROM wk WHERE m IS NOT NULL
 ),
 trimmed AS (
-  SELECT conv_id, turn_idx, ty,
+  SELECT conv_id, turn_idx, prank, ty, pos0,
          CASE WHEN substr(m, 1, 1) IN ('.', ',', ':', ' ')
               THEN substr(m, 2) ELSE m END AS v1,
          CASE WHEN substr(m, 1, 1) IN ('.', ',', ':', ' ')
               THEN pos0 + 1 ELSE pos0 END AS off1
   FROM hits
+),
+regex_m AS (
+  SELECT conv_id, turn_idx, prank, pos0, ty AS type,
+         CASE WHEN substr(v1, len(v1), 1) IN ('.', ',', ' ')
+              THEN substr(v1, 1, len(v1) - 1) ELSE v1 END AS value,
+         off1 AS "offset", 0.9 AS confidence
+  FROM trimmed
+)"""
+
+
+def _religion_m_cte() -> str:
+    """CTE fragment: word-indexed religion-gazetteer hits →
+    ``rel_m (conv_id, turn_idx, widx, type, value, offset, confidence)``.
+    Kernel semantics (find_religions): per word of the lowered split, a
+    gazetteer member emits value/offset of the FIRST occurrence of the
+    word substring; order (for mention_id) is the WORD position, not the
+    offset — a repeated word later in the sentence still appends where
+    its token sits."""
+    from transner_spark.data.gazetteers import load_religions_set
+
+    words = ", ".join(
+        _sql_lit(w) for w in sorted(load_religions_set())
+    )
+    return f"""
+relw AS (
+  SELECT conv_id, turn_idx, text, lower(text) AS lt,
+         unnest([{{'i': i, 'w': ws[i]}} for i in range(1, len(ws) + 1)]) AS u
+  FROM (
+    SELECT conv_id, turn_idx, text,
+           list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                       x -> x <> '') AS ws
+    FROM t
+  )
+),
+rel_m AS (
+  SELECT conv_id, turn_idx, u.i AS widx, 'RELIGION' AS type,
+         substr(text, strpos(lt, u.w), length(u.w)) AS value,
+         strpos(lt, u.w) - 1 AS "offset", 0.9 AS confidence
+  FROM relw
+  WHERE u.w IN ({words})
+)"""
+
+
+def kg_mentions_sql(
+    cache: str, phrases: str, names: str, threshold: float = SERVICE_THRESHOLD
+) -> str:
+    """FULLY independent SQL derivation of the combined kg_mentions
+    table — including the interleaved ``mention_id``: ner_batch appends
+    model entities (decode order), then regex entities (pattern-dict
+    order, finditer order within a pattern), then gazetteer hits (word
+    order), so mention_id = row_number over (segment, in-segment order)
+    per turn. Replaces the golden replay the gate used through round 2;
+    the golden file remains as a pytest cross-check."""
+    from transner_spark.kernels.rules import REGEX_PATTERNS
+
+    all_types = tuple(REGEX_PATTERNS)
+    return f"""
+WITH RECURSIVE
+t AS (
+  SELECT conv_id, turn_idx, text FROM read_parquet('{cache}')
+  WHERE len(regexp_split_to_array(trim(text), '\\s+')) <= 150
+),
+{_model_chain(phrases, names, threshold)},
+{_regex_walk_ctes(all_types)},
+{_religion_m_cte()},
+unioned AS (
+  SELECT conv_id, turn_idx, 0 AS seg, mid AS o1, 0 AS o2,
+         type, value, "offset", confidence, 'model' AS source
+  FROM model_m
+  UNION ALL
+  SELECT conv_id, turn_idx, 1 AS seg, prank AS o1, pos0 AS o2,
+         type, value, "offset", confidence, 'regex' AS source
+  FROM regex_m
+  UNION ALL
+  SELECT conv_id, turn_idx, 2 AS seg, widx AS o1, 0 AS o2,
+         type, value, "offset", confidence, 'gazetteer' AS source
+  FROM rel_m
 )
-SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, ty AS type,
-       CASE WHEN substr(v1, len(v1), 1) IN ('.', ',', ' ')
-            THEN substr(v1, 1, len(v1) - 1) ELSE v1 END AS value,
-       CAST(off1 AS BIGINT) AS "offset", 0.9 AS confidence
-FROM trimmed
+SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+       CAST(row_number() OVER (
+         PARTITION BY conv_id, turn_idx
+         ORDER BY seg, o1, o2) - 1 AS BIGINT) AS mention_id,
+       type, value, CAST("offset" AS BIGINT) AS "offset",
+       confidence, source
+FROM unioned
 """
