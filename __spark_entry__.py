@@ -5,15 +5,18 @@
   sf0.001 documents row count) → materialized edge table.
 - ``queries()``: one entry per implemented operator (SURVEY.md §2 + the
   training-data ops). Each loads/derives its input from the given sf dir.
-- ``oracle_sql()``: DuckDB equivalents. Only the NER stages
-  (kg_mentions/kg_triples) read frozen goldens produced by the
-  pure-Python reference-semantics oracle (scripts/make_goldens.py) —
-  no SQL engine runs the token classifier. Everything downstream is
-  INDEPENDENTLY re-derived in SQL: kg_links (exact + gram-Jaccard
-  linking from the golden triples + alias dim), kg_canonical
-  (recursive-CTE connected components over the golden links), kg_edges
-  (resolution + weighted aggregate from goldens), and all
-  relational/text/dedup/wikiner/t10 queries.
+- ``oracle_sql()``: DuckDB equivalents. Since round 3 NO gate is a
+  golden replay: kg_mentions and kg_triples are re-derived end-to-end
+  in SQL (oracles_ner — the deterministic lexicon classifier, BIO
+  decode, regex/gazetteer rules, and the relational+structural triple
+  rules all re-expressed in DuckDB), and kg_links / kg_canonical /
+  kg_edges are independently re-derived (exact + gram-Jaccard linking,
+  recursive-CTE connected components, resolution + weighted aggregate)
+  from the UPSTREAM stage goldens plus shared dimension data, so a bug
+  in any stage's Spark logic fails its gate. The frozen goldens
+  (scripts/make_goldens.py, pure-Python reference-semantics oracle)
+  remain as pytest cross-checks and as upstream inputs isolating each
+  downstream gate to its own stage's logic.
 """
 
 from __future__ import annotations
@@ -116,6 +119,39 @@ def q_kg_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("first_ts").cast("long").alias("first_epoch"),
         F.col("last_ts").cast("long").alias("last_epoch"),
     )
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from transner_spark.operators.canonicalize import canonicalize
+    from transner_spark.operators.materialize import materialize_edges
+
+    t = _triples(spark, sf_dir)
+    return materialize_edges(t, canonicalize(_links(spark, sf_dir)))
+
+
+def q_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph analytics over the materialized KG: per-node in/out degree
+    and weight sums. Oracle re-derives from the edges golden (same
+    upstream-golden stage isolation as kg_links/canonical/edges)."""
+    from transner_spark.operators.graph import graph_degrees
+
+    return graph_degrees(_edges(spark, sf_dir))
+
+
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration damped PageRank with dangling-mass redistribution;
+    oracle = per-iteration unrolled SQL (the kmeans_cells precedent)."""
+    from transner_spark.operators.graph import graph_pagerank
+
+    return graph_pagerank(_edges(spark, sf_dir))
+
+
+def q_graph_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hop reachability with path multiplicity over the distinct link
+    graph (hub-guard parameter exercised in pytest; gate runs unfiltered)."""
+    from transner_spark.operators.graph import graph_two_hop
+
+    return graph_two_hop(_edges(spark, sf_dir))
 
 
 def q_preprocess_proc_text(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -798,6 +834,53 @@ def _relational_triples_sql(cache: str, mentions_src: str) -> str:
     """
 
 
+def _lineage_chain_sql(cache: str, phrases: str, names: str) -> str:
+    """Golden-free lineage oracle: chain the independent per-stage SQL
+    derivations (mentions → triples → links → canonical → edges) as
+    MATERIALIZED CTEs — each stage consumes the previous CTE, so no
+    stage count comes from a frozen golden, and the expensive NER
+    derivation runs exactly once. Outer CTE names (men/tri/lnk/can/edg)
+    are chosen to not collide with any name inside the nested per-stage
+    WITH blocks, which DuckDB scopes locally while still resolving the
+    outer CTEs."""
+    from transner_spark.data.aliases import ensure_alias_dim_parquet
+    from transner_spark.oracles import kg_canonical_sql, kg_edges_sql, kg_links_sql
+    from transner_spark.oracles_ner import kg_mentions_sql
+
+    alias_dim = ensure_alias_dim_parquet(REPO)
+    guard = "len(regexp_split_to_array(trim(text), '\\s+'))"
+    return f"""
+        WITH
+        men AS MATERIALIZED ({kg_mentions_sql(cache, phrases, names)}),
+        tri AS MATERIALIZED (
+            SELECT * FROM ({_relational_triples_sql(cache, "men")})
+            UNION ALL
+            SELECT conv_id, CAST(turn_idx AS BIGINT),
+                   'agent:' || (CASE WHEN role IS NULL OR role = ''
+                                     THEN 'unknown' ELSE role END),
+                   'AGENT',
+                   'agent:' || (CASE WHEN role IS NULL OR role = ''
+                                     THEN 'unknown' ELSE role END),
+                   'used_tool', 'tool:' || tool, 'TOOL',
+                   'tool:' || tool, 1.0
+            FROM read_parquet('{cache}')
+            WHERE tool IS NOT NULL AND tool <> '' AND {guard} <= 150
+        ),
+        lnk AS MATERIALIZED ({kg_links_sql("tri", alias_dim)}),
+        can AS MATERIALIZED ({kg_canonical_sql("lnk")}),
+        edg AS ({kg_edges_sql("tri", "can", cache)})
+        SELECT 'annotated' AS stage, CAST(COUNT(*) AS BIGINT) AS rows_out
+        FROM read_parquet('{cache}') WHERE {guard} <= 150
+        UNION ALL SELECT 'quarantine', CAST(COUNT(*) AS BIGINT)
+        FROM read_parquet('{cache}') WHERE {guard} > 150
+        UNION ALL SELECT 'mentions', CAST(COUNT(*) AS BIGINT) FROM men
+        UNION ALL SELECT 'triples', CAST(COUNT(*) AS BIGINT) FROM tri
+        UNION ALL SELECT 'links', CAST(COUNT(*) AS BIGINT) FROM lnk
+        UNION ALL SELECT 'canonical', CAST(COUNT(*) AS BIGINT) FROM can
+        UNION ALL SELECT 'edges', CAST(COUNT(*) AS BIGINT) FROM edg
+    """
+
+
 def _preprocess_sql(cache: str) -> str:
     """Independent SQL derivation of the punctuation preprocess (P1/P2,
     preprocessing.py:47-89 semantics): the per-character emission rule —
@@ -946,6 +1029,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_windowed_counts_append": q_stream_windowed_counts_append,
         "role_transitions": q_role_transitions,
         "sessionize_events": q_sessionize_events,
+        "graph_degrees": q_graph_degrees,
+        "graph_pagerank": q_graph_pagerank,
+        "graph_two_hop": q_graph_two_hop,
     }
 
 
@@ -1018,15 +1104,21 @@ def oracle_sql() -> dict[str, str]:
     )
     from transner_spark.oracles import relational_oracles
 
+    from transner_spark.oracles_ner import kg_mentions_sql
+
     out.update(
         relational_oracles(
             docs,
             os.path.join(REPO, "data", "cache", "alias_keys.parquet"),
-            g("mentions"),
+            f"({kg_mentions_sql(cache, ph, nm)})",
             cache,
         )
     )
-    from transner_spark.oracles_ner import kg_mentions_sql
+    from transner_spark.oracles import graph_oracles
+
+    # graph analytics: logic fully re-derived in SQL over the edges
+    # golden (upstream-golden stage isolation, like kg_links/edges)
+    out.update(graph_oracles(f"read_parquet('{g('edges')}')"))
 
     out.update({
         # FULLY independent since round 3 (was a golden replay):
@@ -1034,11 +1126,33 @@ def oracle_sql() -> dict[str, str]:
         # mention_id all re-derived in SQL (oracles_ner). The golden
         # file remains a pytest cross-check.
         "kg_mentions": kg_mentions_sql(cache, ph, nm),
+        # Round 3: the LAST golden replay is gone — the full triple set
+        # is the union of the two independent derivations already gated
+        # separately: rule-1 relational triples chained on the
+        # SQL-DERIVED mentions (not the golden file) + rule-2 structural
+        # used_tool triples straight off the raw transcripts, with the
+        # structural norm columns equal to the value by construction
+        # (kernels/triples.py:102 "structural node: key is the value
+        # itself"). The golden file remains a pytest cross-check.
         "kg_triples": f"""
-            SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, subj_value,
-                   subj_type, subj_norm, pred, obj_value, obj_type, obj_norm,
-                   confidence
-            FROM read_parquet('{g("triples")}')
+            SELECT * FROM ({_relational_triples_sql(
+                cache, f"({kg_mentions_sql(cache, ph, nm)})"
+            )})
+            UNION ALL
+            SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+                   'agent:' || (CASE WHEN role IS NULL OR role = ''
+                                     THEN 'unknown' ELSE role END) AS subj_value,
+                   'AGENT' AS subj_type,
+                   'agent:' || (CASE WHEN role IS NULL OR role = ''
+                                     THEN 'unknown' ELSE role END) AS subj_norm,
+                   'used_tool' AS pred,
+                   'tool:' || tool AS obj_value,
+                   'TOOL' AS obj_type,
+                   'tool:' || tool AS obj_norm,
+                   1.0 AS confidence
+            FROM read_parquet('{cache}')
+            WHERE tool IS NOT NULL AND tool <> ''
+              AND len(regexp_split_to_array(trim(text), '\\s+')) <= 150
         """,
 # links/canonical/edges: NOT golden replays — independent SQL
         # re-derivations from the upstream goldens (kg_derived_oracles)
@@ -1101,20 +1215,16 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{cache}')
             GROUP BY conv_id
         """,
-        # streaming twin of kg_mentions: oracle = the same batch golden
-        "stream_mentions_batch_eq": f"""
-            SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
-                   CAST(mention_id AS BIGINT) AS mention_id, type, value,
-                   CAST("offset" AS BIGINT) AS "offset", confidence, source
-            FROM read_parquet('{g("mentions")}')
-        """,
+        # streaming twin of kg_mentions: oracle = the same independent
+        # SQL derivation the batch gate uses (golden-free since round 3)
+        "stream_mentions_batch_eq": kg_mentions_sql(cache, ph, nm),
         # streaming windowed agg vs a plain SQL window aggregate over the
-        # batch mentions golden (ts joined from the transcripts cache)
+        # SQL-DERIVED mentions (ts joined from the transcripts cache)
         "stream_windowed_counts": f"""
             SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS start_epoch,
                    CAST(floor(epoch(ts) / 600) * 600 + 600 AS BIGINT) AS end_epoch,
                    m.type, CAST(COUNT(*) AS BIGINT) AS n_mentions
-            FROM read_parquet('{g("mentions")}') m
+            FROM ({kg_mentions_sql(cache, ph, nm)}) m
             JOIN read_parquet('{cache}') tc USING (conv_id, turn_idx)
             GROUP BY 1, 2, 3
         """,
@@ -1124,30 +1234,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS start_epoch,
                    CAST(floor(epoch(ts) / 600) * 600 + 600 AS BIGINT) AS end_epoch,
                    m.type, CAST(COUNT(*) AS BIGINT) AS n_mentions
-            FROM read_parquet('{g("mentions")}') m
+            FROM ({kg_mentions_sql(cache, ph, nm)}) m
             JOIN read_parquet('{cache}') tc USING (conv_id, turn_idx)
             GROUP BY 1, 2, 3
         """,
-        # S4 lineage: each stage's rows_out independently re-derived —
-        # the guard predicate for annotated/quarantine, the frozen
-        # goldens for the KG stages
-        "pipeline_lineage": f"""
-            SELECT 'annotated' AS stage, CAST(COUNT(*) AS BIGINT) AS rows_out
-            FROM read_parquet('{cache}')
-            WHERE len(regexp_split_to_array(trim(text), '\s+')) <= 150
-            UNION ALL SELECT 'quarantine', CAST(COUNT(*) AS BIGINT)
-            FROM read_parquet('{cache}')
-            WHERE len(regexp_split_to_array(trim(text), '\s+')) > 150
-            UNION ALL SELECT 'mentions', CAST(COUNT(*) AS BIGINT)
-            FROM read_parquet('{g("mentions")}')
-            UNION ALL SELECT 'triples', CAST(COUNT(*) AS BIGINT)
-            FROM read_parquet('{g("triples")}')
-            UNION ALL SELECT 'links', CAST(COUNT(*) AS BIGINT)
-            FROM read_parquet('{g("links")}')
-            UNION ALL SELECT 'canonical', CAST(COUNT(*) AS BIGINT)
-            FROM read_parquet('{g("canonical")}')
-            UNION ALL SELECT 'edges', CAST(COUNT(*) AS BIGINT)
-            FROM read_parquet('{g("edges")}')
-        """,
+        # S4 lineage: every stage's rows_out re-derived GOLDEN-FREE in
+        # one chained SQL — the guard predicate for annotated/quarantine,
+        # then mentions → triples → links → canonical → edges as
+        # MATERIALIZED CTEs over the same independent derivations the
+        # per-stage gates use (oracles_ner + kg_*_sql builders), each
+        # stage consuming the previous CTE instead of a golden file.
+        "pipeline_lineage": _lineage_chain_sql(cache, ph, nm),
     })
     return out

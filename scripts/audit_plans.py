@@ -111,6 +111,20 @@ def main() -> None:
             read_graf_ners(spark, graf_dir),
         ),
     )
+
+    from transner_spark.operators.graph import (
+        graph_degrees,
+        graph_pagerank,
+        graph_two_hop,
+    )
+    from transner_spark.sources.transcripts import sf_name
+
+    edges = spark.read.parquet(
+        os.path.join(REPO, "data", "golden", sf_name(sf), "edges.parquet")
+    )
+    audit("graph_degrees", graph_degrees(edges))
+    audit("graph_pagerank", graph_pagerank(edges))
+    audit("graph_two_hop", graph_two_hop(edges))
     spark.stop()
 
 

@@ -644,8 +644,11 @@ SELECT vec_id, CAST(cell_id AS BIGINT) AS cell_id FROM assign{iters}
 
 
 def relational_oracles(
-    docs: str, keys: str, mentions_golden: str, cache: str
+    docs: str, keys: str, mentions_src: str, cache: str
 ) -> dict[str, str]:
+    """``mentions_src`` is FROM-able — since round 3 the gate passes the
+    independent SQL mentions derivation (oracles_ner.kg_mentions_sql)
+    instead of the golden parquet, making the overlap gate golden-free."""
     from transner_spark.operators.relational import IOB_TYPES, REGION_CHARS
 
     tag_h = _h60("('tag:' || x)")
@@ -736,7 +739,7 @@ WHERE key NOT IN (
 )
 """,
         "mention_overlap_pairs": f"""
-WITH g AS (SELECT * FROM read_parquet('{mentions_golden}'))
+WITH g AS (SELECT * FROM {mentions_src})
 SELECT a.conv_id, CAST(a.turn_idx AS BIGINT) AS turn_idx,
        CAST(a.mention_id AS BIGINT) AS a_id,
        CAST(b.mention_id AS BIGINT) AS b_id,
@@ -1056,41 +1059,21 @@ FROM read_parquet('{docs}')
     }
 
 
-def kg_derived_oracles(
-    g_triples: str,
-    g_links: str,
-    g_canonical: str,
-    transcripts_cache: str,
-    alias_dim: str,
-    jaccard_threshold: float = 0.5,
-) -> dict[str, str]:
-    """Independent SQL re-derivations for the downstream KG stages.
-
-    The NER stages (mentions/triples) remain golden-replayed — no SQL
-    engine runs the token classifier — but everything AFTER them is
-    re-derived here from the UPSTREAM golden plus shared dimension data:
-
-    - kg_links: golden triples → distinct non-structural surfaces →
-      exact join + 3-gram inverted-index Jaccard + tie-breaks against
-      the alias_dim parquet (shared data; the linking LOGIC is all SQL);
-    - kg_canonical: golden links → surface/entity edge list → recursive
-      CTE connected components (min-label closure);
-    - kg_edges: golden triples + golden canonical + the transcripts
-      cache (for ts) → structural-node resolution + weighted aggregate.
-
-    This closes most of VERDICT r1's self-referential-oracle caveat:
-    a bug in the Spark linking/canonicalization/materialization now
-    fails the gate even if the same bug lived in the python oracle's
-    goldens for those stages.
-    """
+def kg_links_sql(
+    triples_src: str, alias_dim: str, jaccard_threshold: float = 0.5
+) -> str:
+    """Entity-linking re-derivation from a FROM-able triples source
+    (``read_parquet('...')`` or a named CTE): distinct non-structural
+    surfaces -> exact join + 3-gram inverted-index Jaccard + tie-breaks
+    against the alias_dim parquet (shared data; the linking LOGIC is all
+    SQL)."""
     structural = "('AGENT', 'SPEAKER', 'TOOL')"
     grams3 = """
     CASE WHEN length(p) < 3 THEN [p]
          ELSE list_distinct([substr(p, i, 3)
                              for i in range(1, length(p) - 1)]) END"""
-    return {
-        "kg_links": f"""
-WITH t AS (SELECT * FROM read_parquet('{g_triples}')),
+    return f"""
+WITH t AS (SELECT * FROM {triples_src}),
 surf AS (
   SELECT DISTINCT norm_key FROM (
     SELECT subj_norm AS norm_key FROM t WHERE subj_type NOT IN {structural}
@@ -1142,10 +1125,16 @@ unmatched AS (
 SELECT norm_key, entity_key, score, method FROM exact WHERE method = 'exact'
 UNION ALL SELECT * FROM fuzzy
 UNION ALL SELECT * FROM unmatched
-""",
-        "kg_canonical": f"""
+"""
+
+
+def kg_canonical_sql(links_src: str) -> str:
+    """Canonicalization re-derivation from a FROM-able links source:
+    surface/entity edge list -> recursive-CTE connected components
+    (min-label closure)."""
+    return f"""
 WITH RECURSIVE
-l AS (SELECT * FROM read_parquet('{g_links}')),
+l AS (SELECT * FROM {links_src}),
 ed AS (
   SELECT 'surface:' || norm_key AS src,
          coalesce(entity_key, 'surface:' || norm_key) AS dst
@@ -1159,15 +1148,24 @@ cc AS (
   FROM cc c JOIN sym e ON e.src = c.node_id
 )
 SELECT node_id, min(label) AS canon_id FROM cc GROUP BY node_id
-""",
-        "kg_edges": f"""
+"""
+
+
+def kg_edges_sql(
+    triples_src: str, canonical_src: str, transcripts_cache: str
+) -> str:
+    """Edge-materialization re-derivation from FROM-able triples and
+    canonical sources + the transcripts cache (for ts): structural-node
+    resolution + weighted aggregate."""
+    structural = "('AGENT', 'SPEAKER', 'TOOL')"
+    return f"""
 WITH t AS (
   SELECT tr.*, tc.ts
-  FROM read_parquet('{g_triples}') tr
+  FROM {triples_src} tr
   JOIN read_parquet('{transcripts_cache}') tc
     USING (conv_id, turn_idx)
 ),
-c AS (SELECT * FROM read_parquet('{g_canonical}')),
+c AS (SELECT * FROM {canonical_src}),
 nodes AS (
   SELECT
     CASE WHEN subj_type IN {structural} THEN subj_norm
@@ -1190,5 +1188,108 @@ SELECT subj_id, pred, obj_id,
        CAST(epoch(min(ts)) AS BIGINT) AS first_epoch,
        CAST(epoch(max(ts)) AS BIGINT) AS last_epoch
 FROM r GROUP BY subj_id, pred, obj_id
+"""
+
+
+def kg_derived_oracles(
+    g_triples: str,
+    g_links: str,
+    g_canonical: str,
+    transcripts_cache: str,
+    alias_dim: str,
+    jaccard_threshold: float = 0.5,
+) -> dict[str, str]:
+    """Independent SQL re-derivations for the downstream KG stages.
+
+    The NER stages (mentions/triples) have their own end-to-end SQL
+    derivations (oracles_ner) since round 3; everything AFTER them is
+    re-derived here (kg_links_sql / kg_canonical_sql / kg_edges_sql)
+    from the UPSTREAM stage golden plus shared dimension data, isolating
+    each downstream gate to its own stage's logic: a bug in the Spark
+    linking/canonicalization/materialization fails its gate even if the
+    same bug lived in the python oracle's goldens for those stages.
+    (pipeline_lineage chains the same builders golden-free end-to-end —
+    see __spark_entry__.oracle_sql.)
+    """
+    return {
+        "kg_links": kg_links_sql(
+            f"read_parquet('{g_triples}')", alias_dim, jaccard_threshold
+        ),
+        "kg_canonical": kg_canonical_sql(f"read_parquet('{g_links}')"),
+        "kg_edges": kg_edges_sql(
+            f"read_parquet('{g_triples}')",
+            f"read_parquet('{g_canonical}')",
+            transcripts_cache,
+        ),
+    }
+
+
+def graph_oracles(
+    edges_src: str,
+    n_iterations: int = 3,
+    damping: float = 0.85,
+) -> dict[str, str]:
+    """Oracles for the graph-analytics operators (operators/graph.py)
+    over a FROM-able edges source (the edges golden parquet in the gate —
+    same upstream-golden isolation pattern as kg_links/canonical/edges:
+    the graph LOGIC is fully re-derived here).
+
+    graph_pagerank is the kmeans_cells precedent applied to graphs: the
+    fixed iteration count makes Lloyd-style unrolling possible — one
+    (contrib, dangling, rank) CTE triple per iteration, scalar aggregates
+    as subqueries."""
+    ed = f"(SELECT DISTINCT subj_id AS src, obj_id AS dst FROM {edges_src})"
+    d = damping
+    ctes = [
+        f"e AS {ed}",
+        "nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e)",
+        "od AS (SELECT src, CAST(count(*) AS DOUBLE) AS outdeg FROM e GROUP BY src)",
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes)",
+        "pr0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS pr FROM nodes)",
+    ]
+    for i in range(1, n_iterations + 1):
+        ctes.append(
+            f"""c{i} AS (
+  SELECT e.dst AS id, sum(p.pr / od.outdeg) AS contrib
+  FROM e JOIN pr{i - 1} p ON p.id = e.src JOIN od ON od.src = e.src
+  GROUP BY e.dst)"""
+        )
+        ctes.append(
+            f"""d{i} AS (
+  SELECT coalesce(sum(pr), 0.0) AS m FROM pr{i - 1}
+  WHERE id NOT IN (SELECT src FROM e))"""
+        )
+        ctes.append(
+            f"""pr{i} AS (
+  SELECT nodes.id,
+         (1.0 - {d}) / (SELECT n FROM nn)
+         + {d} * (coalesce(c.contrib, 0.0)
+                  + (SELECT m FROM d{i}) / (SELECT n FROM nn)) AS pr
+  FROM nodes LEFT JOIN c{i} c ON c.id = nodes.id)"""
+        )
+    pagerank = (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id AS node_id, round(pr, 6) AS pr FROM pr{n_iterations}"
+    )
+    return {
+        "graph_degrees": f"""
+WITH s AS (
+  SELECT subj_id AS node_id, 1 AS is_out, weight FROM {edges_src}
+  UNION ALL
+  SELECT obj_id, 0, weight FROM {edges_src}
+)
+SELECT node_id,
+  CAST(sum(CASE WHEN is_out = 1 THEN 1 ELSE 0 END) AS BIGINT) AS out_deg,
+  CAST(sum(CASE WHEN is_out = 0 THEN 1 ELSE 0 END) AS BIGINT) AS in_deg,
+  CAST(sum(CASE WHEN is_out = 1 THEN weight ELSE 0 END) AS BIGINT) AS out_weight,
+  CAST(sum(CASE WHEN is_out = 0 THEN weight ELSE 0 END) AS BIGINT) AS in_weight
+FROM s GROUP BY node_id
+""",
+        "graph_pagerank": pagerank,
+        "graph_two_hop": f"""
+WITH e AS {ed}
+SELECT a.src AS src_id, b.dst AS dst_id, CAST(count(*) AS BIGINT) AS n_paths
+FROM e a JOIN e b ON a.dst = b.src
+GROUP BY a.src, b.dst
 """,
     }
