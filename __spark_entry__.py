@@ -121,6 +121,16 @@ def q_kg_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_edges_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same Spark plan as ``kg_edges`` (transcripts → NER → triples →
+    links → canonical → edges), but gated against the CHAINED golden-free
+    SQL re-derivation of the WHOLE pipeline (``_edges_e2e_sql``) instead
+    of the upstream-golden stage-isolated oracle — the strongest single
+    value-level correctness statement in the gate: a bug in ANY stage's
+    Spark logic changes these values."""
+    return q_kg_edges(spark, sf_dir)
+
+
 def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from transner_spark.operators.canonicalize import canonicalize
     from transner_spark.operators.materialize import materialize_edges
@@ -834,21 +844,23 @@ def _relational_triples_sql(cache: str, mentions_src: str) -> str:
     """
 
 
-def _lineage_chain_sql(cache: str, phrases: str, names: str) -> str:
-    """Golden-free lineage oracle: chain the independent per-stage SQL
-    derivations (mentions → triples → links → canonical → edges) as
-    MATERIALIZED CTEs — each stage consumes the previous CTE, so no
-    stage count comes from a frozen golden, and the expensive NER
-    derivation runs exactly once. Outer CTE names (men/tri/lnk/can/edg)
-    are chosen to not collide with any name inside the nested per-stage
-    WITH blocks, which DuckDB scopes locally while still resolving the
-    outer CTEs."""
+_CHAIN_GUARD = "len(regexp_split_to_array(trim(text), '\\s+'))"
+
+
+def _chain_ctes(cache: str, phrases: str, names: str) -> str:
+    """The full pipeline re-derived as one chained CTE block:
+    mentions → triples → links → canonical → edges, each stage consuming
+    the previous MATERIALIZED CTE — no frozen golden anywhere, and the
+    expensive NER derivation runs exactly once. Outer CTE names
+    (men/tri/lnk/can/edg) are chosen to not collide with any name inside
+    the nested per-stage WITH blocks, which DuckDB scopes locally while
+    still resolving the outer CTEs. Shared by the golden-free lineage
+    oracle (counts) and the kg_edges_e2e oracle (values)."""
     from transner_spark.data.aliases import ensure_alias_dim_parquet
     from transner_spark.oracles import kg_canonical_sql, kg_edges_sql, kg_links_sql
     from transner_spark.oracles_ner import kg_mentions_sql
 
     alias_dim = ensure_alias_dim_parquet(REPO)
-    guard = "len(regexp_split_to_array(trim(text), '\\s+'))"
     return f"""
         WITH
         men AS MATERIALIZED ({kg_mentions_sql(cache, phrases, names)}),
@@ -864,11 +876,18 @@ def _lineage_chain_sql(cache: str, phrases: str, names: str) -> str:
                    'used_tool', 'tool:' || tool, 'TOOL',
                    'tool:' || tool, 1.0
             FROM read_parquet('{cache}')
-            WHERE tool IS NOT NULL AND tool <> '' AND {guard} <= 150
+            WHERE tool IS NOT NULL AND tool <> '' AND {_CHAIN_GUARD} <= 150
         ),
         lnk AS MATERIALIZED ({kg_links_sql("tri", alias_dim)}),
         can AS MATERIALIZED ({kg_canonical_sql("lnk")}),
-        edg AS ({kg_edges_sql("tri", "can", cache)})
+        edg AS ({kg_edges_sql("tri", "can", cache)})"""
+
+
+def _lineage_chain_sql(cache: str, phrases: str, names: str) -> str:
+    """Golden-free lineage oracle: per-stage row counts off the chained
+    CTE block (_chain_ctes)."""
+    guard = _CHAIN_GUARD
+    return f"""{_chain_ctes(cache, phrases, names)}
         SELECT 'annotated' AS stage, CAST(COUNT(*) AS BIGINT) AS rows_out
         FROM read_parquet('{cache}') WHERE {guard} <= 150
         UNION ALL SELECT 'quarantine', CAST(COUNT(*) AS BIGINT)
@@ -878,6 +897,18 @@ def _lineage_chain_sql(cache: str, phrases: str, names: str) -> str:
         UNION ALL SELECT 'links', CAST(COUNT(*) AS BIGINT) FROM lnk
         UNION ALL SELECT 'canonical', CAST(COUNT(*) AS BIGINT) FROM can
         UNION ALL SELECT 'edges', CAST(COUNT(*) AS BIGINT) FROM edg
+    """
+
+
+def _edges_e2e_sql(cache: str, phrases: str, names: str) -> str:
+    """VALUE-level end-to-end oracle: the final edge table (every
+    column) re-derived by the full chained SQL pipeline — the strongest
+    single correctness statement in the gate: a bug in ANY Spark stage
+    (NER, triples, linking, canonicalization, materialization) changes
+    these values."""
+    return f"""{_chain_ctes(cache, phrases, names)}
+        SELECT subj_id, pred, obj_id, weight, first_epoch, last_epoch
+        FROM edg
     """
 
 
@@ -981,6 +1012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_links": q_kg_links,
         "kg_canonical": q_kg_canonical,
         "kg_edges": q_kg_edges,
+        "kg_edges_e2e": q_kg_edges_e2e,
         "preprocess_proc_text": q_preprocess_proc_text,
         "mentions_religion": q_mentions_religion,
         "mentions_uri": q_mentions_uri,
@@ -1126,6 +1158,10 @@ def oracle_sql() -> dict[str, str]:
         # mention_id all re-derived in SQL (oracles_ner). The golden
         # file remains a pytest cross-check.
         "kg_mentions": kg_mentions_sql(cache, ph, nm),
+        # VALUE-level end-to-end chain: the final edge table re-derived
+        # by the full golden-free SQL pipeline (mentions → triples →
+        # links → canonical → edges as chained MATERIALIZED CTEs).
+        "kg_edges_e2e": _edges_e2e_sql(cache, ph, nm),
         # Round 3: the LAST golden replay is gone — the full triple set
         # is the union of the two independent derivations already gated
         # separately: rule-1 relational triples chained on the
