@@ -513,7 +513,12 @@ def q_mentions_ner(spark: SparkSession, sf_dir: str) -> DataFrame:
     return explode_mentions(_annotated(spark, sf_dir)).where(
         F.col("source") == "model"
     ).select(
-        "conv_id", "turn_idx", "mention_id", "type", "value", "offset",
+        "conv_id",
+        F.col("turn_idx").cast("long").alias("turn_idx"),
+        F.col("mention_id").cast("long").alias("mention_id"),
+        "type",
+        "value",
+        F.col("offset").cast("long").alias("offset"),
         "confidence",
     )
 
@@ -847,6 +852,63 @@ def _relational_triples_sql(cache: str, mentions_src: str) -> str:
 _CHAIN_GUARD = "len(regexp_split_to_array(trim(text), '\\s+'))"
 
 
+def _ensure_sql_derived_mentions(cache: str, phrases: str, names: str) -> str:
+    """Materialize the kg_mentions_sql derivation ONCE per gate run and
+    return the parquet path. NOT a frozen golden: the file is produced
+    at oracle-BUILD time by DuckDB executing the same pure SQL
+    derivation the ``kg_mentions`` gate still runs inline (so the
+    derivation itself stays value-checked end-to-end) — this is a cached
+    intermediate shared by the ~8 downstream oracles that previously
+    each re-ran the recursive NER chain from scratch, roughly halving
+    gate wall time. Keyed on a digest of the SQL text (which embeds the
+    content-digested dictionary-dim paths) plus the transcripts cache's
+    (size, mtime), so any change to the derivation or its inputs
+    re-materializes."""
+    import hashlib
+
+    import duckdb
+
+    from transner_spark.oracles_ner import kg_mentions_sql
+
+    sql = kg_mentions_sql(cache, phrases, names)
+    st = os.stat(cache)
+    digest = hashlib.md5(
+        f"{sql}|{st.st_size}|{st.st_mtime_ns}".encode()
+    ).hexdigest()[:10]
+    out = os.path.join(
+        REPO, "data", "cache", f"mentions_sql_derived-{digest}.parquet"
+    )
+    if not os.path.exists(out):
+        tmp = out + ".tmp"
+        duckdb.connect().execute(f"COPY ({sql}) TO '{tmp}' (FORMAT PARQUET)")
+        os.replace(tmp, out)
+    return out
+
+
+def _structural_triples_sql(cache: str) -> str:
+    """Rule-2 structural ``used_tool`` triples straight off the raw
+    transcripts (kernels/triples.py:102 — the structural norm IS the
+    value). Single source of truth for the three oracle consumers
+    (triples_structural, kg_triples, the chained tri CTE): a change to
+    rule-2 semantics edits exactly one SQL block."""
+    return f"""
+            SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+                   'agent:' || (CASE WHEN role IS NULL OR role = ''
+                                     THEN 'unknown' ELSE role END) AS subj_value,
+                   'AGENT' AS subj_type,
+                   'agent:' || (CASE WHEN role IS NULL OR role = ''
+                                     THEN 'unknown' ELSE role END) AS subj_norm,
+                   'used_tool' AS pred,
+                   'tool:' || tool AS obj_value,
+                   'TOOL' AS obj_type,
+                   'tool:' || tool AS obj_norm,
+                   1.0 AS confidence
+            FROM read_parquet('{cache}')
+            WHERE tool IS NOT NULL AND tool <> ''
+              AND {_CHAIN_GUARD} <= 150
+    """
+
+
 def _chain_ctes(cache: str, phrases: str, names: str) -> str:
     """The full pipeline re-derived as one chained CTE block:
     mentions → triples → links → canonical → edges, each stage consuming
@@ -855,28 +917,24 @@ def _chain_ctes(cache: str, phrases: str, names: str) -> str:
     (men/tri/lnk/can/edg) are chosen to not collide with any name inside
     the nested per-stage WITH blocks, which DuckDB scopes locally while
     still resolving the outer CTEs. Shared by the golden-free lineage
-    oracle (counts) and the kg_edges_e2e oracle (values)."""
+    oracle (counts) and the kg_edges_e2e oracle (values).
+
+    ``men`` reads the gate-build-time materialization of the SQL
+    mentions derivation (_ensure_sql_derived_mentions) — a cached
+    intermediate of the SAME pure-SQL derivation the kg_mentions gate
+    executes inline, not a frozen golden."""
     from transner_spark.data.aliases import ensure_alias_dim_parquet
     from transner_spark.oracles import kg_canonical_sql, kg_edges_sql, kg_links_sql
-    from transner_spark.oracles_ner import kg_mentions_sql
 
     alias_dim = ensure_alias_dim_parquet(REPO)
+    men_pq = _ensure_sql_derived_mentions(cache, phrases, names)
     return f"""
         WITH
-        men AS MATERIALIZED ({kg_mentions_sql(cache, phrases, names)}),
+        men AS (SELECT * FROM read_parquet('{men_pq}')),
         tri AS MATERIALIZED (
             SELECT * FROM ({_relational_triples_sql(cache, "men")})
             UNION ALL
-            SELECT conv_id, CAST(turn_idx AS BIGINT),
-                   'agent:' || (CASE WHEN role IS NULL OR role = ''
-                                     THEN 'unknown' ELSE role END),
-                   'AGENT',
-                   'agent:' || (CASE WHEN role IS NULL OR role = ''
-                                     THEN 'unknown' ELSE role END),
-                   'used_tool', 'tool:' || tool, 'TOOL',
-                   'tool:' || tool, 1.0
-            FROM read_parquet('{cache}')
-            WHERE tool IS NOT NULL AND tool <> '' AND {_CHAIN_GUARD} <= 150
+            {_structural_triples_sql(cache)}
         ),
         lnk AS MATERIALIZED ({kg_links_sql("tri", alias_dim)}),
         can AS MATERIALIZED ({kg_canonical_sql("lnk")}),
@@ -960,27 +1018,23 @@ def _religion_mentions_sql(cache: str) -> str:
     RE2 ``\\s+`` — ASCII whitespace — vs the kernel's Python
     str.split(), which also splits non-ASCII Unicode whitespace: the
     same accepted, documented divergence class as the WikiNER/T10
-    chains; the corpora are ASCII-whitespace separated."""
-    from transner_spark.data.gazetteers import load_religions_set
+    chains; the corpora are ASCII-whitespace separated.
 
-    words = ", ".join(
-        "'" + w.replace("'", "''") + "'" for w in sorted(load_religions_set())
-    )
+    The derivation itself is the SHARED ``_religion_m_cte`` fragment
+    (oracles_ner) — one SQL transcription of find_religions, consumed
+    both here and inside the combined kg_mentions oracle, so a fix to
+    the fragment can never make the two gates disagree."""
+    from transner_spark.oracles_ner import _religion_m_cte
+
     return f"""
         WITH t AS (
           SELECT conv_id, turn_idx, text FROM read_parquet('{cache}')
-          WHERE len(regexp_split_to_array(trim(text), '\\s+')) <= 150
-        ), w AS (
-          SELECT conv_id, turn_idx, text,
-                 unnest(regexp_split_to_array(lower(text), '\\s+')) AS word
-          FROM t
-        )
+          WHERE {_CHAIN_GUARD} <= 150
+        ),
+        {_religion_m_cte()}
         SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
-               substr(text, strpos(lower(text), word), length(word)) AS value,
-               CAST(strpos(lower(text), word) - 1 AS BIGINT) AS "offset",
-               0.9 AS confidence
-        FROM w
-        WHERE word <> '' AND word IN ({words})
+               value, CAST("offset" AS BIGINT) AS "offset", confidence
+        FROM rel_m
     """
 
 
@@ -1103,6 +1157,10 @@ def oracle_sql() -> dict[str, str]:
     from transner_spark.oracles_ner import mentions_ner_sql
 
     ph, nm = ensure_ner_lexicon_parquet(REPO)
+    # the SQL mentions derivation, materialized once and shared by the
+    # downstream oracles (kg_mentions itself stays on the inline SQL —
+    # see _ensure_sql_derived_mentions)
+    men_src = f"read_parquet('{_ensure_sql_derived_mentions(cache, ph, nm)}')"
     out["mentions_ner"] = mentions_ner_sql(cache, ph, nm)
     from transner_spark.oracles_ner import mentions_regex_sql
 
@@ -1142,7 +1200,7 @@ def oracle_sql() -> dict[str, str]:
         relational_oracles(
             docs,
             os.path.join(REPO, "data", "cache", "alias_keys.parquet"),
-            f"({kg_mentions_sql(cache, ph, nm)})",
+            men_src,
             cache,
         )
     )
@@ -1171,24 +1229,9 @@ def oracle_sql() -> dict[str, str]:
         # (kernels/triples.py:102 "structural node: key is the value
         # itself"). The golden file remains a pytest cross-check.
         "kg_triples": f"""
-            SELECT * FROM ({_relational_triples_sql(
-                cache, f"({kg_mentions_sql(cache, ph, nm)})"
-            )})
+            SELECT * FROM ({_relational_triples_sql(cache, men_src)})
             UNION ALL
-            SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
-                   'agent:' || (CASE WHEN role IS NULL OR role = ''
-                                     THEN 'unknown' ELSE role END) AS subj_value,
-                   'AGENT' AS subj_type,
-                   'agent:' || (CASE WHEN role IS NULL OR role = ''
-                                     THEN 'unknown' ELSE role END) AS subj_norm,
-                   'used_tool' AS pred,
-                   'tool:' || tool AS obj_value,
-                   'TOOL' AS obj_type,
-                   'tool:' || tool AS obj_norm,
-                   1.0 AS confidence
-            FROM read_parquet('{cache}')
-            WHERE tool IS NOT NULL AND tool <> ''
-              AND len(regexp_split_to_array(trim(text), '\\s+')) <= 150
+            {_structural_triples_sql(cache)}
         """,
 # links/canonical/edges: NOT golden replays — independent SQL
         # re-derivations from the upstream goldens (kg_derived_oracles)
@@ -1198,9 +1241,7 @@ def oracle_sql() -> dict[str, str]:
         "mentions_religion": _religion_mentions_sql(cache),
         # chained onto the SQL-DERIVED mentions (not the golden file):
         # the rule-1 triples derivation is now golden-free end-to-end
-        "triples_relational": _relational_triples_sql(
-            cache, f"({kg_mentions_sql(cache, ph, nm)})"
-        ),
+        "triples_relational": _relational_triples_sql(cache, men_src),
         "mentions_uri": f"""
             WITH RECURSIVE t AS (
               SELECT conv_id, turn_idx, text FROM read_parquet('{cache}')
@@ -1228,16 +1269,9 @@ def oracle_sql() -> dict[str, str]:
         # emits NO triple (`if ... and tool:`), empty-string role maps
         # to 'unknown' (`role or 'unknown'`)
         "triples_structural": f"""
-            SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
-                   'agent:' || (CASE WHEN role IS NULL OR role = ''
-                                     THEN 'unknown' ELSE role END) AS subj_value,
-                   'AGENT' AS subj_type,
-                   'tool:' || tool AS obj_value,
-                   'TOOL' AS obj_type,
-                   1.0 AS confidence
-            FROM read_parquet('{cache}')
-            WHERE tool IS NOT NULL AND tool <> ''
-              AND len(regexp_split_to_array(trim(text), '\\s+')) <= 150
+            SELECT conv_id, turn_idx, subj_value, subj_type,
+                   obj_value, obj_type, confidence
+            FROM ({_structural_triples_sql(cache)})
         """,
         "length_guard": f"""
             SELECT role, COUNT(*) AS n_turns
@@ -1253,14 +1287,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         # streaming twin of kg_mentions: oracle = the same independent
         # SQL derivation the batch gate uses (golden-free since round 3)
-        "stream_mentions_batch_eq": kg_mentions_sql(cache, ph, nm),
+        "stream_mentions_batch_eq": f"SELECT * FROM {men_src}",
         # streaming windowed agg vs a plain SQL window aggregate over the
         # SQL-DERIVED mentions (ts joined from the transcripts cache)
         "stream_windowed_counts": f"""
             SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS start_epoch,
                    CAST(floor(epoch(ts) / 600) * 600 + 600 AS BIGINT) AS end_epoch,
                    m.type, CAST(COUNT(*) AS BIGINT) AS n_mentions
-            FROM ({kg_mentions_sql(cache, ph, nm)}) m
+            FROM {men_src} m
             JOIN read_parquet('{cache}') tc USING (conv_id, turn_idx)
             GROUP BY 1, 2, 3
         """,
@@ -1270,7 +1304,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS start_epoch,
                    CAST(floor(epoch(ts) / 600) * 600 + 600 AS BIGINT) AS end_epoch,
                    m.type, CAST(COUNT(*) AS BIGINT) AS n_mentions
-            FROM ({kg_mentions_sql(cache, ph, nm)}) m
+            FROM {men_src} m
             JOIN read_parquet('{cache}') tc USING (conv_id, turn_idx)
             GROUP BY 1, 2, 3
         """,

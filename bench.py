@@ -340,9 +340,18 @@ def _run_level_subprocess(n: int) -> dict:
 
     proc = subprocess.run(
         [sys.executable, os.path.abspath(__file__), "--level", str(n)],
-        capture_output=True, text=True, check=True,
+        capture_output=True, text=True,
     )
-    return json.loads(proc.stdout.strip().splitlines()[-1])
+    lines = proc.stdout.strip().splitlines()
+    if proc.returncode != 0 or not lines:
+        # surface the child's Spark/JVM diagnostics instead of an opaque
+        # CalledProcessError that discards captured stderr
+        sys.stderr.write(proc.stderr[-8000:])
+        raise RuntimeError(
+            f"scaling leg local[{n}] failed (rc={proc.returncode}); "
+            "child stderr above"
+        )
+    return json.loads(lines[-1])
 
 
 def main() -> None:

@@ -125,20 +125,18 @@ def ensure_ner_lexicon_parquet(repo_root: str) -> tuple[str, str]:
     n_toks) dumped from the LexiconClassifier's own phrase dict — so the
     oracle matches against exactly the keys the classifier matches — and
     names (word, kind in first/surname/title). Only the matching/tiling
-    LOGIC is re-derived in SQL. Returns (phrases_path, names_path)."""
+    LOGIC is re-derived in SQL. The file names embed a digest of the
+    dictionary CONTENT, so editing the lexicons or the classifier's
+    tokenization invalidates the dims automatically instead of the
+    oracle silently running against stale data. Returns
+    (phrases_path, names_path)."""
+    import hashlib
     import os
 
     import pandas as pd
 
     from transner_spark.kernels.classifier import LexiconClassifier
 
-    base = os.path.join(repo_root, "data", "cache")
-    p_path = os.path.join(base, "ner_phrases.parquet")
-    n_path = os.path.join(base, "ner_names.parquet")
-    if os.path.exists(p_path) and os.path.exists(n_path):
-        return p_path, n_path
-
-    os.makedirs(base, exist_ok=True)
     clf = LexiconClassifier()
     phrases = sorted(
         (" ".join(toks), ty, len(toks)) for toks, ty in clf.phrase_type.items()
@@ -148,6 +146,14 @@ def ensure_ner_lexicon_parquet(repo_root: str) -> tuple[str, str]:
         + [(w, "surname") for w in sorted(clf.surnames)]
         + [(w, "title") for w in sorted(clf.titles)]
     )
+    digest = hashlib.md5(repr((phrases, names)).encode()).hexdigest()[:10]
+    base = os.path.join(repo_root, "data", "cache")
+    p_path = os.path.join(base, f"ner_phrases-{digest}.parquet")
+    n_path = os.path.join(base, f"ner_names-{digest}.parquet")
+    if os.path.exists(p_path) and os.path.exists(n_path):
+        return p_path, n_path
+
+    os.makedirs(base, exist_ok=True)
     tmp = p_path + ".tmp"
     pd.DataFrame(phrases, columns=["phrase", "ty", "n_toks"]).to_parquet(
         tmp, index=False

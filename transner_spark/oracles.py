@@ -1226,8 +1226,8 @@ def kg_derived_oracles(
 
 def graph_oracles(
     edges_src: str,
-    n_iterations: int = 3,
-    damping: float = 0.85,
+    n_iterations: int | None = None,
+    damping: float | None = None,
 ) -> dict[str, str]:
     """Oracles for the graph-analytics operators (operators/graph.py)
     over a FROM-able edges source (the edges golden parquet in the gate —
@@ -1237,7 +1237,14 @@ def graph_oracles(
     graph_pagerank is the kmeans_cells precedent applied to graphs: the
     fixed iteration count makes Lloyd-style unrolling possible — one
     (contrib, dangling, rank) CTE triple per iteration, scalar aggregates
-    as subqueries."""
+    as subqueries. Defaults come from the OPERATOR's constants so a
+    tuning change cannot silently desynchronize oracle and operator."""
+    from transner_spark.operators.graph import PAGERANK_DAMPING, PAGERANK_ITERATIONS
+
+    if n_iterations is None:
+        n_iterations = PAGERANK_ITERATIONS
+    if damping is None:
+        damping = PAGERANK_DAMPING
     ed = f"(SELECT DISTINCT subj_id AS src, obj_id AS dst FROM {edges_src})"
     d = damping
     ctes = [

@@ -43,10 +43,9 @@ from __future__ import annotations
 
 import string
 
+from transner_spark.config import SERVICE_THRESHOLD
 from transner_spark.functions.hashing import h60_sql
 from transner_spark.kernels.decode import LABELS
-
-SERVICE_THRESHOLD = 0.75
 
 
 def _punct_sql() -> str:
@@ -91,8 +90,16 @@ proc AS (
 )"""
 
 
-def _tagger_ctes(phrases: str, names: str, max_phrase_len: int = 4) -> str:
-    """CTE fragment: greedy tiling of BIO tags over the token array."""
+def _tagger_ctes(phrases: str, names: str, max_phrase_len: int | None = None) -> str:
+    """CTE fragment: greedy tiling of BIO tags over the token array.
+
+    ``max_phrase_len`` defaults to the CLASSIFIER's own computed bound
+    (LexiconClassifier.max_phrase_len) so adding a longer phrase to the
+    lexicons cannot silently leave the oracle's window generator short."""
+    if max_phrase_len is None:
+        from transner_spark.kernels.classifier import LexiconClassifier
+
+        max_phrase_len = LexiconClassifier().max_phrase_len
     # chain length of consecutive surname|firstname tokens after pos i
     # (list_position returns 0 — not NULL — when absent, hence nullif)
     chain = (
