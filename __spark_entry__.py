@@ -131,6 +131,56 @@ def q_kg_edges_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q_kg_edges(spark, sf_dir)
 
 
+def q_kg_edges_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental KG maintenance: split the triple stream into two
+    deterministic batches, materialize edges per batch against the SAME
+    canonical map, merge with ``merge_edge_increments`` — and gate the
+    merge against the WHOLE-corpus SQL derivation, proving the monoid
+    identity merge(edges(parts)) == edges(whole) at value level. This is
+    the 100 TB production pattern: per-batch increments, not full
+    recompute."""
+    from transner_spark.operators.canonicalize import canonicalize
+    from transner_spark.operators.materialize import (
+        materialize_edges,
+        merge_edge_increments,
+    )
+
+    t = _triples(spark, sf_dir)
+    canon = canonicalize(_links(spark, sf_dir))
+    part = F.pmod(F.crc32(F.col("conv_id")), F.lit(2))
+    batches = [
+        materialize_edges(t.where(part == i), canon) for i in range(2)
+    ]
+    return merge_edge_increments(*batches).select(
+        "subj_id",
+        "pred",
+        "obj_id",
+        F.col("weight").cast("long").alias("weight"),
+        F.col("first_ts").cast("long").alias("first_epoch"),
+        F.col("last_ts").cast("long").alias("last_epoch"),
+    )
+
+
+def q_kg_edges_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal snapshot: the edge table as of the midpoint of the
+    triple stream's ts range (cutoff derived IN-PLAN as a broadcast
+    scalar); oracle = the same rollup with the same midpoint filter in
+    SQL."""
+    from transner_spark.operators.canonicalize import canonicalize
+    from transner_spark.operators.materialize import edges_asof
+
+    t = _triples(spark, sf_dir)
+    canon = canonicalize(_links(spark, sf_dir))
+    return edges_asof(t, canon).select(
+        "subj_id",
+        "pred",
+        "obj_id",
+        F.col("weight").cast("long").alias("weight"),
+        F.col("first_ts").cast("long").alias("first_epoch"),
+        F.col("last_ts").cast("long").alias("last_epoch"),
+    )
+
+
 def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from transner_spark.operators.canonicalize import canonicalize
     from transner_spark.operators.materialize import materialize_edges
@@ -162,6 +212,15 @@ def q_graph_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     from transner_spark.operators.graph import graph_two_hop
 
     return graph_two_hop(_edges(spark, sf_dir))
+
+
+def q_graph_neighbors_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node top-k neighbors by weight (KG-serving primitive); the
+    rank window is PARTITIONED by subj_id — per-node frames, never a
+    global sort."""
+    from transner_spark.operators.graph import graph_neighbors_topk
+
+    return graph_neighbors_topk(_edges(spark, sf_dir))
 
 
 def q_preprocess_proc_text(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1067,6 +1126,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_canonical": q_kg_canonical,
         "kg_edges": q_kg_edges,
         "kg_edges_e2e": q_kg_edges_e2e,
+        "kg_edges_incremental": q_kg_edges_incremental,
+        "kg_edges_asof": q_kg_edges_asof,
         "preprocess_proc_text": q_preprocess_proc_text,
         "mentions_religion": q_mentions_religion,
         "mentions_uri": q_mentions_uri,
@@ -1118,6 +1179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_degrees": q_graph_degrees,
         "graph_pagerank": q_graph_pagerank,
         "graph_two_hop": q_graph_two_hop,
+        "graph_neighbors_topk": q_graph_neighbors_topk,
     }
 
 

@@ -114,6 +114,7 @@ def main() -> None:
 
     from transner_spark.operators.graph import (
         graph_degrees,
+        graph_neighbors_topk,
         graph_pagerank,
         graph_two_hop,
     )
@@ -125,6 +126,34 @@ def main() -> None:
     audit("graph_degrees", graph_degrees(edges))
     audit("graph_pagerank", graph_pagerank(edges))
     audit("graph_two_hop", graph_two_hop(edges))
+    audit("graph_neighbors_topk", graph_neighbors_topk(edges))
+
+    from transner_spark.operators.canonicalize import canonicalize
+    from transner_spark.operators.linking import link_surfaces, node_surfaces
+    from transner_spark.operators.materialize import (
+        edges_asof,
+        materialize_edges,
+        merge_edge_increments,
+    )
+
+    triples = spark.read.parquet(
+        os.path.join(REPO, "data", "golden", sf_name(sf), "triples.parquet")
+    )
+    from pyspark.sql import functions as Fn
+
+    cache = spark.read.parquet(
+        os.path.join(REPO, "data", "cache", sf_name(sf), "transcripts.parquet")
+    )
+    t = triples.join(cache.select("conv_id", "turn_idx", "ts"), ["conv_id", "turn_idx"])
+    canon = canonicalize(link_surfaces(spark, node_surfaces(t)))
+    part = Fn.pmod(Fn.crc32(Fn.col("conv_id")), Fn.lit(2))
+    audit(
+        "merge_edge_increments",
+        merge_edge_increments(
+            *[materialize_edges(t.where(part == i), canon) for i in range(2)]
+        ),
+    )
+    audit("edges_asof", edges_asof(t, canon))
     spark.stop()
 
 

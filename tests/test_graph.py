@@ -118,3 +118,28 @@ def test_two_hop_hub_guard(edges_df):
         for r in graph_two_hop(edges_df, max_mid_degree=3).collect()
     }
     assert got == {("a", "c"): 1, ("b", "a"): 1, ("a", "a"): 1}
+
+
+def test_neighbors_topk_exact_and_deterministic(edges_df):
+    from transner_spark.operators.graph import graph_neighbors_topk
+
+    got = sorted(
+        (r["subj_id"], r["rank"], r["pred"], r["obj_id"], r["weight"])
+        for r in graph_neighbors_topk(edges_df, k=2).collect()
+    )
+    # a: b@3 (p1), b@2 (p2) — c@1 cut by k=2; weight-desc then obj, pred
+    assert [(s, rk, p, o, w) for s, rk, p, o, w in got if s == "a"] == [
+        ("a", 1, "p1", "b", 3),
+        ("a", 2, "p2", "b", 2),
+    ]
+    # d: a@4 then e@1; b/c have a single out-edge each
+    assert [(s, rk, o) for s, rk, p, o, w in got if s == "d"] == [
+        ("d", 1, "a"),
+        ("d", 2, "e"),
+    ]
+    assert all(rk <= 2 for _, rk, _, _, _ in got)
+    again = sorted(
+        (r["subj_id"], r["rank"], r["pred"], r["obj_id"], r["weight"])
+        for r in graph_neighbors_topk(edges_df, k=2).collect()
+    )
+    assert got == again

@@ -116,3 +116,75 @@ def test_lsh_linking_subset(spark, annotated):
     assert len(lsh) > 0
     for r in lsh.itertuples(index=False):
         assert det_map.get(r.norm_key) == r.entity_key
+
+
+def test_merge_edge_increments_identity(spark):
+    """The monoid identity behind incremental maintenance: merging
+    per-batch edge tables equals materializing the whole triple stream
+    (same canonical map)."""
+    import pyspark.sql.functions as F
+
+    from transner_spark.operators.materialize import (
+        materialize_edges,
+        merge_edge_increments,
+    )
+
+    rows = [
+        ("c%d" % (i % 7), i, "s%d" % (i % 3), "PER", "surf%d" % (i % 3),
+         "knows", "o%d" % (i % 4), "LOC", "osurf%d" % (i % 4), 0.9,
+         "2026-01-%02d 00:00:%02d" % (1 + i % 27, i % 60))
+        for i in range(200)
+    ]
+    t = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx long, subj_value string, subj_type string,"
+        " subj_norm string, pred string, obj_value string, obj_type string,"
+        " obj_norm string, confidence double, ts_s string",
+    ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+    canon = spark.createDataFrame(
+        [("surface:surf0", "canon:x"), ("surface:osurf1", "canon:y")],
+        "node_id string, canon_id string",
+    )
+    whole = materialize_edges(t, canon)
+    part = F.pmod(F.crc32(F.col("conv_id")), F.lit(3))
+    batches = [materialize_edges(t.where(part == i), canon) for i in range(3)]
+    merged = merge_edge_increments(*batches)
+    cols = ["subj_id", "pred", "obj_id", "weight", "first_ts", "last_ts"]
+    assert sorted(map(tuple, whole.select(cols).collect())) == sorted(
+        map(tuple, merged.select(cols).collect())
+    )
+
+
+def test_edges_asof_explicit_cutoff(spark):
+    """edges_asof with an explicit epoch equals materializing the
+    pre-filtered stream; the default midpoint variant is a subset of the
+    full table with weights <= full weights."""
+    import pyspark.sql.functions as F
+
+    from transner_spark.operators.materialize import (
+        edges_asof,
+        materialize_edges,
+    )
+
+    rows = [
+        ("c1", 0, "a", "PER", "a", "knows", "b", "LOC", "b", 0.9, "2026-01-01 00:00:00"),
+        ("c1", 1, "a", "PER", "a", "knows", "b", "LOC", "b", 0.9, "2026-01-02 00:00:00"),
+        ("c1", 2, "a", "PER", "a", "knows", "b", "LOC", "b", 0.9, "2026-01-03 00:00:00"),
+    ]
+    t = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx long, subj_value string, subj_type string,"
+        " subj_norm string, pred string, obj_value string, obj_type string,"
+        " obj_norm string, confidence double, ts_s string",
+    ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+    canon = spark.createDataFrame([], "node_id string, canon_id string")
+    cutoff = t.select(F.unix_timestamp("ts")).collect()[1][0]  # jan 2
+    snap = edges_asof(t, canon, asof_epoch=cutoff).collect()
+    assert len(snap) == 1 and snap[0]["weight"] == 2
+    expect = materialize_edges(
+        t.where(F.unix_timestamp("ts") <= cutoff), canon
+    ).collect()
+    assert snap[0]["weight"] == expect[0]["weight"]
+    # default midpoint: jan 1..3 midpoint = jan 2 → weight 2 as well
+    mid = edges_asof(t, canon).collect()
+    assert len(mid) == 1 and mid[0]["weight"] == 2

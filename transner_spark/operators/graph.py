@@ -33,11 +33,12 @@ beyond one executor):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 PAGERANK_ITERATIONS = 3
 PAGERANK_DAMPING = 0.85
+NEIGHBORS_TOPK_K = 5
 
 
 def graph_degrees(edges: DataFrame) -> DataFrame:
@@ -183,5 +184,32 @@ def graph_two_hop(
         .agg(F.count(F.lit(1)).cast("long").alias("n_paths"))
         .select(
             F.col("src").alias("src_id"), F.col("dst").alias("dst_id"), "n_paths"
+        )
+    )
+
+
+def graph_neighbors_topk(edges: DataFrame, k: int = NEIGHBORS_TOPK_K) -> DataFrame:
+    """Per-node top-k outgoing neighbors by edge weight — the KG-serving
+    primitive ("what is X most connected to?"). A rank window PARTITIONED
+    BY the subject id: at cluster scale each node's frame is its own
+    out-degree (bounded, never a global sort), so the plan is one shuffle
+    on subj_id + a per-partition sort — the unpartitioned-window
+    anti-pattern this repo bans does not appear. Deterministic total
+    tiebreak (weight desc, obj_id, pred) so the gate hash is stable."""
+    w = F.row_number().over(
+        Window.partitionBy("subj_id").orderBy(
+            F.col("weight").desc(), F.col("obj_id"), F.col("pred")
+        )
+    )
+    return (
+        edges.select("subj_id", "pred", "obj_id", "weight")
+        .withColumn("rank", w)
+        .where(F.col("rank") <= k)
+        .select(
+            "subj_id",
+            "pred",
+            "obj_id",
+            F.col("weight").cast("long").alias("weight"),
+            F.col("rank").cast("long").alias("rank"),
         )
     )

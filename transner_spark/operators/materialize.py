@@ -90,6 +90,76 @@ def materialize_edges(
     )
 
 
+def merge_edge_increments(
+    *edge_batches: DataFrame, cfg: PipelineConfig | None = None
+) -> DataFrame:
+    """Associative merge of edge-table increments — the 100 TB
+    maintenance pattern: a production KG ingests per-batch (daily /
+    per-micro-batch) edge increments instead of recomputing the corpus,
+    which works because the edge aggregate is a commutative monoid:
+    weight adds, first_ts takes min, last_ts takes max. Given the SAME
+    canonical map, ``merge(edges(batch_1), ..., edges(batch_n)) ==
+    edges(batch_1 ∪ ... ∪ batch_n)`` exactly — the kg_edges_incremental
+    gate checks that algebraic identity against the full-corpus SQL
+    derivation. (The canonical map itself refreshes on a slower cadence;
+    resolving increments through a stale map then re-merging after a
+    canon refresh is the standard two-speed design.)
+
+    One shuffle: union of increments → hash aggregate on the edge key.
+    Map-side partial aggregation bounds hot edges; increments are
+    already aggregated, so input cardinality is edges, not mentions."""
+    cfg = cfg or PipelineConfig()
+    merged = edge_batches[0]
+    for b in edge_batches[1:]:
+        merged = merged.unionByName(b, allowMissingColumns=True)
+    return (
+        merged.groupBy("subj_id", "pred", "obj_id")
+        .agg(
+            F.sum("weight").alias("weight"),
+            F.min("first_ts").alias("first_ts"),
+            F.max("last_ts").alias("last_ts"),
+        )
+        .withColumn("bucket", F.pmod(F.hash("subj_id"), F.lit(cfg.edge_buckets)))
+    )
+
+
+def edges_asof(
+    triples: DataFrame,
+    canon: DataFrame,
+    asof_epoch: int | None = None,
+    cfg: PipelineConfig | None = None,
+    broadcast_canon: bool = True,
+) -> DataFrame:
+    """Temporal KG snapshot: the edge table as it stood at ``asof_epoch``
+    (unix seconds) — triples with ``ts`` past the cutoff never enter the
+    rollup, so weights/first/last reflect only history up to the
+    snapshot. The honest way to time-travel a weighted edge aggregate:
+    aggregated rows are not invertible, the snapshot must filter BEFORE
+    the rollup, and the ts predicate sits directly on the triple stream
+    where a partitioned-by-time layout prunes whole partitions.
+
+    ``asof_epoch=None`` derives the midpoint between the triple stream's
+    min and max ts IN-PLAN (a 1-row broadcast-joined scalar, no driver
+    action) — the deterministic default the gate uses."""
+    ts_epoch = F.unix_timestamp("ts")
+    if asof_epoch is None:
+        bounds = triples.agg(
+            F.floor((F.min(ts_epoch) + F.max(ts_epoch)) / 2)
+            .cast("long")
+            .alias("_asof_cutoff")
+        )
+        filtered = (
+            triples.join(F.broadcast(bounds))
+            .where(ts_epoch <= F.col("_asof_cutoff"))
+            .drop("_asof_cutoff")
+        )
+    else:
+        filtered = triples.where(ts_epoch <= F.lit(int(asof_epoch)))
+    return materialize_edges(
+        filtered, canon, cfg=cfg, broadcast_canon=broadcast_canon
+    )
+
+
 def write_edges(edges: DataFrame, path: str, cfg: PipelineConfig | None = None) -> None:
     """Write partitioned by subject-hash bucket (Iceberg would use
     ``bucket(N, subj_id)`` partition transform; Parquet fallback keeps the

@@ -1152,19 +1152,40 @@ SELECT node_id, min(label) AS canon_id FROM cc GROUP BY node_id
 
 
 def kg_edges_sql(
-    triples_src: str, canonical_src: str, transcripts_cache: str
+    triples_src: str,
+    canonical_src: str,
+    transcripts_cache: str,
+    asof_midpoint: bool = False,
 ) -> str:
     """Edge-materialization re-derivation from FROM-able triples and
     canonical sources + the transcripts cache (for ts): structural-node
-    resolution + weighted aggregate."""
+    resolution + weighted aggregate.
+
+    ``asof_midpoint=True`` derives the temporal-snapshot twin
+    (operators/materialize.edges_asof default): only triples with ts at
+    or before floor((min+max)/2) of the triple stream's epoch range
+    enter the rollup — the same in-plan scalar the Spark operator
+    broadcasts."""
     structural = "('AGENT', 'SPEAKER', 'TOOL')"
+    asof = (
+        """,
+t AS (
+  SELECT * FROM t0
+  WHERE epoch(ts) <= (
+    SELECT CAST(floor((min(epoch(ts)) + max(epoch(ts))) / 2) AS BIGINT)
+    FROM t0
+  )
+)"""
+        if asof_midpoint
+        else ",\nt AS (SELECT * FROM t0)"
+    )
     return f"""
-WITH t AS (
+WITH t0 AS (
   SELECT tr.*, tc.ts
   FROM {triples_src} tr
   JOIN read_parquet('{transcripts_cache}') tc
     USING (conv_id, turn_idx)
-),
+){asof},
 c AS (SELECT * FROM {canonical_src}),
 nodes AS (
   SELECT
@@ -1221,6 +1242,22 @@ def kg_derived_oracles(
             f"read_parquet('{g_canonical}')",
             transcripts_cache,
         ),
+        # incremental maintenance: the Spark side splits the triple
+        # stream into batches, materializes each, and merges — the
+        # oracle is the WHOLE-corpus derivation, checking the monoid
+        # identity merge(edges(parts)) == edges(whole) at value level
+        "kg_edges_incremental": kg_edges_sql(
+            f"read_parquet('{g_triples}')",
+            f"read_parquet('{g_canonical}')",
+            transcripts_cache,
+        ),
+        # temporal snapshot at the in-plan midpoint cutoff
+        "kg_edges_asof": kg_edges_sql(
+            f"read_parquet('{g_triples}')",
+            f"read_parquet('{g_canonical}')",
+            transcripts_cache,
+            asof_midpoint=True,
+        ),
     }
 
 
@@ -1239,12 +1276,17 @@ def graph_oracles(
     (contrib, dangling, rank) CTE triple per iteration, scalar aggregates
     as subqueries. Defaults come from the OPERATOR's constants so a
     tuning change cannot silently desynchronize oracle and operator."""
-    from transner_spark.operators.graph import PAGERANK_DAMPING, PAGERANK_ITERATIONS
+    from transner_spark.operators.graph import (
+        NEIGHBORS_TOPK_K,
+        PAGERANK_DAMPING,
+        PAGERANK_ITERATIONS,
+    )
 
     if n_iterations is None:
         n_iterations = PAGERANK_ITERATIONS
     if damping is None:
         damping = PAGERANK_DAMPING
+    topk_k = NEIGHBORS_TOPK_K
     ed = f"(SELECT DISTINCT subj_id AS src, obj_id AS dst FROM {edges_src})"
     d = damping
     ctes = [
@@ -1298,5 +1340,19 @@ WITH e AS {ed}
 SELECT a.src AS src_id, b.dst AS dst_id, CAST(count(*) AS BIGINT) AS n_paths
 FROM e a JOIN e b ON a.dst = b.src
 GROUP BY a.src, b.dst
+""",
+        # same deterministic total tiebreak as the operator's window
+        "graph_neighbors_topk": f"""
+SELECT subj_id, pred, obj_id, CAST(weight AS BIGINT) AS weight,
+       CAST(rank AS BIGINT) AS rank
+FROM (
+  SELECT subj_id, pred, obj_id, weight,
+         row_number() OVER (
+           PARTITION BY subj_id
+           ORDER BY weight DESC, obj_id, pred
+         ) AS rank
+  FROM {edges_src}
+)
+WHERE rank <= {topk_k}
 """,
     }
