@@ -716,6 +716,52 @@ def q_stream_mentions_batch_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_edges_batch_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming KG maintenance gate: split the corpus into 4 files, run
+    ``stream_edge_increments`` one-file-per-micro-batch (each batch's
+    edge increment MERGED into the maintained table via the incremental
+    monoid, against the batch-computed canonical map — the two-speed
+    design), and compare the final maintained table to the whole-corpus
+    SQL edge derivation. Proves the streaming path lands on EXACTLY the
+    batch answer regardless of micro-batch boundaries."""
+    import shutil
+    import tempfile
+
+    from transner_spark.operators.canonicalize import canonicalize
+    from transner_spark.sources.transcripts import ensure_transcripts_parquet
+    from transner_spark.streaming.incremental import stream_edge_increments
+
+    src = ensure_transcripts_parquet(REPO, sf_dir)
+    canon = canonicalize(_links(spark, sf_dir))
+    work = tempfile.mkdtemp(prefix="stream_edges_gate_")
+    try:
+        in_dir = os.path.join(work, "in")
+        spark.read.parquet(src).repartition(4).write.parquet(in_dir)
+        state = os.path.join(work, "edges")
+        stream_edge_increments(
+            spark, in_dir, state, os.path.join(work, "ck"), canon
+        )
+        out = (
+            spark.read.parquet(state)
+            .select(
+                "subj_id",
+                "pred",
+                "obj_id",
+                F.col("weight").cast("long").alias("weight"),
+                F.col("first_ts").cast("long").alias("first_epoch"),
+                F.col("last_ts").cast("long").alias("last_epoch"),
+            )
+            .toPandas()
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        out,
+        "subj_id string, pred string, obj_id string, weight long, "
+        "first_epoch long, last_epoch long",
+    )
+
+
 def q_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming windowed-aggregate gate: tumbling 10-minute mention
     counts per type via the watermarked streaming aggregation (complete
@@ -1172,6 +1218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mention_overlap_pairs": q_mention_overlap_pairs,
         "pipeline_lineage": q_pipeline_lineage,
         "stream_mentions_batch_eq": q_stream_mentions_batch_eq,
+        "stream_edges_batch_eq": q_stream_edges_batch_eq,
         "stream_windowed_counts": q_stream_windowed_counts,
         "stream_windowed_counts_append": q_stream_windowed_counts_append,
         "role_transitions": q_role_transitions,
@@ -1253,6 +1300,15 @@ def oracle_sql() -> dict[str, str]:
             cache,
             ensure_alias_dim_parquet(REPO),
         )
+    )
+    # streaming maintenance twin of kg_edges: the maintained table must
+    # equal the whole-corpus derivation whatever the micro-batching
+    from transner_spark.oracles import kg_edges_sql
+
+    out["stream_edges_batch_eq"] = kg_edges_sql(
+        f"read_parquet('{g('triples')}')",
+        f"read_parquet('{g('canonical')}')",
+        cache,
     )
     from transner_spark.oracles import relational_oracles
 

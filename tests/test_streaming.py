@@ -148,3 +148,45 @@ def test_append_mode_windowed_counts_flush(spark, tmp_path):
     g = {tuple(r) for r in got.collect()}
     w = {tuple(r) for r in want.collect()}
     assert g == w and len(g) > 0
+
+
+def test_stream_edge_increments_maintenance(spark, tiny_pdf, tiny_df, stream_dirs):
+    """The maintained edge table equals the batch rollup after each
+    arrival; a rerun with no new files is a no-op (exactly-once per
+    input file), and a new file merges only its increment."""
+    import pyspark.sql.functions as F
+
+    from transner_spark.operators.annotate import annotate_turns, explode_triples
+    from transner_spark.operators.canonicalize import canonicalize
+    from transner_spark.operators.linking import link_surfaces, node_surfaces
+    from transner_spark.operators.materialize import materialize_edges
+    from transner_spark.streaming.incremental import stream_edge_increments
+
+    d = stream_dirs
+    state = d["out"] + "_edges"
+    t_all = explode_triples(annotate_turns(tiny_df))
+    canon = canonicalize(link_surfaces(spark, node_surfaces(t_all)))
+
+    def batch_edges(lo, hi):
+        part = tiny_df.where(
+            (F.col("turn_idx") >= lo) & (F.col("turn_idx") < hi)
+        )
+        return materialize_edges(explode_triples(annotate_turns(part)), canon)
+
+    def snap(df):
+        cols = ["subj_id", "pred", "obj_id", "weight", "first_ts", "last_ts"]
+        return sorted(map(tuple, df.select(cols).collect()))
+
+    _write_batch(spark, tiny_pdf, d["in"], 0, 3, "b0")
+    stream_edge_increments(spark, d["in"] + "/*", state, d["cp"], canon)
+    assert snap(spark.read.parquet(state)) == snap(batch_edges(0, 3))
+
+    # rerun, nothing new → identical state (no double-merge)
+    before = snap(spark.read.parquet(state))
+    stream_edge_increments(spark, d["in"] + "/*", state, d["cp"], canon)
+    assert snap(spark.read.parquet(state)) == before
+
+    # new file → maintained table becomes the whole-corpus rollup
+    _write_batch(spark, tiny_pdf, d["in"], 3, 5, "b1")
+    stream_edge_increments(spark, d["in"] + "/*", state, d["cp"], canon)
+    assert snap(spark.read.parquet(state)) == snap(batch_edges(0, 5))

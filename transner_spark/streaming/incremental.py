@@ -319,3 +319,82 @@ def stream_conversations(
         .trigger(processingTime=trigger_interval)
         .start()
     )
+
+
+def stream_edge_increments(
+    spark: SparkSession,
+    input_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    canon: DataFrame,
+    cfg: PipelineConfig | None = None,
+    max_files_per_trigger: int = 1,
+    await_termination: bool = True,
+):
+    """Streaming KG maintenance: each micro-batch of new transcripts is
+    annotated, rolled up to an edge increment (operators/materialize),
+    and MERGED into the maintained edge table via the same
+    ``merge_edge_increments`` monoid the batch gate proves — the
+    foreachBatch twin of an Iceberg/Delta ``MERGE INTO``. The canonical
+    map is a parameter: it refreshes on a slower cadence than the edge
+    increments (the two-speed design documented on
+    merge_edge_increments); a canon refresh triggers a one-off batch
+    re-resolution, not a streaming change.
+
+    Local-parquet state swap: the merged table writes to a versioned tmp
+    dir, then atomically replaces ``state_dir`` (read of the previous
+    state happens during the tmp write, before the swap). foreachBatch
+    is at-least-once, so a ``_last_batch`` marker makes re-delivered
+    micro-batches idempotent — together with the swap this is the
+    sandbox mirror of a transactional table commit; at warehouse scale
+    both collapse into the table format's atomic MERGE."""
+    import shutil
+
+    from transner_spark.operators.annotate import explode_triples
+    from transner_spark.operators.materialize import (
+        materialize_edges,
+        merge_edge_increments,
+    )
+
+    marker = state_dir + ".last_batch"
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if os.path.exists(marker):
+            with open(marker) as fh:
+                if batch_id <= int(fh.read().strip()):
+                    return  # re-delivered batch: already merged
+        sess = batch_df.sparkSession
+        inc = materialize_edges(explode_triples(batch_df), canon, cfg)
+        if os.path.exists(os.path.join(state_dir, "_SUCCESS")):
+            merged = merge_edge_increments(
+                sess.read.parquet(state_dir), inc, cfg=cfg
+            )
+        else:
+            merged = inc
+        tmp = f"{state_dir}.b{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        old = state_dir + ".old"
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.exists(state_dir):
+            shutil.move(state_dir, old)
+        shutil.move(tmp, state_dir)
+        shutil.rmtree(old, ignore_errors=True)
+        with open(marker + ".tmp", "w") as fh:
+            fh.write(str(batch_id))
+        os.replace(marker + ".tmp", marker)
+
+    stream = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+    q = (
+        annotate_turns(stream, cfg)
+        .writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if await_termination:
+        q.awaitTermination()
+    return q
