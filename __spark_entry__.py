@@ -105,13 +105,11 @@ def q_kg_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return canonicalize(_links(spark, sf_dir)).select("node_id", "canon_id")
 
 
-def q_kg_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from transner_spark.operators.canonicalize import canonicalize
-    from transner_spark.operators.materialize import materialize_edges
-
-    t = _triples(spark, sf_dir)
-    canon = canonicalize(_links(spark, sf_dir))
-    return materialize_edges(t, canon).select(
+def _select_edge_cols(df: DataFrame) -> DataFrame:
+    """The edge-gate output contract, in ONE place (four gate queries
+    plus the stream gate's schema string share it): epoch casts to long,
+    stable column names matching every edge oracle."""
+    return df.select(
         "subj_id",
         "pred",
         "obj_id",
@@ -119,6 +117,15 @@ def q_kg_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("first_ts").cast("long").alias("first_epoch"),
         F.col("last_ts").cast("long").alias("last_epoch"),
     )
+
+
+def q_kg_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from transner_spark.operators.canonicalize import canonicalize
+    from transner_spark.operators.materialize import materialize_edges
+
+    t = _triples(spark, sf_dir)
+    canon = canonicalize(_links(spark, sf_dir))
+    return _select_edge_cols(materialize_edges(t, canon))
 
 
 def q_kg_edges_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -145,20 +152,18 @@ def q_kg_edges_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         merge_edge_increments,
     )
 
-    t = _triples(spark, sf_dir)
-    canon = canonicalize(_links(spark, sf_dir))
+    from transner_spark.operators.linking import link_surfaces, node_surfaces
+
+    # one NER pass: localCheckpoint the triple stream (graph_pagerank
+    # precedent), then both batch filters AND the canon derivation reuse
+    # the materialized result instead of re-running annotate 4x
+    t = _triples(spark, sf_dir).localCheckpoint()
+    canon = canonicalize(link_surfaces(spark, node_surfaces(t)))
     part = F.pmod(F.crc32(F.col("conv_id")), F.lit(2))
     batches = [
         materialize_edges(t.where(part == i), canon) for i in range(2)
     ]
-    return merge_edge_increments(*batches).select(
-        "subj_id",
-        "pred",
-        "obj_id",
-        F.col("weight").cast("long").alias("weight"),
-        F.col("first_ts").cast("long").alias("first_epoch"),
-        F.col("last_ts").cast("long").alias("last_epoch"),
-    )
+    return _select_edge_cols(merge_edge_increments(*batches))
 
 
 def q_kg_edges_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -171,14 +176,7 @@ def q_kg_edges_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = _triples(spark, sf_dir)
     canon = canonicalize(_links(spark, sf_dir))
-    return edges_asof(t, canon).select(
-        "subj_id",
-        "pred",
-        "obj_id",
-        F.col("weight").cast("long").alias("weight"),
-        F.col("first_ts").cast("long").alias("first_epoch"),
-        F.col("last_ts").cast("long").alias("last_epoch"),
-    )
+    return _select_edge_cols(edges_asof(t, canon))
 
 
 def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -729,7 +727,10 @@ def q_stream_edges_batch_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from transner_spark.operators.canonicalize import canonicalize
     from transner_spark.sources.transcripts import ensure_transcripts_parquet
-    from transner_spark.streaming.incremental import stream_edge_increments
+    from transner_spark.streaming.incremental import (
+        current_edge_state,
+        stream_edge_increments,
+    )
 
     src = ensure_transcripts_parquet(REPO, sf_dir)
     canon = canonicalize(_links(spark, sf_dir))
@@ -741,18 +742,9 @@ def q_stream_edges_batch_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_edge_increments(
             spark, in_dir, state, os.path.join(work, "ck"), canon
         )
-        out = (
-            spark.read.parquet(state)
-            .select(
-                "subj_id",
-                "pred",
-                "obj_id",
-                F.col("weight").cast("long").alias("weight"),
-                F.col("first_ts").cast("long").alias("first_epoch"),
-                F.col("last_ts").cast("long").alias("last_epoch"),
-            )
-            .toPandas()
-        )
+        out = _select_edge_cols(
+            spark.read.parquet(current_edge_state(state)[0])
+        ).toPandas()
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return spark.createDataFrame(
@@ -984,7 +976,17 @@ def _ensure_sql_derived_mentions(cache: str, phrases: str, names: str) -> str:
         REPO, "data", "cache", f"mentions_sql_derived-{digest}.parquet"
     )
     if not os.path.exists(out):
-        tmp = out + ".tmp"
+        import glob
+
+        for stale in glob.glob(
+            os.path.join(REPO, "data", "cache", "mentions_sql_derived-*.parquet")
+        ):  # superseded digests (incl. mtime-keyed rebuilds): prune
+            if stale != out:
+                try:
+                    os.remove(stale)
+                except OSError:
+                    pass
+        tmp = f"{out}.{os.getpid()}.tmp"
         duckdb.connect().execute(f"COPY ({sql}) TO '{tmp}' (FORMAT PARQUET)")
         os.replace(tmp, out)
     return out

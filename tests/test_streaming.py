@@ -160,7 +160,10 @@ def test_stream_edge_increments_maintenance(spark, tiny_pdf, tiny_df, stream_dir
     from transner_spark.operators.canonicalize import canonicalize
     from transner_spark.operators.linking import link_surfaces, node_surfaces
     from transner_spark.operators.materialize import materialize_edges
-    from transner_spark.streaming.incremental import stream_edge_increments
+    from transner_spark.streaming.incremental import (
+        current_edge_state,
+        stream_edge_increments,
+    )
 
     d = stream_dirs
     state = d["out"] + "_edges"
@@ -177,16 +180,24 @@ def test_stream_edge_increments_maintenance(spark, tiny_pdf, tiny_df, stream_dir
         cols = ["subj_id", "pred", "obj_id", "weight", "first_ts", "last_ts"]
         return sorted(map(tuple, df.select(cols).collect()))
 
+    def state_df():
+        return spark.read.parquet(current_edge_state(state)[0])
+
     _write_batch(spark, tiny_pdf, d["in"], 0, 3, "b0")
     stream_edge_increments(spark, d["in"] + "/*", state, d["cp"], canon)
-    assert snap(spark.read.parquet(state)) == snap(batch_edges(0, 3))
+    assert snap(state_df()) == snap(batch_edges(0, 3))
 
     # rerun, nothing new → identical state (no double-merge)
-    before = snap(spark.read.parquet(state))
+    before = snap(state_df())
     stream_edge_increments(spark, d["in"] + "/*", state, d["cp"], canon)
-    assert snap(spark.read.parquet(state)) == before
+    assert snap(state_df()) == before
 
     # new file → maintained table becomes the whole-corpus rollup
     _write_batch(spark, tiny_pdf, d["in"], 3, 5, "b1")
     stream_edge_increments(spark, d["in"] + "/*", state, d["cp"], canon)
-    assert snap(spark.read.parquet(state)) == snap(batch_edges(0, 5))
+    assert snap(state_df()) == snap(batch_edges(0, 5))
+
+    # a re-delivered batch id is a committed no-op: CURRENT carries the
+    # last applied id in the same atomic pointer as the data
+    path, last = current_edge_state(state)
+    assert last >= 0 and path.endswith(f"v{last}")

@@ -154,12 +154,22 @@ def ensure_ner_lexicon_parquet(repo_root: str) -> tuple[str, str]:
         return p_path, n_path
 
     os.makedirs(base, exist_ok=True)
-    tmp = p_path + ".tmp"
+    import glob
+
+    for stale in glob.glob(os.path.join(base, "ner_phrases-*.parquet")) + glob.glob(
+        os.path.join(base, "ner_names-*.parquet")
+    ):  # superseded digests: prune so edits don't accumulate files
+        if stale not in (p_path, n_path):
+            try:
+                os.remove(stale)
+            except OSError:
+                pass
+    tmp = f"{p_path}.{os.getpid()}.tmp"
     pd.DataFrame(phrases, columns=["phrase", "ty", "n_toks"]).to_parquet(
         tmp, index=False
     )
     os.replace(tmp, p_path)
-    tmp = n_path + ".tmp"
+    tmp = f"{n_path}.{os.getpid()}.tmp"
     pd.DataFrame(names, columns=["word", "kind"]).to_parquet(tmp, index=False)
     os.replace(tmp, n_path)
     return p_path, n_path

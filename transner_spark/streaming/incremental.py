@@ -321,6 +321,19 @@ def stream_conversations(
     )
 
 
+def current_edge_state(state_dir: str) -> tuple[str | None, int]:
+    """Resolve the live snapshot of a ``stream_edge_increments`` state
+    directory: (parquet path, last applied batch id), or (None, -1) if
+    no snapshot has committed. Readers (gates, tests, serving jobs) go
+    through this instead of assuming a layout."""
+    cur = os.path.join(state_dir, "CURRENT")
+    if not os.path.exists(cur):
+        return None, -1
+    with open(cur) as fh:
+        vname, bid = fh.read().split()
+    return os.path.join(state_dir, vname), int(bid)
+
+
 def stream_edge_increments(
     spark: SparkSession,
     input_dir: str,
@@ -341,13 +354,19 @@ def stream_edge_increments(
     merge_edge_increments); a canon refresh triggers a one-off batch
     re-resolution, not a streaming change.
 
-    Local-parquet state swap: the merged table writes to a versioned tmp
-    dir, then atomically replaces ``state_dir`` (read of the previous
-    state happens during the tmp write, before the swap). foreachBatch
-    is at-least-once, so a ``_last_batch`` marker makes re-delivered
-    micro-batches idempotent — together with the swap this is the
-    sandbox mirror of a transactional table commit; at warehouse scale
-    both collapse into the table format's atomic MERGE."""
+    Local-parquet state commit — versioned snapshots + an atomic
+    ``CURRENT`` pointer, the file-system mirror of a table format's
+    snapshot log: each batch writes its merged table to
+    ``state_dir/v{batch_id}``, then a single ``os.replace`` of
+    ``state_dir/CURRENT`` (which records BOTH the live version and the
+    last applied batch id) commits it. A crash at any point leaves
+    CURRENT on the previous complete snapshot: an in-flight version dir
+    is simply overwritten on re-delivery, the batch id travels in the
+    same atomic commit as the data (no double-merge window), and
+    deleting ``state_dir`` removes the batch marker WITH the state (no
+    stale-marker no-op). Superseded versions are pruned after commit.
+    At warehouse scale all of this collapses into Iceberg/Delta's
+    atomic MERGE + snapshot expiry."""
     import shutil
 
     from transner_spark.operators.annotate import explode_triples
@@ -356,32 +375,29 @@ def stream_edge_increments(
         merge_edge_increments,
     )
 
-    marker = state_dir + ".last_batch"
-
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if os.path.exists(marker):
-            with open(marker) as fh:
-                if batch_id <= int(fh.read().strip()):
-                    return  # re-delivered batch: already merged
+        cur_path, last_applied = current_edge_state(state_dir)
+        if batch_id <= last_applied:
+            return  # re-delivered batch: already committed
         sess = batch_df.sparkSession
         inc = materialize_edges(explode_triples(batch_df), canon, cfg)
-        if os.path.exists(os.path.join(state_dir, "_SUCCESS")):
+        if cur_path is not None:
             merged = merge_edge_increments(
-                sess.read.parquet(state_dir), inc, cfg=cfg
+                sess.read.parquet(cur_path), inc, cfg=cfg
             )
         else:
             merged = inc
-        tmp = f"{state_dir}.b{batch_id}"
-        merged.write.mode("overwrite").parquet(tmp)
-        old = state_dir + ".old"
-        shutil.rmtree(old, ignore_errors=True)
-        if os.path.exists(state_dir):
-            shutil.move(state_dir, old)
-        shutil.move(tmp, state_dir)
-        shutil.rmtree(old, ignore_errors=True)
-        with open(marker + ".tmp", "w") as fh:
-            fh.write(str(batch_id))
-        os.replace(marker + ".tmp", marker)
+        vname = f"v{batch_id}"
+        merged.write.mode("overwrite").parquet(
+            os.path.join(state_dir, vname)
+        )
+        tmp = os.path.join(state_dir, f"CURRENT.{os.getpid()}.tmp")
+        with open(tmp, "w") as fh:
+            fh.write(f"{vname} {batch_id}")
+        os.replace(tmp, os.path.join(state_dir, "CURRENT"))
+        for d in os.listdir(state_dir):  # prune superseded snapshots
+            if d.startswith("v") and d != vname:
+                shutil.rmtree(os.path.join(state_dir, d), ignore_errors=True)
 
     stream = (
         spark.readStream.schema(TRANSCRIPT_SCHEMA)
