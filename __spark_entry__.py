@@ -187,6 +187,27 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return materialize_edges(t, canonicalize(_links(spark, sf_dir)))
 
 
+def q_entity_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-canonical-entity serving view (the "entity card"): subject/
+    object activity counts, distinct predicates, time bounds, and the
+    modal surface form with a deterministic tiebreak. Oracle re-derives
+    the whole view from the upstream goldens."""
+    from transner_spark.operators.canonicalize import canonicalize
+    from transner_spark.operators.materialize import entity_profiles
+
+    t = _triples(spark, sf_dir)
+    canon = canonicalize(_links(spark, sf_dir))
+    return entity_profiles(t, canon).select(
+        "entity_id",
+        "n_subj",
+        "n_obj",
+        "n_preds",
+        F.unix_timestamp("first_ts").alias("first_epoch"),
+        F.unix_timestamp("last_ts").alias("last_epoch"),
+        "top_surface",
+    )
+
+
 def q_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graph analytics over the materialized KG: per-node in/out degree
     and weight sums. Oracle re-derives from the edges golden (same
@@ -1176,6 +1197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_edges_e2e": q_kg_edges_e2e,
         "kg_edges_incremental": q_kg_edges_incremental,
         "kg_edges_asof": q_kg_edges_asof,
+        "entity_profiles": q_entity_profiles,
         "preprocess_proc_text": q_preprocess_proc_text,
         "mentions_religion": q_mentions_religion,
         "mentions_uri": q_mentions_uri,

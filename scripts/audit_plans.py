@@ -154,6 +154,9 @@ def main() -> None:
         ),
     )
     audit("edges_asof", edges_asof(t, canon))
+    from transner_spark.operators.materialize import entity_profiles
+
+    audit("entity_profiles", entity_profiles(t, canon))
     spark.stop()
 
 

@@ -188,3 +188,33 @@ def test_edges_asof_explicit_cutoff(spark):
     # default midpoint: jan 1..3 midpoint = jan 2 → weight 2 as well
     mid = edges_asof(t, canon).collect()
     assert len(mid) == 1 and mid[0]["weight"] == 2
+
+
+def test_entity_profiles_exact(spark):
+    """Handcrafted triples: counts, pred-distinct, bounds and the modal
+    surface with its deterministic tiebreak."""
+    import pyspark.sql.functions as F
+
+    from transner_spark.operators.materialize import entity_profiles
+
+    rows = [
+        # conv, idx, sv, st, sn, pred, ov, ot, on, conf, ts
+        ("c1", 0, "Anna", "PER", "anna", "knows", "Roma", "LOC", "roma", 0.9, "2026-01-01 00:00:00"),
+        ("c1", 1, "anna", "PER", "anna", "visited", "Roma", "LOC", "roma", 0.9, "2026-01-02 00:00:00"),
+        ("c1", 2, "Anna", "PER", "anna", "knows", "Milano", "LOC", "milano", 0.9, "2026-01-03 00:00:00"),
+    ]
+    t = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx long, subj_value string, subj_type string,"
+        " subj_norm string, pred string, obj_value string, obj_type string,"
+        " obj_norm string, confidence double, ts_s string",
+    ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+    canon = spark.createDataFrame([], "node_id string, canon_id string")
+    p = {r["entity_id"]: r for r in entity_profiles(t, canon).collect()}
+    anna = p["surface:anna"]
+    assert (anna["n_subj"], anna["n_obj"], anna["n_preds"]) == (3, 0, 2)
+    # modal surface: 'Anna' x2 beats 'anna' x1
+    assert anna["top_surface"] == "Anna"
+    roma = p["surface:roma"]
+    assert (roma["n_subj"], roma["n_obj"], roma["n_preds"]) == (0, 2, 2)
+    assert roma["top_surface"] == "Roma"

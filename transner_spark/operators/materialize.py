@@ -179,3 +179,69 @@ def write_edges(edges: DataFrame, path: str, cfg: PipelineConfig | None = None) 
         .partitionBy("bucket")
         .parquet(path)
     )
+
+
+def entity_profiles(
+    triples: DataFrame,
+    canon: DataFrame,
+    broadcast_canon: bool = True,
+) -> DataFrame:
+    """Per-canonical-entity serving view — the "entity card" a KG
+    consumer asks for first: how active is this entity (as subject /
+    object), across how many distinct predicates, over what time span,
+    and what is its most common surface form.
+
+    Shape at scale: resolve through the broadcast canon map (as in
+    materialize_edges), then two key-partitioned aggregations — one
+    groupBy entity for the counts/bounds (count-distinct via a two-phase
+    (entity, pred) pre-aggregate, never a distinct-in-agg state
+    explosion), and one (entity, surface) count topped by a rank window
+    PARTITIONED by entity (per-entity frames). Deterministic surface
+    tiebreak (count desc, surface asc) so the gate hash is stable."""
+    from pyspark.sql import Window
+
+    resolved = _resolve(triples, canon, "subj", broadcast_canon)
+    resolved = _resolve(resolved, canon, "obj", broadcast_canon)
+    sides = resolved.select(
+        F.col("subj_id").alias("entity_id"),
+        F.col("subj_value").alias("surface"),
+        "pred",
+        "ts",
+        F.lit(1).alias("is_subj"),
+    ).unionByName(
+        resolved.select(
+            F.col("obj_id").alias("entity_id"),
+            F.col("obj_value").alias("surface"),
+            "pred",
+            "ts",
+            F.lit(0).alias("is_subj"),
+        )
+    )
+    per_pred = sides.groupBy("entity_id", "pred").agg(
+        F.sum("is_subj").alias("n_subj"),
+        F.sum(1 - F.col("is_subj")).alias("n_obj"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )
+    stats = per_pred.groupBy("entity_id").agg(
+        F.sum("n_subj").cast("long").alias("n_subj"),
+        F.sum("n_obj").cast("long").alias("n_obj"),
+        F.count(F.lit(1)).cast("long").alias("n_preds"),
+        F.min("first_ts").alias("first_ts"),
+        F.max("last_ts").alias("last_ts"),
+    )
+    top = (
+        sides.groupBy("entity_id", "surface")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("entity_id").orderBy(
+                    F.col("n").desc(), F.col("surface")
+                )
+            ),
+        )
+        .where(F.col("rk") == 1)
+        .select("entity_id", F.col("surface").alias("top_surface"))
+    )
+    return stats.join(top, "entity_id")

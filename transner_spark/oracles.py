@@ -1212,6 +1212,62 @@ FROM r GROUP BY subj_id, pred, obj_id
 """
 
 
+def entity_profiles_sql(
+    triples_src: str, canonical_src: str, transcripts_cache: str
+) -> str:
+    """Per-canonical-entity serving view re-derived in SQL
+    (operators/materialize.entity_profiles): resolve both triple sides
+    through the canon map, union, aggregate counts/pred-distinct/time
+    bounds, and pick the modal surface with the same deterministic
+    (count desc, surface asc) tiebreak."""
+    structural = "('AGENT', 'SPEAKER', 'TOOL')"
+    sn = f"CASE WHEN subj_type IN {structural} THEN subj_norm ELSE 'surface:' || subj_norm END"
+    on = f"CASE WHEN obj_type IN {structural} THEN obj_norm ELSE 'surface:' || obj_norm END"
+    return f"""
+WITH t AS (
+  SELECT tr.*, tc.ts
+  FROM {triples_src} tr
+  JOIN read_parquet('{transcripts_cache}') tc USING (conv_id, turn_idx)
+),
+c AS (SELECT * FROM {canonical_src}),
+r AS (
+  SELECT coalesce(cs.canon_id, {sn}) AS subj_id,
+         coalesce(co.canon_id, {on}) AS obj_id,
+         subj_value, obj_value, pred, ts
+  FROM t
+  LEFT JOIN c cs ON cs.node_id = {sn}
+  LEFT JOIN c co ON co.node_id = {on}
+),
+sides AS (
+  SELECT subj_id AS entity_id, subj_value AS surface, pred, ts, 1 AS is_subj
+  FROM r
+  UNION ALL
+  SELECT obj_id, obj_value, pred, ts, 0 FROM r
+),
+stats AS (
+  SELECT entity_id,
+         CAST(sum(is_subj) AS BIGINT) AS n_subj,
+         CAST(sum(1 - is_subj) AS BIGINT) AS n_obj,
+         CAST(count(DISTINCT pred) AS BIGINT) AS n_preds,
+         CAST(epoch(min(ts)) AS BIGINT) AS first_epoch,
+         CAST(epoch(max(ts)) AS BIGINT) AS last_epoch
+  FROM sides GROUP BY entity_id
+),
+top AS (
+  SELECT entity_id, surface AS top_surface FROM (
+    SELECT entity_id, surface,
+           row_number() OVER (
+             PARTITION BY entity_id ORDER BY count(*) DESC, surface
+           ) AS rk
+    FROM sides GROUP BY entity_id, surface
+  ) WHERE rk = 1
+)
+SELECT s.entity_id, n_subj, n_obj, n_preds, first_epoch, last_epoch,
+       top_surface
+FROM stats s JOIN top USING (entity_id)
+"""
+
+
 def kg_derived_oracles(
     g_triples: str,
     g_links: str,
@@ -1257,6 +1313,13 @@ def kg_derived_oracles(
             f"read_parquet('{g_canonical}')",
             transcripts_cache,
             asof_midpoint=True,
+        ),
+        # per-entity serving view (counts, pred-distinct, time bounds,
+        # modal surface) fully re-derived
+        "entity_profiles": entity_profiles_sql(
+            f"read_parquet('{g_triples}')",
+            f"read_parquet('{g_canonical}')",
+            transcripts_cache,
         ),
     }
 
