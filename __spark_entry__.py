@@ -179,6 +179,35 @@ def q_kg_edges_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _select_edge_cols(edges_asof(t, canon))
 
 
+def q_kg_edges_canon_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-speed maintenance, second speed: batch-1 edges are resolved
+    under a STALE canonical map (built from batch 1's surfaces only),
+    batch-2 edges under the refreshed whole-corpus map, the two merged —
+    and then ``reresolve_edges`` re-keys the maintained table through
+    the refreshed map. Gate: the result equals the full recompute under
+    the refreshed map (the existing kg_edges SQL chain) at value level —
+    the last untested claim in the 100 TB maintenance story (VERDICT r3
+    item 3): a canon refresh never forces a corpus replay."""
+    from transner_spark.operators.canonicalize import canonicalize
+    from transner_spark.operators.linking import link_surfaces, node_surfaces
+    from transner_spark.operators.materialize import (
+        materialize_edges,
+        merge_edge_increments,
+        reresolve_edges,
+    )
+
+    t = _triples(spark, sf_dir).localCheckpoint()
+    part = F.pmod(F.crc32(F.col("conv_id")), F.lit(2))
+    t1, t2 = t.where(part == 0), t.where(part == 1)
+    canon_stale = canonicalize(link_surfaces(spark, node_surfaces(t1)))
+    canon_new = canonicalize(link_surfaces(spark, node_surfaces(t)))
+    maintained = merge_edge_increments(
+        materialize_edges(t1, canon_stale),  # resolved under the stale map
+        materialize_edges(t2, canon_new),
+    )
+    return _select_edge_cols(reresolve_edges(maintained, canon_new))
+
+
 def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from transner_spark.operators.canonicalize import canonicalize
     from transner_spark.operators.materialize import materialize_edges
@@ -862,6 +891,71 @@ def q_stream_windowed_counts_append(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+def q_stream_conversations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming gate (applyInPandasWithState): drive
+    conversation assembly to completion — the whole corpus arrives in
+    micro-batch 0 (single input file, so no conversation can split
+    across batches), then processingTime-triggered empty batches fire
+    the idle timeout that closes every conversation exactly once. The
+    one streaming operator availableNow can't exercise (processing-time
+    timeouts only elapse in later triggered batches — operator
+    docstring). Oracle = plain SQL sessionization over the transcripts
+    cache; `closed_by` pins that every row came from a timeout close."""
+    import shutil
+    import tempfile
+    import time
+
+    from transner_spark.sources.transcripts import ensure_transcripts_parquet
+    from transner_spark.streaming.incremental import stream_conversations
+
+    src = ensure_transcripts_parquet(REPO, sf_dir)
+    n_convs = spark.read.parquet(src).select("conv_id").distinct().count()
+    work = tempfile.mkdtemp(prefix="streamc_gate_")
+    try:
+        in_dir = os.path.join(work, "in")
+        os.makedirs(in_dir)
+        shutil.copy(src, os.path.join(in_dir, "part-00000.parquet"))
+        q = stream_conversations(
+            spark,
+            in_dir,
+            os.path.join(work, "ck"),
+            idle_timeout_ms=2000,
+            trigger_interval="1 second",
+            query_name="conversations_gate",
+        )
+        try:
+            # bounded poll, not a fixed sleep: every conversation closes
+            # once (the corpus is one batch), so count == n_convs is the
+            # complete, stable answer
+            deadline = time.monotonic() + 300
+            while (
+                spark.table("conversations_gate").count() < n_convs
+                and time.monotonic() < deadline
+            ):
+                time.sleep(1)
+            out = (
+                spark.table("conversations_gate")
+                .select(
+                    "conv_id",
+                    F.col("n_turns").cast("long").alias("n_turns"),
+                    F.col("n_roles").cast("long").alias("n_roles"),
+                    F.unix_timestamp("first_ts").alias("first_epoch"),
+                    F.unix_timestamp("last_ts").alias("last_epoch"),
+                    "closed_by",
+                )
+                .toPandas()
+            )
+        finally:
+            q.stop()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        out,
+        "conv_id string, n_turns long, n_roles long, first_epoch long, "
+        "last_epoch long, closed_by string",
+    )
+
+
 def q_role_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from transner_spark.operators.relational import role_transitions
 
@@ -993,14 +1087,19 @@ def _ensure_sql_derived_mentions(cache: str, phrases: str, names: str) -> str:
     digest = hashlib.md5(
         f"{sql}|{st.st_size}|{st.st_mtime_ns}".encode()
     ).hexdigest()[:10]
+    # scoped per sf: the file lives NEXT TO the transcripts cache it
+    # derives from (data/cache/<sf>/), and pruning only sweeps that same
+    # directory — alternating sf0.001/sf0.01 runs keep their own caches,
+    # and a concurrent run at another sf can never delete a parquet an
+    # in-flight gate's oracle SQL still references (ADVICE r3)
     out = os.path.join(
-        REPO, "data", "cache", f"mentions_sql_derived-{digest}.parquet"
+        os.path.dirname(cache), f"mentions_sql_derived-{digest}.parquet"
     )
     if not os.path.exists(out):
         import glob
 
         for stale in glob.glob(
-            os.path.join(REPO, "data", "cache", "mentions_sql_derived-*.parquet")
+            os.path.join(os.path.dirname(cache), "mentions_sql_derived-*.parquet")
         ):  # superseded digests (incl. mtime-keyed rebuilds): prune
             if stale != out:
                 try:
@@ -1188,7 +1287,31 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Gate registry. ORDER MATTERS: the driver records only the first
+    50 entries in CORRECTNESS_r{N}.json (dict order), so gates that have
+    never had a driver-verified row — plus this round's new gates — come
+    FIRST (VERDICT r3 item 1); the tail past position 50 holds only
+    gates with green driver rows in ≥2 prior rounds (r01-r03), all still
+    runnable locally via scripts/check_correctness.py."""
     return {
+        # -- never in a driver CORRECTNESS file before round 4 --
+        "graph_degrees": q_graph_degrees,
+        "graph_pagerank": q_graph_pagerank,
+        "graph_two_hop": q_graph_two_hop,
+        "graph_neighbors_topk": q_graph_neighbors_topk,
+        "stream_edges_batch_eq": q_stream_edges_batch_eq,
+        "stream_windowed_counts_append": q_stream_windowed_counts_append,
+        # -- new this round --
+        "kg_edges_canon_refresh": q_kg_edges_canon_refresh,
+        "stream_conversations": q_stream_conversations,
+        # -- verified in r01/r02 but pushed past the window in r03 --
+        "mention_overlap_pairs": q_mention_overlap_pairs,
+        "pipeline_lineage": q_pipeline_lineage,
+        "stream_mentions_batch_eq": q_stream_mentions_batch_eq,
+        "stream_windowed_counts": q_stream_windowed_counts,
+        "role_transitions": q_role_transitions,
+        "sessionize_events": q_sessionize_events,
+        # -- core KG chain + NER parity --
         "kg_mentions": q_kg_mentions,
         "kg_triples": q_kg_triples,
         "kg_links": q_kg_links,
@@ -1199,12 +1322,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_edges_asof": q_kg_edges_asof,
         "entity_profiles": q_entity_profiles,
         "preprocess_proc_text": q_preprocess_proc_text,
+        "mentions_ner": q_mentions_ner,
+        "mentions_regex": q_mentions_regex,
         "mentions_religion": q_mentions_religion,
         "mentions_uri": q_mentions_uri,
-        "triples_structural": q_triples_structural,
         "triples_relational": q_triples_relational,
         "length_guard": q_length_guard,
         "turn_ordering": q_turn_ordering,
+        "graf_merge": q_graf_merge,
+        "region_containment": q_region_containment,
+        # -- training-data pipeline ops --
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
@@ -1222,6 +1349,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall_lsh": q_ann_recall_lsh,
         "ann_recall_ivf": q_ann_recall_ivf,
         "kmeans_cells": q_kmeans_cells,
+        # ---- position 50 ends here; every gate below has green driver
+        # rows in at least two of r01-r03 (triples_structural is also a
+        # strict subset of kg_triples, which stays in-window) ----
+        "triples_structural": q_triples_structural,
         "mm_metadata": q_mm_metadata,
         "mm_features": q_mm_features,
         "mm_frames": q_mm_frames,
@@ -1234,23 +1365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats": q_corpus_stats,
         "iob_to_bio": q_iob_to_bio,
         "split_train_val_test": q_split_train_val_test,
-        "region_containment": q_region_containment,
-        "graf_merge": q_graf_merge,
-        "mentions_ner": q_mentions_ner,
-        "mentions_regex": q_mentions_regex,
         "substring_antijoin": q_substring_antijoin,
-        "mention_overlap_pairs": q_mention_overlap_pairs,
-        "pipeline_lineage": q_pipeline_lineage,
-        "stream_mentions_batch_eq": q_stream_mentions_batch_eq,
-        "stream_edges_batch_eq": q_stream_edges_batch_eq,
-        "stream_windowed_counts": q_stream_windowed_counts,
-        "stream_windowed_counts_append": q_stream_windowed_counts_append,
-        "role_transitions": q_role_transitions,
-        "sessionize_events": q_sessionize_events,
-        "graph_degrees": q_graph_degrees,
-        "graph_pagerank": q_graph_pagerank,
-        "graph_two_hop": q_graph_two_hop,
-        "graph_neighbors_topk": q_graph_neighbors_topk,
     }
 
 
@@ -1449,6 +1564,19 @@ def oracle_sql() -> dict[str, str]:
             FROM {men_src} m
             JOIN read_parquet('{cache}') tc USING (conv_id, turn_idx)
             GROUP BY 1, 2, 3
+        """,
+        # stateful conversation assembly: every conversation closes via
+        # idle timeout exactly once (whole corpus in one micro-batch),
+        # so the emitted sessions are a plain per-conversation aggregate
+        "stream_conversations": f"""
+            SELECT conv_id,
+                   CAST(count(*) AS BIGINT) AS n_turns,
+                   CAST(count(DISTINCT role) AS BIGINT) AS n_roles,
+                   CAST(floor(epoch(min(ts))) AS BIGINT) AS first_epoch,
+                   CAST(floor(epoch(max(ts))) AS BIGINT) AS last_epoch,
+                   'timeout' AS closed_by
+            FROM read_parquet('{cache}')
+            GROUP BY conv_id
         """,
         # S4 lineage: every stage's rows_out re-derived GOLDEN-FREE in
         # one chained SQL — the guard predicate for annotated/quarantine,

@@ -155,6 +155,90 @@ def test_merge_edge_increments_identity(spark):
     )
 
 
+def test_reresolve_edges_canon_refresh(spark):
+    """Canon-refresh re-merge: a maintained table whose batch-1 rows were
+    resolved under a stale map re-keys through the refreshed (coarser)
+    map to exactly the full recompute — without replaying the triples;
+    and reresolve is idempotent under an unchanged map."""
+    import pyspark.sql.functions as F
+
+    from transner_spark.operators.materialize import (
+        materialize_edges,
+        merge_edge_increments,
+        reresolve_edges,
+    )
+
+    def triples(norm, n):
+        rows = [
+            ("c%d" % i, i, norm, "PER", norm, "mentions_with", "t", "TOOL",
+             "tool:t", 0.9, "2026-02-%02d 00:00:00" % (1 + i % 27))
+            for i in range(n)
+        ]
+        return spark.createDataFrame(
+            rows,
+            "conv_id string, turn_idx long, subj_value string, subj_type string,"
+            " subj_norm string, pred string, obj_value string, obj_type string,"
+            " obj_norm string, confidence double, ts_s string",
+        ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+
+    # batch 1 mentions surface "b", batch 2 surface "a"; both alias to
+    # entity zent:E. Stale map (batch-1 surfaces only): canon = surface:b.
+    # Refreshed map (all surfaces): canon = surface:a — the cluster GREW
+    # and its canon id CHANGED, the hard case for re-resolution.
+    t1, t2 = triples("b", 5), triples("a", 3)
+    canon_stale = spark.createDataFrame(
+        [("surface:b", "surface:b"), ("zent:E", "surface:b")],
+        "node_id string, canon_id string",
+    )
+    canon_new = spark.createDataFrame(
+        [("surface:a", "surface:a"), ("surface:b", "surface:a"),
+         ("zent:E", "surface:a")],
+        "node_id string, canon_id string",
+    )
+    maintained = merge_edge_increments(
+        materialize_edges(t1, canon_stale), materialize_edges(t2, canon_new)
+    )
+    # before the refresh the maintained table is split across old/new ids
+    assert maintained.count() == 2
+    refreshed = reresolve_edges(maintained, canon_new)
+    full = materialize_edges(t1.unionByName(t2), canon_new)
+    cols = ["subj_id", "pred", "obj_id", "weight", "first_ts", "last_ts"]
+    want = sorted(map(tuple, full.select(cols).collect()))
+    assert sorted(map(tuple, refreshed.select(cols).collect())) == want
+    # idempotent under an unchanged map
+    again = reresolve_edges(refreshed, canon_new)
+    assert sorted(map(tuple, again.select(cols).collect())) == want
+
+
+def test_canon_refresh_full_pipeline(spark, annotated):
+    """The gate identity on real pipeline stages: stale-canon batch-1
+    edges + fresh-canon batch-2 edges, merged and re-resolved, equal the
+    whole-corpus materialization under the fresh map."""
+    import pyspark.sql.functions as F
+
+    from transner_spark.operators.canonicalize import canonicalize
+    from transner_spark.operators.materialize import (
+        materialize_edges,
+        merge_edge_increments,
+        reresolve_edges,
+    )
+
+    t = explode_triples(annotated).localCheckpoint()
+    part = F.pmod(F.crc32(F.col("conv_id")), F.lit(2))
+    t1, t2 = t.where(part == 0), t.where(part == 1)
+    canon_stale = canonicalize(link_surfaces(spark, node_surfaces(t1)))
+    canon_new = canonicalize(link_surfaces(spark, node_surfaces(t)))
+    maintained = merge_edge_increments(
+        materialize_edges(t1, canon_stale), materialize_edges(t2, canon_new)
+    )
+    refreshed = reresolve_edges(maintained, canon_new)
+    full = materialize_edges(t, canon_new)
+    cols = ["subj_id", "pred", "obj_id", "weight", "first_ts", "last_ts"]
+    assert sorted(map(tuple, refreshed.select(cols).collect())) == sorted(
+        map(tuple, full.select(cols).collect())
+    )
+
+
 def test_edges_asof_explicit_cutoff(spark):
     """edges_asof with an explicit epoch equals materializing the
     pre-filtered stream; the default midpoint variant is a subset of the

@@ -201,3 +201,13 @@ def test_stream_edge_increments_maintenance(spark, tiny_pdf, tiny_df, stream_dir
     # last applied id in the same atomic pointer as the data
     path, last = current_edge_state(state)
     assert last >= 0 and path.endswith(f"v{last}")
+
+    # pointing a DIFFERENT checkpoint at the same state dir fails loud:
+    # its batch ids restart at 0, so the last-applied guard would
+    # silently drop new batches (ADVICE r3) — the identity recorded in
+    # CURRENT must match the running query's checkpoint
+    _write_batch(spark, tiny_pdf, d["in"], 5, 7, "b2")
+    with pytest.raises(Exception, match="different checkpoint"):
+        stream_edge_increments(spark, d["in"] + "/*", state, d["cp2"], canon)
+    # and the committed state is untouched by the refused run
+    assert current_edge_state(state) == (path, last)

@@ -26,9 +26,11 @@ beyond one executor):
   factory) handles moderate hubs, and ``max_mid_degree`` drops
   super-node middles entirely — the standard production guard (a
   celebrity node's 2-hop fan-out is quadratic in its degree and almost
-  never wanted); dropped-middle stats are in the plan, not silent
-  (callers can count filtered mids via the returned metadata column
-  semantics documented below).
+  never wanted). The guard is observable, not silent: a run that needs
+  the audit trail calls ``two_hop_dropped_mids(edges, max_mid_degree)``
+  — the exact complement of the filter the join applies — to get each
+  dropped hub and its degree (bench_two_hop reports these counts in
+  BENCH.md).
 """
 
 from __future__ import annotations
@@ -91,9 +93,15 @@ def graph_pagerank(
     standard uniform redistribution, so Σ pr stays 1 every iteration.
 
     Deterministic: fixed iteration count, and the published ``pr`` is
-    rounded to 6 decimals so float summation order (which varies with
-    partitioning) cannot leak into gate hashes — same posture as the
-    cosine scores in dedup/ANN.
+    rounded so float summation order (which varies with partitioning)
+    cannot leak into gate hashes — same posture as the cosine scores in
+    dedup/ANN. The rounding is DOUBLE (snap to 9 decimals, then publish
+    at 6; the oracle does the identical two-step): cross-engine sums
+    agree to ~1e-15, so both engines land on the same 9-dec grid point
+    first, and a true value sitting within float-drift of a 6-dec
+    rounding boundary can no longer flip the published digit between
+    Spark and DuckDB (ADVICE r3; the semantic anchor is the
+    tolerance-based numpy differential in tests/test_graph.py).
 
     Returns (node_id, pr).
     """
@@ -139,7 +147,31 @@ def graph_pagerank(
             )
             .localCheckpoint(eager=True)  # truncate iterative lineage
         )
-    return ranks.select("node_id", F.round("pr", 6).alias("pr"))
+    return ranks.select(
+        "node_id", F.round(F.round("pr", 9), 6).alias("pr")
+    )
+
+
+def _mid_degrees(links: DataFrame) -> DataFrame:
+    """(mid, deg): total degree of every node over the distinct link
+    set — the single definition both the two-hop hub guard and its
+    observability complement (two_hop_dropped_mids) filter on."""
+    return (
+        links.select(F.col("src").alias("mid"))
+        .union(links.select("dst"))
+        .groupBy("mid")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+
+
+def two_hop_dropped_mids(edges: DataFrame, max_mid_degree: int) -> DataFrame:
+    """The middle nodes ``graph_two_hop(edges, max_mid_degree)`` drops,
+    with their degrees — the audit-trail complement of the hub guard
+    (same degree definition, opposite predicate), so a production run
+    can log exactly which hubs were excluded and how big they were."""
+    return _mid_degrees(_distinct_links(edges)).where(
+        F.col("deg") > max_mid_degree
+    )
 
 
 def graph_two_hop(
@@ -158,10 +190,7 @@ def graph_two_hop(
     links = _distinct_links(edges)
     if max_mid_degree is not None:
         deg = (
-            links.select(F.col("src").alias("mid"))
-            .union(links.select("dst"))
-            .groupBy("mid")
-            .agg(F.count(F.lit(1)).alias("deg"))
+            _mid_degrees(links)
             .where(F.col("deg") <= max_mid_degree)
             .select("mid")
         )

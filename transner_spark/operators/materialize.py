@@ -123,6 +123,56 @@ def merge_edge_increments(
     )
 
 
+def reresolve_edges(
+    edges: DataFrame,
+    canon_new: DataFrame,
+    cfg: PipelineConfig | None = None,
+    broadcast_canon: bool = True,
+) -> DataFrame:
+    """Canon-refresh re-merge — the second speed of the two-speed
+    maintenance design (merge_edge_increments docstring): edge
+    increments accumulate under whatever canonical map was live when
+    each batch arrived; when the canon map refreshes, the maintained
+    table's ids are re-resolved through the NEW map and re-aggregated
+    with the same monoid, WITHOUT replaying the triple stream.
+
+    Correctness rests on the refresh being a COARSENING (clusters only
+    merge, never split) — guaranteed here because linking is per-surface
+    against a static alias dictionary (more corpus ⇒ more link rows ⇒
+    connected components only grow) and every id in the maintained
+    table is a node of the link graph: an old canon id (itself a member
+    node of its old cluster, so the new map sends it — and with it the
+    whole old cluster — to the new cluster's id), an already-new id
+    (the new map is idempotent on its own canon ids), or an unresolved
+    structural/singleton node (left as-is by the coalesce). The
+    kg_edges_canon_refresh gate proves the resulting identity
+    reresolve(merge(stale increments), canon_new) == edges(whole corpus,
+    canon_new) at value level against the full-recompute SQL chain.
+
+    Cost at 100 TB: one broadcast join + one hash re-aggregate over the
+    EDGE table (orders of magnitude smaller than the mention stream) —
+    vs a full recompute's NER + linking over the whole corpus.
+    """
+    cfg = cfg or PipelineConfig()
+    out = edges
+    for side in ("subj", "obj"):
+        c = canon_new.select(
+            F.col("node_id").alias(f"{side}_id"),
+            F.col("canon_id").alias(f"_{side}_new"),
+        )
+        if broadcast_canon:
+            c = F.broadcast(c)
+        out = (
+            out.join(c, f"{side}_id", "left")
+            .withColumn(
+                f"{side}_id",
+                F.coalesce(F.col(f"_{side}_new"), F.col(f"{side}_id")),
+            )
+            .drop(f"_{side}_new")
+        )
+    return merge_edge_increments(out, cfg=cfg)
+
+
 def edges_asof(
     triples: DataFrame,
     canon: DataFrame,

@@ -1165,14 +1165,19 @@ def kg_edges_sql(
     (operators/materialize.edges_asof default): only triples with ts at
     or before floor((min+max)/2) of the triple stream's epoch range
     enter the rollup — the same in-plan scalar the Spark operator
-    broadcasts."""
+    broadcasts. Both the per-row predicate and the midpoint use
+    floor(epoch(ts)) to mirror Spark's second-truncating
+    unix_timestamp(): DuckDB's epoch() is fractional, and with
+    subsecond timestamps the snapshot membership at the cutoff would
+    otherwise disagree between operator and oracle (ADVICE r3)."""
     structural = "('AGENT', 'SPEAKER', 'TOOL')"
     asof = (
         """,
 t AS (
   SELECT * FROM t0
-  WHERE epoch(ts) <= (
-    SELECT CAST(floor((min(epoch(ts)) + max(epoch(ts))) / 2) AS BIGINT)
+  WHERE CAST(floor(epoch(ts)) AS BIGINT) <= (
+    SELECT CAST(floor((min(floor(epoch(ts))) + max(floor(epoch(ts)))) / 2)
+                AS BIGINT)
     FROM t0
   )
 )"""
@@ -1206,8 +1211,8 @@ r AS (
 )
 SELECT subj_id, pred, obj_id,
        CAST(count(*) AS BIGINT) AS weight,
-       CAST(epoch(min(ts)) AS BIGINT) AS first_epoch,
-       CAST(epoch(max(ts)) AS BIGINT) AS last_epoch
+       CAST(floor(epoch(min(ts))) AS BIGINT) AS first_epoch,
+       CAST(floor(epoch(max(ts))) AS BIGINT) AS last_epoch
 FROM r GROUP BY subj_id, pred, obj_id
 """
 
@@ -1249,8 +1254,8 @@ stats AS (
          CAST(sum(is_subj) AS BIGINT) AS n_subj,
          CAST(sum(1 - is_subj) AS BIGINT) AS n_obj,
          CAST(count(DISTINCT pred) AS BIGINT) AS n_preds,
-         CAST(epoch(min(ts)) AS BIGINT) AS first_epoch,
-         CAST(epoch(max(ts)) AS BIGINT) AS last_epoch
+         CAST(floor(epoch(min(ts))) AS BIGINT) AS first_epoch,
+         CAST(floor(epoch(max(ts))) AS BIGINT) AS last_epoch
   FROM sides GROUP BY entity_id
 ),
 top AS (
@@ -1303,6 +1308,17 @@ def kg_derived_oracles(
         # oracle is the WHOLE-corpus derivation, checking the monoid
         # identity merge(edges(parts)) == edges(whole) at value level
         "kg_edges_incremental": kg_edges_sql(
+            f"read_parquet('{g_triples}')",
+            f"read_parquet('{g_canonical}')",
+            transcripts_cache,
+        ),
+        # canon-refresh re-merge: the Spark side resolves batch-1 edges
+        # under a STALE (batch-1-only) canon map, batch-2 under the
+        # refreshed map, merges, then re-resolves the maintained table
+        # through the refreshed map (operators/materialize.
+        # reresolve_edges) — the oracle is the full recompute under the
+        # refreshed map, proving a canon refresh needs no corpus replay
+        "kg_edges_canon_refresh": kg_edges_sql(
             f"read_parquet('{g_triples}')",
             f"read_parquet('{g_canonical}')",
             transcripts_cache,
@@ -1379,9 +1395,14 @@ def graph_oracles(
                   + (SELECT m FROM d{i}) / (SELECT n FROM nn)) AS pr
   FROM nodes LEFT JOIN c{i} c ON c.id = nodes.id)"""
         )
+    # double rounding (9 → 6 decimals) mirrors the operator exactly:
+    # both engines snap to the same 9-dec grid point before the 6-dec
+    # publish, so summation-order drift can't flip the published digit
+    # at a rounding boundary (graph_pagerank docstring, ADVICE r3)
     pagerank = (
         "WITH " + ",\n".join(ctes)
-        + f"\nSELECT id AS node_id, round(pr, 6) AS pr FROM pr{n_iterations}"
+        + f"\nSELECT id AS node_id, round(round(pr, 9), 6) AS pr"
+        f" FROM pr{n_iterations}"
     )
     return {
         "graph_degrees": f"""

@@ -303,17 +303,18 @@ def stream_conversations(
     checkpoint_dir: str,
     idle_timeout_ms: int = 600_000,
     trigger_interval: str = "10 seconds",
+    query_name: str = "conversations",
 ):
     """Run conversation assembly over the streaming transcripts source
-    into an in-memory sink (query name 'conversations'). Returns the
-    RUNNING query — the caller stops it; a processingTime trigger keeps
-    empty batches coming so idle-timeout closes actually fire
-    (availableNow would terminate before any timeout can elapse)."""
+    into an in-memory sink (table ``query_name``). Returns the RUNNING
+    query — the caller stops it; a processingTime trigger keeps empty
+    batches coming so idle-timeout closes actually fire (availableNow
+    would terminate before any timeout can elapse)."""
     stream = read_transcripts_stream(spark, input_dir)
     out = assemble_conversations(stream, idle_timeout_ms)
     return (
         out.writeStream.format("memory")
-        .queryName("conversations")
+        .queryName(query_name)
         .outputMode("append")
         .option("checkpointLocation", checkpoint_dir)
         .trigger(processingTime=trigger_interval)
@@ -321,17 +322,38 @@ def stream_conversations(
     )
 
 
+def _checkpoint_identity(checkpoint_dir: str) -> str:
+    """Stable identity of a streaming checkpoint: digest of its resolved
+    path (fixed-width, whitespace-free — safe inside the CURRENT line)."""
+    import hashlib
+
+    return hashlib.md5(
+        os.path.realpath(checkpoint_dir).encode("utf-8")
+    ).hexdigest()[:12]
+
+
+def _read_current(state_dir: str) -> tuple[str | None, int, str | None]:
+    """(version name, last applied batch id, checkpoint identity) from
+    the CURRENT pointer; (None, -1, None) if nothing committed."""
+    cur = os.path.join(state_dir, "CURRENT")
+    if not os.path.exists(cur):
+        return None, -1, None
+    with open(cur) as fh:
+        fields = fh.read().split()
+    vname, bid = fields[0], int(fields[1])
+    ck_id = fields[2] if len(fields) > 2 else None
+    return vname, bid, ck_id
+
+
 def current_edge_state(state_dir: str) -> tuple[str | None, int]:
     """Resolve the live snapshot of a ``stream_edge_increments`` state
     directory: (parquet path, last applied batch id), or (None, -1) if
     no snapshot has committed. Readers (gates, tests, serving jobs) go
     through this instead of assuming a layout."""
-    cur = os.path.join(state_dir, "CURRENT")
-    if not os.path.exists(cur):
+    vname, bid, _ = _read_current(state_dir)
+    if vname is None:
         return None, -1
-    with open(cur) as fh:
-        vname, bid = fh.read().split()
-    return os.path.join(state_dir, vname), int(bid)
+    return os.path.join(state_dir, vname), bid
 
 
 def stream_edge_increments(
@@ -366,7 +388,15 @@ def stream_edge_increments(
     deleting ``state_dir`` removes the batch marker WITH the state (no
     stale-marker no-op). Superseded versions are pruned after commit.
     At warehouse scale all of this collapses into Iceberg/Delta's
-    atomic MERGE + snapshot expiry."""
+    atomic MERGE + snapshot expiry.
+
+    CURRENT also records the CHECKPOINT IDENTITY (digest of the resolved
+    checkpoint path): batch ids are only monotone within one checkpoint's
+    id sequence, so pointing a fresh/relocated checkpoint (whose ids
+    restart at 0) at an existing state dir would make ``batch_id <=
+    last_applied`` silently drop genuinely new batches. A mismatch now
+    fails loud instead (ADVICE r3) — reuse the original checkpoint, or
+    start a new state dir for a new checkpoint."""
     import shutil
 
     from transner_spark.operators.annotate import explode_triples
@@ -375,8 +405,21 @@ def stream_edge_increments(
         merge_edge_increments,
     )
 
+    ck_identity = _checkpoint_identity(checkpoint_dir)
+
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        cur_path, last_applied = current_edge_state(state_dir)
+        vname_cur, last_applied, state_ck = _read_current(state_dir)
+        if state_ck is not None and state_ck != ck_identity:
+            raise RuntimeError(
+                f"stream_edge_increments: state dir {state_dir!r} was "
+                f"built by a different checkpoint (identity {state_ck}, "
+                f"this query {ck_identity}). Batch ids are not comparable "
+                "across checkpoints — reuse the original checkpoint_dir "
+                "or start a fresh state_dir."
+            )
+        cur_path = (
+            os.path.join(state_dir, vname_cur) if vname_cur is not None else None
+        )
         if batch_id <= last_applied:
             return  # re-delivered batch: already committed
         sess = batch_df.sparkSession
@@ -393,7 +436,7 @@ def stream_edge_increments(
         )
         tmp = os.path.join(state_dir, f"CURRENT.{os.getpid()}.tmp")
         with open(tmp, "w") as fh:
-            fh.write(f"{vname} {batch_id}")
+            fh.write(f"{vname} {batch_id} {ck_identity}")
         os.replace(tmp, os.path.join(state_dir, "CURRENT"))
         for d in os.listdir(state_dir):  # prune superseded snapshots
             if d.startswith("v") and d != vname:
