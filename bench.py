@@ -255,9 +255,40 @@ def run_pipeline_timed(
     }
 
 
-def run_trainops_timed(spark, sf_dir: str) -> dict:
+TRAINOPS_REPS = 5
+TRAINOPS_WARM_REPS = 2
+
+
+def run_trainops_timed(
+    spark,
+    sf_dir: str,
+    reps: int = TRAINOPS_REPS,
+    warm_reps: int = TRAINOPS_WARM_REPS,
+) -> dict:
     """Training-data pipeline ops over the driver-provided documents/
-    embeddings tables at the bench scale."""
+    embeddings tables at the bench scale.
+
+    Each op runs ``warm_reps`` untimed FULL-SIZE passes, then ``reps``
+    timed passes (cache cleared before every pass, so each is
+    steady-state-cold); the MINIMUM is reported, with the per-op
+    [min, med, max] spread alongside. Three measured reasons:
+    (1) the round-3 driver record showed a 6x run-to-run spread on
+    single-shot timings (dedup_minhash 3.7/22.9/8.3s on identical code —
+    BENCH.md) while isolated steady state held, and a bench whose noise
+    floor is 6x cannot catch a real 2x regression (VERDICT r3 item 2).
+    (2) the sandbox host has BURSTY ONE-SIDED contention (hypervisor
+    steal measured 4-8% even "idle"; one rep of five hit 40s on work
+    that takes 3s on a quiet host) — under one-sided noise the minimum
+    is the unbiased estimator of the code's cost (the ``timeit``
+    rationale: slow reps measure the host, fast reps measure the code),
+    and the spread puts the remaining noise in the record itself
+    instead of out-of-band reruns. (3) the small-slice warm-up above
+    does NOT reach full-size steady state — AQE picks different
+    physical plans at full size, so the first full-size executions pay
+    their own codegen/JIT ramp (measured on an idle host:
+    7.8/5.1/3.4/3.3/3.0/2.8s over six consecutive full-size minhash
+    passes in one fresh JVM) — hence full-size warm reps before the
+    clock starts."""
     from transner_spark.operators.dedup import dedup_minhash_lsh, dedup_simhash
     from transner_spark.operators.simsearch import ann_ivf, ann_lsh
     from transner_spark.operators.textops import doc_fingerprint, lang_id, text_stats
@@ -268,6 +299,7 @@ def run_trainops_timed(spark, sf_dir: str) -> dict:
     timings: dict[str, float] = {}
     rss: dict[str, float] = {}
     counts: dict[str, int] = {}
+    spread: dict[str, list[float]] = {}
 
     # warm-up on bounded slices: the first execution of the big sketch
     # expressions pays whole-stage-codegen JIT compilation (measured
@@ -286,33 +318,73 @@ def run_trainops_timed(spark, sf_dir: str) -> dict:
     ann_lsh(spark, emb_small).count()
     ann_ivf(spark, emb_small).count()
 
-    # the sketch ops persist signature intermediates internally and hold
-    # them for the session; clear between measurements so each op is
-    # timed steady-state-cold and nothing accumulates in the block manager
+    def measure(name: str, fn) -> None:
+        durs: list[float] = []
+        peaks: list[float] = []
+        for _ in range(warm_reps):
+            spark.catalog.clearCache()
+            fn()  # full-size ramp: codegen/JIT for the full-size plan
+        for _ in range(reps):
+            # the sketch ops persist signature intermediates internally
+            # and hold them for the session; clear before every rep so
+            # each is timed steady-state-cold and nothing accumulates
+            spark.catalog.clearCache()
+            sampler = RssSampler()
+            t0 = time.monotonic()
+            with sampler:
+                counts[name] = fn()
+            durs.append(time.monotonic() - t0)
+            peaks.append(sampler.peak)
+        s = sorted(durs)
+        timings[name] = s[0]  # min: see docstring (one-sided host noise)
+        rss[name] = max(peaks)
+        spread[name] = [round(s[0], 3), round(s[len(s) // 2], 3), round(s[-1], 3)]
+
+    measure(
+        "textops",
+        lambda: text_stats(docs).count()
+        + lang_id(docs).count()
+        + doc_fingerprint(docs).count(),
+    )
+    measure("dedup_minhash", lambda: dedup_minhash_lsh(docs).count())
+    measure("dedup_simhash", lambda: dedup_simhash(docs).count())
+    measure("ann_lsh", lambda: ann_lsh(spark, emb).count())
+    measure("ann_ivf", lambda: ann_ivf(spark, emb).count())
     spark.catalog.clearCache()
 
-    with stage("textops", timings, rss):
-        counts["textops"] = (
-            text_stats(docs).count() + lang_id(docs).count() + doc_fingerprint(docs).count()
+    return {"timings": timings, "rss": rss, "counts": counts, "spread": spread}
+
+
+def run_trainops_leg(sf_dir: str, cpus: int) -> None:
+    """Trainops phase in an ISOLATED subprocess (spawned by main):
+    sharing the KG phase's JVM lets its grown heap / GC state / block
+    manager bleed into the trainops measurements — the round-3 driver
+    record's 6x dedup_minhash swing happened exactly there, while the
+    same code in a fresh JVM held steady (BENCH.md). Same cold-JVM
+    policy as the scaling legs. Prints one JSON line."""
+    spark = build_session(f"local[{cpus}]", cpus)
+    r = run_trainops_timed(spark, sf_dir)
+    spark.stop()
+    print(json.dumps(r))
+
+
+def _run_trainops_subprocess(sf_dir: str, cpus: int) -> dict:
+    import subprocess
+
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--trainops-leg"],
+        capture_output=True,
+        text=True,
+        env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir,
+             "SPARK_GRAFT_CPUS": str(cpus)},
+    )
+    lines = proc.stdout.strip().splitlines()
+    if proc.returncode != 0 or not lines:
+        sys.stderr.write(proc.stderr[-8000:])
+        raise RuntimeError(
+            f"trainops leg failed (rc={proc.returncode}); child stderr above"
         )
-
-    with stage("dedup_minhash", timings, rss):
-        counts["dedup_minhash"] = dedup_minhash_lsh(docs).count()
-    spark.catalog.clearCache()
-
-    with stage("dedup_simhash", timings, rss):
-        counts["dedup_simhash"] = dedup_simhash(docs).count()
-    spark.catalog.clearCache()
-
-    with stage("ann_lsh", timings, rss):
-        counts["ann_lsh"] = ann_lsh(spark, emb).count()
-    spark.catalog.clearCache()
-
-    with stage("ann_ivf", timings, rss):
-        counts["ann_ivf"] = ann_ivf(spark, emb).count()
-    spark.catalog.clearCache()
-
-    return {"timings": timings, "rss": rss, "counts": counts}
+    return json.loads(lines[-1])
 
 
 def run_scaling_level(n: int) -> None:
@@ -364,13 +436,41 @@ def main() -> None:
     if "--level" in sys.argv:
         run_scaling_level(int(sys.argv[sys.argv.index("--level") + 1]))
         return
+    if "--trainops-leg" in sys.argv:
+        run_trainops_leg(sf_dir, cpus)
+        return
 
     workdir = tempfile.mkdtemp(prefix="transner_bench_")
     try:
         spark = build_session(f"local[{cpus}]", cpus)
-        res = run_pipeline_timed(spark, sf_dir, workdir, measure_kernel=True)
-        tops = run_trainops_timed(spark, sf_dir)
+        # two full pipeline passes, per-stage MIN (same one-sided-noise
+        # rationale as the trainops reps — run_trainops_timed docstring;
+        # the first pass also absorbs any ramp the sampled warm-up
+        # missed). Per-stage [run1, run2] spread goes in the record.
+        r1 = run_pipeline_timed(spark, sf_dir, workdir, measure_kernel=True)
+        r2 = run_pipeline_timed(
+            spark, sf_dir, os.path.join(workdir, "r2"), measure_kernel=False
+        )
+        res = r1
+        res["pipeline_spread_s"] = {
+            k: [round(r1["timings"][k], 3), round(r2["timings"][k], 3)]
+            for k in r1["timings"]
+        }
+        res["timings"] = {
+            k: min(r1["timings"][k], r2["timings"][k]) for k in r1["timings"]
+        }
+        # r1's rss also holds the kernel-only pass (absent from r2)
+        res["rss"] = {
+            k: max(r1["rss"][k], r2["rss"].get(k, r1["rss"][k]))
+            for k in r1["rss"]
+        }
+        res["total"] = sum(res["timings"].values())
+        res["turns_per_sec"] = res["turns"] / res["total"]
+        res["triples_per_sec"] = res["triples"] / res["total"]
         spark.stop()
+        # trainops in its own cold-JVM subprocess + min-of-reps per op —
+        # see run_trainops_leg / run_trainops_timed
+        tops = _run_trainops_subprocess(sf_dir, cpus)
 
         from transner_spark.sources.transcripts import sf_name
 
@@ -386,6 +486,12 @@ def main() -> None:
                 **{k: round(v, 3) for k, v in tops["timings"].items()},
             },
             "trainops_counts": tops["counts"],
+            # per-op [min, median, max] over TRAINOPS_REPS cold-cache
+            # reps in the isolated trainops JVM, and per-stage
+            # [run1, run2] over the two pipeline passes — the noise
+            # floor is in the record, not in out-of-band reruns
+            "trainops_spread_s": tops["spread"],
+            "pipeline_spread_s": res["pipeline_spread_s"],
             # reference bench protocol's memory axis (benchmarks.py:59-79
             # reports max/min/avg MiB over per-run memory_usage samples):
             # per-stage peak process-tree RSS + the same three aggregates
@@ -501,8 +607,21 @@ def _write_bench_md(sf_dir: str, levels: dict, effs: dict) -> None:
             )
             + " |"
         )
-    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
-        f.write("\n".join(lines) + "\n")
+    md_path = os.path.join(REPO, "BENCH.md")
+    # preserve marker-delimited sections other writers maintain (the
+    # two-hop hub-guard evidence, scripts/bench_two_hop.py) across
+    # regenerations of the scaling report
+    preserved = ""
+    if os.path.exists(md_path):
+        with open(md_path) as f:
+            old = f.read()
+        for begin, end in (("<!-- TWO_HOP_GUARD:BEGIN -->", "<!-- TWO_HOP_GUARD:END -->"),):
+            if begin in old and end in old:
+                preserved += (
+                    "\n\n" + begin + old.split(begin, 1)[1].split(end, 1)[0] + end
+                )
+    with open(md_path, "w") as f:
+        f.write("\n".join(lines) + preserved + "\n")
 
 
 if __name__ == "__main__":

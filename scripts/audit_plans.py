@@ -154,9 +154,13 @@ def main() -> None:
         ),
     )
     audit("edges_asof", edges_asof(t, canon))
-    from transner_spark.operators.materialize import entity_profiles
+    from transner_spark.operators.materialize import entity_profiles, reresolve_edges
 
     audit("entity_profiles", entity_profiles(t, canon))
+    audit(
+        "reresolve_edges",
+        reresolve_edges(materialize_edges(t, canon), canon),
+    )
     spark.stop()
 
 

@@ -78,19 +78,30 @@ ANNOTATED_SCHEMA = StructType(
 )
 
 
-def _make_annotate_fn(cfg: PipelineConfig):
+def _make_annotate_fn(cfg: PipelineConfig, classifier_factory=None):
     """Build the mapInPandas function. cfg is captured by value (it is a
-    small dataclass) and shipped in the task closure."""
+    small dataclass) and shipped in the task closure.
+
+    ``classifier_factory`` (optional zero-arg callable → TokenClassifier)
+    is the weights plug point: shipped in the closure, called ONCE per
+    task and the instance reused across that task's Arrow batches — a
+    real transformer drops in here without touching any pipeline code
+    (the factory itself should memoize per process if model load is
+    expensive, as kernels/classifier.default_classifier does). None =
+    the process-singleton lexicon classifier."""
 
     def annotate(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # heavy imports inside the worker, once per process
         from transner_spark.kernels.ner_pipeline import ner_batch
         from transner_spark.kernels.triples import extract_triples_turn
 
+        classifier = classifier_factory() if classifier_factory else None
         for pdf in batches:
             if pdf.empty:
                 continue
-            results = ner_batch(pdf["text"].tolist(), cfg=cfg)
+            results = ner_batch(
+                pdf["text"].tolist(), classifier=classifier, cfg=cfg
+            )
             mentions_col = []
             triples_col = []
             for text, role, tool, res in zip(
@@ -134,9 +145,15 @@ def split_quarantine(
 
 
 def annotate_turns(
-    transcripts: DataFrame, cfg: PipelineConfig | None = None
+    transcripts: DataFrame,
+    cfg: PipelineConfig | None = None,
+    classifier_factory=None,
 ) -> DataFrame:
-    """transcripts → annotated turns (mentions + triples array columns)."""
+    """transcripts → annotated turns (mentions + triples array columns).
+
+    ``classifier_factory`` swaps the token classifier (alternative
+    weights / a real transformer) without touching the pipeline — see
+    _make_annotate_fn and tests/test_classifier_swap.py."""
     from transner_spark.functions.partitioning import fan_out
 
     cfg = cfg or PipelineConfig()
@@ -145,7 +162,9 @@ def annotate_turns(
     # single-split local input serialize it (no-op on cluster scans)
     return fan_out(
         kept.select("conv_id", "turn_idx", "role", "text", "tool", "ts")
-    ).mapInPandas(_make_annotate_fn(cfg), schema=ANNOTATED_SCHEMA)
+    ).mapInPandas(
+        _make_annotate_fn(cfg, classifier_factory), schema=ANNOTATED_SCHEMA
+    )
 
 
 def explode_mentions(annotated: DataFrame) -> DataFrame:
