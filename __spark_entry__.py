@@ -208,6 +208,33 @@ def q_kg_edges_canon_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _select_edge_cols(reresolve_edges(maintained, canon_new))
 
 
+def q_kg_edges_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot delta: diff the midpoint as-of snapshot against the full
+    edge table (operators/materialize.edges_diff) — the audit primitive
+    of the temporal-maintenance story. One NER pass (localCheckpoint
+    precedent from kg_edges_incremental) feeds both rollups; the oracle
+    composes two independent SQL rollups and full-outer joins them."""
+    from transner_spark.operators.canonicalize import canonicalize
+    from transner_spark.operators.linking import link_surfaces, node_surfaces
+    from transner_spark.operators.materialize import (
+        edges_asof,
+        edges_diff,
+        materialize_edges,
+    )
+
+    t = _triples(spark, sf_dir).localCheckpoint()
+    canon = canonicalize(link_surfaces(spark, node_surfaces(t)))
+    return edges_diff(edges_asof(t, canon), materialize_edges(t, canon)).select(
+        "subj_id",
+        "pred",
+        "obj_id",
+        "status",
+        "weight_old",
+        "weight_new",
+        "weight_delta",
+    )
+
+
 def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from transner_spark.operators.canonicalize import canonicalize
     from transner_spark.operators.materialize import materialize_edges
@@ -1304,6 +1331,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new this round --
         "kg_edges_canon_refresh": q_kg_edges_canon_refresh,
         "stream_conversations": q_stream_conversations,
+        "kg_edges_diff": q_kg_edges_diff,
         # -- verified in r01/r02 but pushed past the window in r03 --
         "mention_overlap_pairs": q_mention_overlap_pairs,
         "pipeline_lineage": q_pipeline_lineage,
@@ -1326,7 +1354,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mentions_regex": q_mentions_regex,
         "mentions_religion": q_mentions_religion,
         "mentions_uri": q_mentions_uri,
-        "triples_relational": q_triples_relational,
         "length_guard": q_length_guard,
         "turn_ordering": q_turn_ordering,
         "graf_merge": q_graf_merge,
@@ -1350,9 +1377,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall_ivf": q_ann_recall_ivf,
         "kmeans_cells": q_kmeans_cells,
         # ---- position 50 ends here; every gate below has green driver
-        # rows in at least two of r01-r03 (triples_structural is also a
-        # strict subset of kg_triples, which stays in-window) ----
+        # rows in at least two of r01-r03 (triples_structural and
+        # triples_relational are also strict subsets of kg_triples,
+        # which stays in-window) ----
         "triples_structural": q_triples_structural,
+        "triples_relational": q_triples_relational,
         "mm_metadata": q_mm_metadata,
         "mm_features": q_mm_features,
         "mm_frames": q_mm_frames,

@@ -161,6 +161,12 @@ def main() -> None:
         "reresolve_edges",
         reresolve_edges(materialize_edges(t, canon), canon),
     )
+    from transner_spark.operators.materialize import edges_diff
+
+    audit(
+        "edges_diff",
+        edges_diff(edges_asof(t, canon), materialize_edges(t, canon)),
+    )
     spark.stop()
 
 

@@ -302,3 +302,53 @@ def test_entity_profiles_exact(spark):
     roma = p["surface:roma"]
     assert (roma["n_subj"], roma["n_obj"], roma["n_preds"]) == (0, 2, 2)
     assert roma["top_surface"] == "Roma"
+
+
+def test_edges_diff_exact(spark):
+    """Handcrafted snapshots: added/removed/changed statuses and deltas
+    are exact; identical inputs diff to empty; an as-of diff of the same
+    stream is monotone (no 'removed', all deltas positive) and its delta
+    total equals the post-cutoff triple count."""
+    from transner_spark.operators.materialize import (
+        edges_asof,
+        edges_diff,
+        materialize_edges,
+    )
+
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "subj_id string, pred string, obj_id string, weight long"
+    )
+    old = mk([("a", "p", "b", 2), ("a", "p", "c", 1), ("x", "q", "y", 3)])
+    new = mk([("a", "p", "b", 5), ("x", "q", "y", 3), ("n", "r", "m", 1)])
+    got = {
+        (r["subj_id"], r["pred"], r["obj_id"]): (
+            r["status"], r["weight_old"], r["weight_new"], r["weight_delta"]
+        )
+        for r in edges_diff(old, new).collect()
+    }
+    assert got == {
+        ("a", "p", "b"): ("changed", 2, 5, 3),
+        ("a", "p", "c"): ("removed", 1, 0, -1),
+        ("n", "r", "m"): ("added", 0, 1, 1),
+    }
+    assert edges_diff(old, old).count() == 0
+
+    rows = [
+        ("c1", 0, "a", "PER", "a", "knows", "b", "LOC", "b", 0.9, "2026-01-01 00:00:00"),
+        ("c1", 1, "a", "PER", "a", "knows", "b", "LOC", "b", 0.9, "2026-01-02 00:00:00"),
+        ("c1", 2, "a", "PER", "a", "knows", "c", "LOC", "c", 0.9, "2026-01-03 00:00:00"),
+        ("c1", 3, "a", "PER", "a", "knows", "b", "LOC", "b", 0.9, "2026-01-04 00:00:00"),
+    ]
+    t = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx long, subj_value string, subj_type string,"
+        " subj_norm string, pred string, obj_value string, obj_type string,"
+        " obj_norm string, confidence double, ts_s string",
+    ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+    canon = spark.createDataFrame([], "node_id string, canon_id string")
+    # midpoint = jan 2 (floor of jan1..jan4 epoch midpoint lands jan 2 12:00)
+    d = edges_diff(edges_asof(t, canon), materialize_edges(t, canon)).collect()
+    assert all(r["status"] in ("added", "changed") for r in d)
+    assert all(r["weight_delta"] > 0 for r in d)
+    n_after_cutoff = 2  # jan 3 + jan 4 rows
+    assert sum(r["weight_delta"] for r in d) == n_after_cutoff

@@ -1217,6 +1217,39 @@ FROM r GROUP BY subj_id, pred, obj_id
 """
 
 
+def kg_edges_diff_sql(
+    triples_src: str, canonical_src: str, transcripts_cache: str
+) -> str:
+    """Snapshot-delta re-derivation (operators/materialize.edges_diff):
+    compose TWO independent kg_edges_sql rollups — the midpoint as-of
+    snapshot and the full table — and full-outer join them on the edge
+    key, keeping rows whose weight differs with status/old/new/delta.
+    Edge keys are non-null by construction, so the ON equality join is
+    exact."""
+    old_sql = kg_edges_sql(
+        triples_src, canonical_src, transcripts_cache, asof_midpoint=True
+    )
+    new_sql = kg_edges_sql(triples_src, canonical_src, transcripts_cache)
+    return f"""
+WITH snap_old AS ({old_sql}),
+snap_new AS ({new_sql})
+SELECT coalesce(n.subj_id, o.subj_id) AS subj_id,
+       coalesce(n.pred, o.pred) AS pred,
+       coalesce(n.obj_id, o.obj_id) AS obj_id,
+       CASE WHEN o.subj_id IS NULL THEN 'added'
+            WHEN n.subj_id IS NULL THEN 'removed'
+            ELSE 'changed' END AS status,
+       CAST(coalesce(o.weight, 0) AS BIGINT) AS weight_old,
+       CAST(coalesce(n.weight, 0) AS BIGINT) AS weight_new,
+       CAST(coalesce(n.weight, 0) - coalesce(o.weight, 0) AS BIGINT)
+         AS weight_delta
+FROM snap_new n
+FULL OUTER JOIN snap_old o
+  ON n.subj_id = o.subj_id AND n.pred = o.pred AND n.obj_id = o.obj_id
+WHERE coalesce(n.weight, 0) <> coalesce(o.weight, 0)
+"""
+
+
 def entity_profiles_sql(
     triples_src: str, canonical_src: str, transcripts_cache: str
 ) -> str:
@@ -1329,6 +1362,13 @@ def kg_derived_oracles(
             f"read_parquet('{g_canonical}')",
             transcripts_cache,
             asof_midpoint=True,
+        ),
+        # snapshot delta: midpoint as-of vs full table, two composed
+        # independent rollups full-outer joined on the edge key
+        "kg_edges_diff": kg_edges_diff_sql(
+            f"read_parquet('{g_triples}')",
+            f"read_parquet('{g_canonical}')",
+            transcripts_cache,
         ),
         # per-entity serving view (counts, pred-distinct, time bounds,
         # modal surface) fully re-derived
