@@ -1600,7 +1600,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_conversations": f"""
             SELECT conv_id,
                    CAST(count(*) AS BIGINT) AS n_turns,
-                   CAST(count(DISTINCT role) AS BIGINT) AS n_roles,
+                   CAST(count(DISTINCT nullif(role, '')) AS BIGINT) AS n_roles,
                    CAST(floor(epoch(min(ts))) AS BIGINT) AS first_epoch,
                    CAST(floor(epoch(max(ts))) AS BIGINT) AS last_epoch,
                    'timeout' AS closed_by

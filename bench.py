@@ -282,13 +282,14 @@ def run_trainops_timed(
     is the unbiased estimator of the code's cost (the ``timeit``
     rationale: slow reps measure the host, fast reps measure the code),
     and the spread puts the remaining noise in the record itself
-    instead of out-of-band reruns. (3) the small-slice warm-up above
-    does NOT reach full-size steady state — AQE picks different
-    physical plans at full size, so the first full-size executions pay
-    their own codegen/JIT ramp (measured on an idle host:
-    7.8/5.1/3.4/3.3/3.0/2.8s over six consecutive full-size minhash
-    passes in one fresh JVM) — hence full-size warm reps before the
-    clock starts."""
+    instead of out-of-band reruns. (3) warm-up must be FULL-SIZE: a
+    small-slice warm pass does not reach full-size steady state (AQE
+    picks different physical plans at full size, so the first full-size
+    executions pay their own codegen/JIT ramp — measured on an idle
+    host: 7.8/5.1/3.4/3.3/3.0/2.8s over six consecutive full-size
+    minhash passes in one fresh JVM), hence ``warm_reps`` full-size
+    passes per op before the clock starts and no separate slice
+    warm-up."""
     from transner_spark.operators.dedup import dedup_minhash_lsh, dedup_simhash
     from transner_spark.operators.simsearch import ann_ivf, ann_lsh
     from transner_spark.operators.textops import doc_fingerprint, lang_id, text_stats
@@ -300,23 +301,6 @@ def run_trainops_timed(
     rss: dict[str, float] = {}
     counts: dict[str, int] = {}
     spread: dict[str, list[float]] = {}
-
-    # warm-up on bounded slices: the first execution of the big sketch
-    # expressions pays whole-stage-codegen JIT compilation (measured
-    # 7.6s cold vs 1.9s steady for the minhash pass) — same steady-state
-    # policy as the pipeline's warm_up(). Every timed op below gets a
-    # warm pass; the ANN slice keeps the query ids plus a small corpus.
-    from pyspark.sql import functions as _F
-
-    sample = docs.sample(0.05, seed=7)
-    text_stats(sample).count()
-    lang_id(sample).count()
-    doc_fingerprint(sample).count()
-    dedup_minhash_lsh(sample).count()
-    dedup_simhash(sample).count()
-    emb_small = emb.where(_F.col("vec_id") < 512)
-    ann_lsh(spark, emb_small).count()
-    ann_ivf(spark, emb_small).count()
 
     def measure(name: str, fn) -> None:
         durs: list[float] = []
@@ -368,23 +352,36 @@ def run_trainops_leg(sf_dir: str, cpus: int) -> None:
     print(json.dumps(r))
 
 
-def _run_trainops_subprocess(sf_dir: str, cpus: int) -> dict:
+def _run_child(extra_argv: list[str], label: str, env: dict | None = None) -> dict:
+    """Spawn a cold-JVM bench leg of this same script and parse the JSON
+    line it prints; surface the child's Spark/JVM stderr on failure
+    instead of an opaque CalledProcessError. ONE helper for every
+    subprocess leg (trainops + scaling levels) so spawn/parse/error
+    handling can't drift between them."""
     import subprocess
 
     proc = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--trainops-leg"],
+        [sys.executable, os.path.abspath(__file__), *extra_argv],
         capture_output=True,
         text=True,
-        env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir,
-             "SPARK_GRAFT_CPUS": str(cpus)},
+        env=env,
     )
     lines = proc.stdout.strip().splitlines()
     if proc.returncode != 0 or not lines:
         sys.stderr.write(proc.stderr[-8000:])
         raise RuntimeError(
-            f"trainops leg failed (rc={proc.returncode}); child stderr above"
+            f"{label} failed (rc={proc.returncode}); child stderr above"
         )
     return json.loads(lines[-1])
+
+
+def _run_trainops_subprocess(sf_dir: str, cpus: int) -> dict:
+    return _run_child(
+        ["--trainops-leg"],
+        "trainops leg",
+        env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir,
+             "SPARK_GRAFT_CPUS": str(cpus)},
+    )
 
 
 def run_scaling_level(n: int) -> None:
@@ -408,22 +405,7 @@ def run_scaling_level(n: int) -> None:
 
 
 def _run_level_subprocess(n: int) -> dict:
-    import subprocess
-
-    proc = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--level", str(n)],
-        capture_output=True, text=True,
-    )
-    lines = proc.stdout.strip().splitlines()
-    if proc.returncode != 0 or not lines:
-        # surface the child's Spark/JVM diagnostics instead of an opaque
-        # CalledProcessError that discards captured stderr
-        sys.stderr.write(proc.stderr[-8000:])
-        raise RuntimeError(
-            f"scaling leg local[{n}] failed (rc={proc.returncode}); "
-            "child stderr above"
-        )
-    return json.loads(lines[-1])
+    return _run_child(["--level", str(n)], f"scaling leg local[{n}]")
 
 
 def main() -> None:
@@ -608,18 +590,22 @@ def _write_bench_md(sf_dir: str, levels: dict, effs: dict) -> None:
             + " |"
         )
     md_path = os.path.join(REPO, "BENCH.md")
-    # preserve marker-delimited sections other writers maintain (the
-    # two-hop hub-guard evidence, scripts/bench_two_hop.py) across
-    # regenerations of the scaling report
+    # preserve EVERY marker-delimited section other writers maintain
+    # (<!-- NAME:BEGIN --> ... <!-- NAME:END -->: the two-hop hub-guard
+    # evidence from scripts/bench_two_hop.py, the hand-maintained NOTES
+    # block, anything added later) across regenerations of the scaling
+    # report — a generic sweep, so a new block never needs a bench.py
+    # change and a renamed block can't silently stop being preserved
     preserved = ""
     if os.path.exists(md_path):
+        import re as _re
+
         with open(md_path) as f:
             old = f.read()
-        for begin, end in (("<!-- TWO_HOP_GUARD:BEGIN -->", "<!-- TWO_HOP_GUARD:END -->"),):
-            if begin in old and end in old:
-                preserved += (
-                    "\n\n" + begin + old.split(begin, 1)[1].split(end, 1)[0] + end
-                )
+        for m in _re.finditer(
+            r"<!-- ([A-Z0-9_]+):BEGIN -->.*?<!-- \1:END -->", old, _re.S
+        ):
+            preserved += "\n\n" + m.group(0)
     with open(md_path, "w") as f:
         f.write("\n".join(lines) + preserved + "\n")
 

@@ -211,3 +211,14 @@ def test_stream_edge_increments_maintenance(spark, tiny_pdf, tiny_df, stream_dir
         stream_edge_increments(spark, d["in"] + "/*", state, d["cp2"], canon)
     # and the committed state is untouched by the refused run
     assert current_edge_state(state) == (path, last)
+
+    # a LEGACY two-field CURRENT (no recorded identity) is just as
+    # uncomparable — the guard must not silently bypass it (review r4):
+    # rewrite the pointer without the identity field and expect the
+    # same loud failure even under the ORIGINAL checkpoint
+    with open(os.path.join(state, "CURRENT")) as fh:
+        vname_cur, last_s = fh.read().split()[:2]
+    with open(os.path.join(state, "CURRENT"), "w") as fh:
+        fh.write(f"{vname_cur} {last_s}")
+    with pytest.raises(Exception, match="different checkpoint"):
+        stream_edge_increments(spark, d["in"] + "/*", state, d["cp"], canon)

@@ -168,9 +168,18 @@ def two_hop_dropped_mids(edges: DataFrame, max_mid_degree: int) -> DataFrame:
     """The middle nodes ``graph_two_hop(edges, max_mid_degree)`` drops,
     with their degrees — the audit-trail complement of the hub guard
     (same degree definition, opposite predicate), so a production run
-    can log exactly which hubs were excluded and how big they were."""
-    return _mid_degrees(_distinct_links(edges)).where(
-        F.col("deg") > max_mid_degree
+    can log exactly which hubs were excluded and how big they were.
+    Only nodes that can actually OCCUPY the middle position count: a
+    middle needs an incoming link (dst of hop 1) AND an outgoing link
+    (src of hop 2), so over-bound nodes seen in just one role (e.g.
+    dst-only ``tool:*`` objects) contribute zero paths unguarded and are
+    excluded here — two cheap semi-joins keep the complement exact."""
+    links = _distinct_links(edges)
+    over = _mid_degrees(links).where(F.col("deg") > max_mid_degree)
+    as_dst = links.select(F.col("dst").alias("mid"))
+    as_src = links.select(F.col("src").alias("mid"))
+    return over.join(as_dst, "mid", "left_semi").join(
+        as_src, "mid", "left_semi"
     )
 
 

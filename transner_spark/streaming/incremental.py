@@ -252,6 +252,12 @@ def assemble_conversations(
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    # \x1f (unit separator) keeps the packed role-set state unambiguous
+    # for any printable role value; NULL and '' roles are excluded from
+    # the distinct-role count (the contract the SQL oracle mirrors with
+    # count(DISTINCT nullif(role, ''))).
+    sep = "\x1f"
+
     def assemble(key, pdfs, state: GroupState):
         import pandas as pd  # worker-side: closure globals aren't shipped
 
@@ -263,7 +269,7 @@ def assemble_conversations(
                 {
                     "conv_id": [conv_id],
                     "n_turns": [n],
-                    "n_roles": [len(roles.split(","))],
+                    "n_roles": [len([r for r in roles.split(sep) if r])],
                     "first_ts": [pd.Timestamp(first_ts)],
                     "last_ts": [pd.Timestamp(last_ts)],
                     "closed_by": ["timeout"],
@@ -273,14 +279,14 @@ def assemble_conversations(
         n, first_ts, last_ts, roles = (
             state.get if state.exists else (0, None, None, "")
         )
-        role_set = set(roles.split(",")) - {""}
+        role_set = set(roles.split(sep)) - {""}
         for pdf in pdfs:
             n += len(pdf)
-            role_set |= set(pdf["role"])
+            role_set |= {r for r in pdf["role"] if isinstance(r, str) and r}
             lo, hi = pdf["ts"].min(), pdf["ts"].max()
             first_ts = lo if first_ts is None else min(first_ts, lo)
             last_ts = hi if last_ts is None else max(last_ts, hi)
-        state.update((int(n), first_ts, last_ts, ",".join(sorted(role_set))))
+        state.update((int(n), first_ts, last_ts, sep.join(sorted(role_set))))
         state.setTimeoutDuration(idle_timeout_ms)
         return
         yield  # pragma: no cover - makes this a generator
@@ -394,9 +400,11 @@ def stream_edge_increments(
     checkpoint path): batch ids are only monotone within one checkpoint's
     id sequence, so pointing a fresh/relocated checkpoint (whose ids
     restart at 0) at an existing state dir would make ``batch_id <=
-    last_applied`` silently drop genuinely new batches. A mismatch now
-    fails loud instead (ADVICE r3) — reuse the original checkpoint, or
-    start a new state dir for a new checkpoint."""
+    last_applied`` silently drop genuinely new batches. A mismatch — or
+    a committed legacy pointer with no recorded identity, which is just
+    as uncomparable — fails loud instead (ADVICE r3): reuse the
+    original checkpoint, start a new state dir, or migrate a known-good
+    legacy pointer by appending the identity field."""
     import shutil
 
     from transner_spark.operators.annotate import explode_triples
@@ -409,13 +417,21 @@ def stream_edge_increments(
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         vname_cur, last_applied, state_ck = _read_current(state_dir)
-        if state_ck is not None and state_ck != ck_identity:
+        if vname_cur is not None and state_ck != ck_identity:
+            # A committed state with EITHER a different identity OR a
+            # legacy two-field CURRENT (identity unknown — written before
+            # identities were recorded) is equally uncomparable: batch
+            # ids are only monotone within one checkpoint's sequence, so
+            # proceeding could silently drop genuinely new batches.
             raise RuntimeError(
                 f"stream_edge_increments: state dir {state_dir!r} was "
-                f"built by a different checkpoint (identity {state_ck}, "
-                f"this query {ck_identity}). Batch ids are not comparable "
-                "across checkpoints — reuse the original checkpoint_dir "
-                "or start a fresh state_dir."
+                f"built by a different checkpoint (or one with no "
+                f"recorded identity; state {state_ck}, this query "
+                f"{ck_identity}). Batch ids are not comparable across "
+                "checkpoints — reuse the original checkpoint_dir, start "
+                "a fresh state_dir, or (if this IS the original "
+                "checkpoint) append its identity as a third field of "
+                "CURRENT to migrate."
             )
         cur_path = (
             os.path.join(state_dir, vname_cur) if vname_cur is not None else None
