@@ -208,6 +208,41 @@ def q_kg_edges_canon_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _select_edge_cols(reresolve_edges(maintained, canon_new))
 
 
+def q_entity_profiles_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-view maintenance of the entity serving view: split
+    the triple stream into two deterministic batches, build MERGEABLE
+    per-(entity,pred,surface) partials per batch, merge with the partial
+    monoid, and re-derive the exact profile view — proving
+    profiles_from_partials(merge(partials(parts))) == profiles(whole)
+    at value level against the same full-recompute SQL oracle the
+    one-shot gate uses. The profile's two non-distributive aggregates
+    (pred-distinct, modal surface) become distributive over the partial
+    key, so a 100 TB profile refresh never re-scans the corpus."""
+    from transner_spark.operators.canonicalize import canonicalize
+    from transner_spark.operators.linking import link_surfaces, node_surfaces
+    from transner_spark.operators.materialize import (
+        entity_profile_partials,
+        merge_profile_partials,
+        profiles_from_partials,
+    )
+
+    t = _triples(spark, sf_dir).localCheckpoint()
+    canon = canonicalize(link_surfaces(spark, node_surfaces(t)))
+    part = F.pmod(F.crc32(F.col("conv_id")), F.lit(2))
+    parts = [
+        entity_profile_partials(t.where(part == i), canon) for i in range(2)
+    ]
+    return profiles_from_partials(merge_profile_partials(*parts)).select(
+        "entity_id",
+        "n_subj",
+        "n_obj",
+        "n_preds",
+        F.unix_timestamp("first_ts").alias("first_epoch"),
+        F.unix_timestamp("last_ts").alias("last_epoch"),
+        "top_surface",
+    )
+
+
 def q_kg_edges_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot delta: diff the midpoint as-of snapshot against the full
     edge table (operators/materialize.edges_diff) — the audit primitive
@@ -1332,6 +1367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_edges_canon_refresh": q_kg_edges_canon_refresh,
         "stream_conversations": q_stream_conversations,
         "kg_edges_diff": q_kg_edges_diff,
+        "entity_profiles_incremental": q_entity_profiles_incremental,
         # -- verified in r01/r02 but pushed past the window in r03 --
         "mention_overlap_pairs": q_mention_overlap_pairs,
         "pipeline_lineage": q_pipeline_lineage,
@@ -1367,7 +1403,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_clusters": q_dedup_clusters,
         "dedup_simhash": q_dedup_simhash,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "dedup_embedding_cosine_lsh": q_dedup_embedding_cosine_lsh,
         "ann_bruteforce": q_ann_bruteforce,
@@ -1380,6 +1415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows in at least two of r01-r03 (triples_structural and
         # triples_relational are also strict subsets of kg_triples,
         # which stays in-window) ----
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "triples_structural": q_triples_structural,
         "triples_relational": q_triples_relational,
         "mm_metadata": q_mm_metadata,

@@ -167,6 +167,20 @@ def main() -> None:
         "edges_diff",
         edges_diff(edges_asof(t, canon), materialize_edges(t, canon)),
     )
+    from transner_spark.operators.materialize import (
+        entity_profile_partials,
+        merge_profile_partials,
+        profiles_from_partials,
+    )
+
+    audit(
+        "profiles_from_partials",
+        profiles_from_partials(
+            merge_profile_partials(
+                *[entity_profile_partials(t.where(part == i), canon) for i in range(2)]
+            )
+        ),
+    )
     spark.stop()
 
 

@@ -352,3 +352,48 @@ def test_edges_diff_exact(spark):
     assert all(r["weight_delta"] > 0 for r in d)
     n_after_cutoff = 2  # jan 3 + jan 4 rows
     assert sum(r["weight_delta"] for r in d) == n_after_cutoff
+
+
+def test_entity_profiles_incremental_identity(spark):
+    """profiles_from_partials(merge(partials(split_i))) equals the
+    one-shot entity_profiles on any split of the triple stream — the
+    IVM identity the gate proves at corpus scale — including the hard
+    case where the modal surface is decided only across batches."""
+    from transner_spark.operators.materialize import (
+        entity_profile_partials,
+        entity_profiles,
+        merge_profile_partials,
+        profiles_from_partials,
+    )
+
+    rows = [
+        # batch A: 'Anna' x1, 'anna' x1 — tie inside the batch
+        ("c1", 0, "Anna", "PER", "anna", "knows", "Roma", "LOC", "roma", 0.9, "2026-01-01 00:00:00"),
+        ("c1", 1, "anna", "PER", "anna", "visited", "Roma", "LOC", "roma", 0.9, "2026-01-02 00:00:00"),
+        # batch B: 'Anna' again — modal only decidable after the merge
+        ("c2", 0, "Anna", "PER", "anna", "knows", "Milano", "LOC", "milano", 0.9, "2026-01-03 00:00:00"),
+        ("c2", 1, "Roma", "LOC", "roma", "near", "Milano", "LOC", "milano", 0.9, "2026-01-04 00:00:00"),
+    ]
+    t = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx long, subj_value string, subj_type string,"
+        " subj_norm string, pred string, obj_value string, obj_type string,"
+        " obj_norm string, confidence double, ts_s string",
+    ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+    canon = spark.createDataFrame([], "node_id string, canon_id string")
+
+    batches = [t.where(F.col("conv_id") == c) for c in ("c1", "c2")]
+    merged = merge_profile_partials(
+        *[entity_profile_partials(b, canon) for b in batches]
+    )
+    cols = ["entity_id", "n_subj", "n_obj", "n_preds", "first_ts", "last_ts", "top_surface"]
+    snap = lambda df: sorted(map(tuple, df.select(cols).collect()))  # noqa: E731
+    assert snap(profiles_from_partials(merged)) == snap(entity_profiles(t, canon))
+    anna = {r["entity_id"]: r for r in profiles_from_partials(merged).collect()}[
+        "surface:anna"
+    ]
+    assert anna["top_surface"] == "Anna"  # 2x across batches beats 1x 'anna'
+    # merge is idempotent-shaped: merging a single partial changes nothing
+    assert snap(profiles_from_partials(merge_profile_partials(merged))) == snap(
+        entity_profiles(t, canon)
+    )

@@ -288,23 +288,7 @@ def entity_profiles(
     tiebreak (count desc, surface asc) so the gate hash is stable."""
     from pyspark.sql import Window
 
-    resolved = _resolve(triples, canon, "subj", broadcast_canon)
-    resolved = _resolve(resolved, canon, "obj", broadcast_canon)
-    sides = resolved.select(
-        F.col("subj_id").alias("entity_id"),
-        F.col("subj_value").alias("surface"),
-        "pred",
-        "ts",
-        F.lit(1).alias("is_subj"),
-    ).unionByName(
-        resolved.select(
-            F.col("obj_id").alias("entity_id"),
-            F.col("obj_value").alias("surface"),
-            "pred",
-            "ts",
-            F.lit(0).alias("is_subj"),
-        )
-    )
+    sides = _profile_sides(triples, canon, broadcast_canon)
     per_pred = sides.groupBy("entity_id", "pred").agg(
         F.sum("is_subj").alias("n_subj"),
         F.sum(1 - F.col("is_subj")).alias("n_obj"),
@@ -321,6 +305,120 @@ def entity_profiles(
     top = (
         sides.groupBy("entity_id", "surface")
         .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("entity_id").orderBy(
+                    F.col("n").desc(), F.col("surface")
+                )
+            ),
+        )
+        .where(F.col("rk") == 1)
+        .select("entity_id", F.col("surface").alias("top_surface"))
+    )
+    return stats.join(top, "entity_id")
+
+
+def _profile_sides(triples: DataFrame, canon: DataFrame, broadcast_canon: bool) -> DataFrame:
+    """Both triple sides resolved and unioned into (entity_id, surface,
+    pred, ts, is_subj) rows — shared by the one-shot serving view and
+    the incremental partials."""
+    resolved = _resolve(triples, canon, "subj", broadcast_canon)
+    resolved = _resolve(resolved, canon, "obj", broadcast_canon)
+    return resolved.select(
+        F.col("subj_id").alias("entity_id"),
+        F.col("subj_value").alias("surface"),
+        "pred",
+        "ts",
+        F.lit(1).alias("is_subj"),
+    ).unionByName(
+        resolved.select(
+            F.col("obj_id").alias("entity_id"),
+            F.col("obj_value").alias("surface"),
+            "pred",
+            "ts",
+            F.lit(0).alias("is_subj"),
+        )
+    )
+
+
+def entity_profile_partials(
+    triples: DataFrame,
+    canon: DataFrame,
+    broadcast_canon: bool = True,
+) -> DataFrame:
+    """Incremental-view-maintenance partials for ``entity_profiles``:
+    one row per (entity_id, pred, surface) with the MERGEABLE statistics
+    (n_subj/n_obj sums, first/last ts bounds, occurrence count). The
+    profile view's two non-distributive aggregates — pred-distinct and
+    the modal surface — both become distributive over this key: preds
+    are the key's second component and surface counts its third, so
+    partials from any corpus split merge with a plain monoid
+    (``merge_profile_partials``) and re-derive the EXACT serving view
+    (``profiles_from_partials``). This is the same two-speed maintenance
+    pattern as the edge table (merge_edge_increments): per-batch
+    partials instead of re-scanning the whole triple stream, at the cost
+    of state keyed by (entity, pred, surface) — bounded by the observed
+    vocabulary, not the corpus.
+
+    Shape at scale: broadcast canon resolve + ONE hash aggregate on the
+    partial key (map-side partials bound hot entities)."""
+    return (
+        _profile_sides(triples, canon, broadcast_canon)
+        .groupBy("entity_id", "pred", "surface")
+        .agg(
+            F.sum("is_subj").cast("long").alias("n_subj"),
+            F.sum(1 - F.col("is_subj")).cast("long").alias("n_obj"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+            F.count(F.lit(1)).cast("long").alias("n_occ"),
+        )
+    )
+
+
+def merge_profile_partials(*partials: DataFrame) -> DataFrame:
+    """Associative merge of profile partials — the commutative monoid on
+    the (entity_id, pred, surface) key: sums add, bounds min/max. One
+    union + one hash aggregate whose input cardinality is partial rows
+    (vocabulary-bounded), never mentions."""
+    merged = partials[0]
+    for p in partials[1:]:
+        merged = merged.unionByName(p)
+    return merged.groupBy("entity_id", "pred", "surface").agg(
+        F.sum("n_subj").cast("long").alias("n_subj"),
+        F.sum("n_obj").cast("long").alias("n_obj"),
+        F.min("first_ts").alias("first_ts"),
+        F.max("last_ts").alias("last_ts"),
+        F.sum("n_occ").cast("long").alias("n_occ"),
+    )
+
+
+def profiles_from_partials(partials: DataFrame) -> DataFrame:
+    """Re-derive the exact ``entity_profiles`` serving view from
+    maintained partials: per-(entity,pred) rollup → entity stats with
+    pred-distinct as a plain count, and the modal surface from the
+    per-(entity,surface) counts with the same deterministic
+    (count desc, surface asc) tiebreak. Two key-partitioned aggregates +
+    one entity-partitioned rank window — identical plan shape to the
+    one-shot view, but over vocabulary-sized state."""
+    from pyspark.sql import Window
+
+    per_pred = partials.groupBy("entity_id", "pred").agg(
+        F.sum("n_subj").alias("n_subj"),
+        F.sum("n_obj").alias("n_obj"),
+        F.min("first_ts").alias("first_ts"),
+        F.max("last_ts").alias("last_ts"),
+    )
+    stats = per_pred.groupBy("entity_id").agg(
+        F.sum("n_subj").cast("long").alias("n_subj"),
+        F.sum("n_obj").cast("long").alias("n_obj"),
+        F.count(F.lit(1)).cast("long").alias("n_preds"),
+        F.min("first_ts").alias("first_ts"),
+        F.max("last_ts").alias("last_ts"),
+    )
+    top = (
+        partials.groupBy("entity_id", "surface")
+        .agg(F.sum("n_occ").alias("n"))
         .withColumn(
             "rk",
             F.row_number().over(

@@ -1377,6 +1377,16 @@ def kg_derived_oracles(
             f"read_parquet('{g_canonical}')",
             transcripts_cache,
         ),
+        # incremental-view maintenance: the Spark side builds mergeable
+        # (entity, pred, surface) partials per corpus split, merges with
+        # the partial monoid, and re-derives the view — the oracle is
+        # the whole-corpus derivation, checking
+        # profiles_from_partials(merge(partials(parts))) == view(whole)
+        "entity_profiles_incremental": entity_profiles_sql(
+            f"read_parquet('{g_triples}')",
+            f"read_parquet('{g_canonical}')",
+            transcripts_cache,
+        ),
     }
 
 
