@@ -104,6 +104,18 @@ def stage(name: str, timings: dict[str, float], rss: dict[str, float]):
 # host oversubscription as much as pipeline scaling (ADVICE r1).
 SCALING_PAIRS = ((2, 8), (8, 32))
 SCALING_LEVELS = tuple(sorted({n for p in SCALING_PAIRS for n in p}))
+# Cold-JVM reps per level, ROUND-ROBIN across levels, per-level result =
+# the min-total rep. Round 4 measured the sandbox host delivering bursty
+# multi-second stalls that land on a DIFFERENT stage each run (triples
+# 2.3s vs 27.3s on identical code/config/corpus minutes apart; annotate
+# 31.6s vs 103.9s at local[32]): a single-shot leg times the host burst,
+# not the pipeline, and under one-sided noise the minimum is the
+# unbiased estimator of the code's cost (same rationale as the trainops
+# reps). Round-robin order means one burst window can hit at most one
+# rep of each level. local[2] gets fewer reps: its long CPU-bound wall
+# averages over bursts (observed ±8% across four round-4 runs, vs 3x+
+# swings on the short multi-core legs).
+SCALING_REPS = {2: 2, 8: 3, 32: 3}
 
 
 def build_session(master: str, cpus: int):
@@ -493,8 +505,23 @@ def main() -> None:
 
         if scaling:
             ensure_scaling_corpus()
-            # one fresh subprocess (cold JVM) per leg — see run_scaling_level
-            levels = {n: _run_level_subprocess(n) for n in SCALING_LEVELS}
+            # SCALING_REPS cold-JVM reps per level, round-robin; keep the
+            # min-total rep per level and record the wall spread — see
+            # the SCALING_REPS rationale above
+            rep_results: dict[int, list[dict]] = {n: [] for n in SCALING_LEVELS}
+            for rep in range(max(SCALING_REPS.values())):
+                for n in SCALING_LEVELS:
+                    if rep < SCALING_REPS[n]:
+                        sys.stderr.write(f"[scaling] rep {rep} local[{n}]\n")
+                        rep_results[n].append(_run_level_subprocess(n))
+            levels = {
+                n: min(rs, key=lambda r: r["total"])
+                for n, rs in rep_results.items()
+            }
+            leg_spread = {
+                n: sorted(round(r["total"], 2) for r in rs)
+                for n, rs in rep_results.items()
+            }
             effs = {
                 (lo, hi): (
                     levels[hi]["triples_per_sec"] / levels[lo]["triples_per_sec"]
@@ -513,15 +540,20 @@ def main() -> None:
                     for (lo, hi), e in effs.items()
                 },
                 "efficiency": round(effs[SCALING_PAIRS[0]], 3),
+                "leg_wall_spread_s": {
+                    str(n): leg_spread[n] for n in SCALING_LEVELS
+                },
             }
-            _write_bench_md(sf_dir, levels, effs)
+            _write_bench_md(sf_dir, levels, effs, leg_spread)
 
         print(json.dumps(out))
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 
 
-def _write_bench_md(sf_dir: str, levels: dict, effs: dict) -> None:
+def _write_bench_md(
+    sf_dir: str, levels: dict, effs: dict, leg_spread: dict | None = None
+) -> None:
     lo, hi = SCALING_PAIRS[0]
     lines = [
         "# BENCH — scaling evidence (north rule: N vs 4N)",
@@ -556,6 +588,23 @@ def _write_bench_md(sf_dir: str, levels: dict, effs: dict) -> None:
             f"{r['triples_per_sec']:.1f} |"
         )
     lines.append("")
+    if leg_spread:
+        lines += [
+            "Per level: min-total of "
+            + "/".join(str(SCALING_REPS[n]) for n in SCALING_LEVELS)
+            + " cold-JVM reps (local["
+            + "/".join(str(n) for n in SCALING_LEVELS)
+            + "]), round-robin so a host burst window hits at most one rep "
+            "per level (the sandbox host delivers multi-second stalls that "
+            "land on a different stage each run — min is the unbiased "
+            "estimator under one-sided noise, as for the trainops reps). "
+            "Wall spread across reps: "
+            + "; ".join(
+                f"local[{n}] {leg_spread[n]}" for n in SCALING_LEVELS
+            )
+            + ".",
+            "",
+        ]
     for (plo, phi), e in effs.items():
         label = "headline, unsaturated region" if (plo, phi) == SCALING_PAIRS[0] \
             else "saturated region: measures host thread contention too"

@@ -92,6 +92,18 @@ def main() -> None:
     audit("ann_ivf", ann_ivf(spark, emb))
     audit("ann_recall_lsh", ann_recall(spark, emb, method="lsh"))
 
+    from pyspark.sql import functions as F
+
+    from transner_spark.operators.dedup import dedup_minhash_incremental
+    from transner_spark.operators.skew import profile_skew
+
+    audit("skew_profile", profile_skew(docs, ["lang", "source"], top_k=25))
+    is_new = F.pmod(F.abs(F.xxhash64("doc_id")), F.lit(4)) == F.lit(0)
+    audit(
+        "dedup_minhash_incremental",
+        dedup_minhash_incremental(docs.where(~is_new), docs.where(is_new)),
+    )
+
     from transner_spark.operators.graf import graf_merge
     from transner_spark.sources.graf import (
         ensure_graf_raw,

@@ -65,7 +65,7 @@ def leg(n: int) -> None:
     r["mentions_cached_s"] = min(full)
     r["mentions_cached_w8_s"] = min(w8)
     r["cached_spread"] = {"full": full, "w8": w8}
-    r["heap"] = os.environ.get("SPARK_DRIVER_MEMORY", "8g")
+    r["heap"] = os.environ.get("SPARK_DRIVER_MEMORY", "24g")
 
     infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
     r["cache_mem_mib"] = round(sum(i.memSize() for i in infos) / 2**20)

@@ -1,0 +1,70 @@
+"""Physical-plan pins for the scale-critical operator properties that
+PLANS.md documents: these fail loudly if a future edit introduces a
+global sort where a top-k belongs, an unpartitioned window, or an
+all-pairs product in the blocked dedup paths. (Plan STRINGS, no
+execution — cheap.)"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_skew_profile_topk_not_global_sort(spark, tiny_df):
+    from transner_spark.operators.skew import profile_skew
+
+    p = _plan(profile_skew(tiny_df, ["role"], top_k=5))
+    # top-k must be TakeOrderedAndProject (per-partition top-k + k·P
+    # driver merge), never a global Sort or a global Window
+    assert "TakeOrderedAndProject" in p
+    assert "WindowExec" not in p
+    # the totals scalar comes back via broadcast — in-plan, no collect
+    assert "BroadcastExchange" in p or "BroadcastNestedLoopJoin" in p
+
+
+def test_dedup_incremental_no_cartesian(spark):
+    from transner_spark.operators.dedup import dedup_minhash_incremental
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma epsilon")],
+        ["doc_id", "text"],
+    )
+    is_new = F.pmod(F.abs(F.xxhash64("doc_id")), F.lit(2)) == F.lit(0)
+    p = _plan(dedup_minhash_incremental(docs.where(~is_new), docs.where(is_new)))
+    # candidate generation must stay a banded equi-join
+    assert "CartesianProduct" not in p
+
+
+def test_edges_rollup_is_salted_two_phase(spark, tiny_df):
+    """materialize_edges' salted path: the pre-aggregate must include
+    the salt column so the hot-key rollup happens in two phases."""
+    from transner_spark.operators.annotate import annotate_turns, explode_triples
+    from transner_spark.operators.canonicalize import canonicalize
+    from transner_spark.operators.linking import link_surfaces, node_surfaces
+    from transner_spark.operators.materialize import materialize_edges
+
+    t = explode_triples(annotate_turns(tiny_df))
+    canon = canonicalize(link_surfaces(tiny_df.sparkSession, node_surfaces(t)))
+    p = _plan(materialize_edges(t, canon))
+    assert "salt" in p
+    assert "CartesianProduct" not in p
+
+
+def test_neighbors_topk_window_is_partitioned(spark):
+    from transner_spark.operators.graph import graph_neighbors_topk
+
+    edges = spark.createDataFrame(
+        [(1, "p", 2, 3), (1, "p", 3, 2), (2, "p", 3, 1)],
+        ["subj_id", "pred", "obj_id", "weight"],
+    )
+    p = _plan(graph_neighbors_topk(edges, k=2))
+    # the rank window must be partitioned by node: its required child
+    # distribution is a hash partitioning on subj_id. An unpartitioned
+    # window would demand Exchange SinglePartition instead (the
+    # 'WindowExec: No Partition Defined' collapse).
+    assert "hashpartitioning(subj_id" in p
+    assert "SinglePartition" not in p

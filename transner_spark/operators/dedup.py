@@ -189,18 +189,10 @@ def lsh_band_keys(sigs: DataFrame, bands: int = LSH_BANDS) -> DataFrame:
     )
 
 
-def dedup_minhash_lsh(
-    docs: DataFrame, threshold: float = JACCARD_THRESHOLD
-) -> DataFrame:
-    """MinHash-LSH near-dup pairs: candidates collide in ≥1 band; the
-    verify pass computes exact Jaccard on the shingle sets and keeps
-    pairs ≥ threshold. Returns (doc_a, doc_b, jaccard)."""
-    # Materialize signatures once: Catalyst inlines the (16 × |shingles|
-    # md5) sig expression into EVERY downstream reference (band structs,
-    # both join sides, the verify pass) — no common-subexpression reuse
-    # through higher-order functions, measured 30×+ recompute at sf0.1.
-    # At warehouse scale this persist becomes a signatures table write.
-    sigs = minhash_signatures(docs).persist()
+def _pairs_from_sigs(sigs: DataFrame, threshold: float) -> DataFrame:
+    """Band-collision candidates + exact-Jaccard verify over a
+    (doc_id, shingles, sig) frame. Shared by the full and incremental
+    minhash paths so their pair semantics cannot drift."""
     bandsa = lsh_band_keys(sigs).alias("a")
     bandsb = lsh_band_keys(sigs).alias("b")
     cand = (
@@ -219,6 +211,75 @@ def dedup_minhash_lsh(
     return verified.where(F.col("jaccard") >= threshold).select(
         "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
     )
+
+
+def dedup_minhash_lsh(
+    docs: DataFrame, threshold: float = JACCARD_THRESHOLD
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs: candidates collide in ≥1 band; the
+    verify pass computes exact Jaccard on the shingle sets and keeps
+    pairs ≥ threshold. Returns (doc_a, doc_b, jaccard)."""
+    # Materialize signatures once: Catalyst inlines the (16 × |shingles|
+    # md5) sig expression into EVERY downstream reference (band structs,
+    # both join sides, the verify pass) — no common-subexpression reuse
+    # through higher-order functions, measured 30×+ recompute at sf0.1.
+    # At warehouse scale this persist becomes a signatures table write.
+    sigs = minhash_signatures(docs).persist()
+    return _pairs_from_sigs(sigs, threshold)
+
+
+def dedup_minhash_incremental(
+    old_docs: DataFrame,
+    new_docs: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+) -> DataFrame:
+    """Continuous-ingest dedup maintenance: merge a NEW batch of docs
+    into an already-deduped corpus without re-fingerprinting the corpus.
+
+    The algebra (the gate proves it value-level): pair sets partition
+    cleanly by who is involved —
+
+        pairs(old ∪ new) = pairs(old)  ∪  pairs_touching_new
+
+    because band-collision candidacy and Jaccard verification are both
+    pure pair-local predicates. ``pairs(old)`` is the maintained pair
+    table (recomputed here only because the gate takes raw inputs — a
+    production run reads it, plus the old signature table, from
+    storage); ``pairs_touching_new`` joins the NEW docs' band keys
+    against the full band table, so the per-batch cost scales with
+    |new| × collision fan-in, never |corpus|² nor even |corpus| shingle
+    hashing. This is the trainops twin of merge_edge_increments
+    (operators/materialize.py:93): same commutative-merge shape, same
+    full-recompute oracle.
+
+    Caller contract: old/new doc_id sets are disjoint (an ingest batch
+    is new by construction), which keeps the union duplicate-free since
+    every incremental pair touches ≥1 new doc."""
+    old_sigs = minhash_signatures(old_docs).persist()
+    new_sigs = minhash_signatures(new_docs).persist()
+    old_pairs = _pairs_from_sigs(old_sigs, threshold)
+
+    all_sigs = old_sigs.unionByName(new_sigs)
+    nb = lsh_band_keys(new_sigs).alias("n")
+    mb = lsh_band_keys(all_sigs).alias("m")
+    cand = (
+        nb.join(
+            mb,
+            (F.col("n.band_idx") == F.col("m.band_idx"))
+            & (F.col("n.band_key") == F.col("m.band_key"))
+            & (F.col("n.doc_id") != F.col("m.doc_id")),
+        )
+        .select(
+            F.least("n.doc_id", "m.doc_id").alias("doc_a"),
+            F.greatest("n.doc_id", "m.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    inc = _pair_jaccard(cand, all_sigs.select("doc_id", "shingles"))
+    inc = inc.where(F.col("jaccard") >= threshold).select(
+        "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
+    )
+    return old_pairs.unionByName(inc)
 
 
 # ---------------------------------------------------------------- simhash
