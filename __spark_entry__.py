@@ -1048,6 +1048,16 @@ def q_stream_conversations(spark: SparkSession, sf_dir: str) -> DataFrame:
                 and time.monotonic() < deadline
             ):
                 time.sleep(1)
+            got = spark.table("conversations_gate").count()
+            if got < n_convs:
+                # fail LOUD (review r4): a silent partial set would reach
+                # the oracle comparison looking like an assembly bug —
+                # the actual failure is the poll deadline on a stalled
+                # host, and that must be what the error says
+                raise TimeoutError(
+                    f"stream_conversations: only {got}/{n_convs} "
+                    "conversations closed within the 300s poll deadline"
+                )
             out = (
                 spark.table("conversations_gate")
                 .select(

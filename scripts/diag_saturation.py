@@ -33,7 +33,6 @@ def leg(n: int) -> None:
 
     sys.path.insert(0, REPO)
     import bench
-    from transner_spark.functions.session import get_spark
     from transner_spark.operators.annotate import annotate_turns, explode_mentions
 
     corpus = bench.ensure_scaling_corpus()
@@ -65,7 +64,8 @@ def leg(n: int) -> None:
     r["mentions_cached_s"] = min(full)
     r["mentions_cached_w8_s"] = min(w8)
     r["cached_spread"] = {"full": full, "w8": w8}
-    r["heap"] = os.environ.get("SPARK_DRIVER_MEMORY", "24g")
+    # the heap the JVM actually got, not a re-statement of the default
+    r["heap"] = spark.conf.get("spark.driver.memory")
 
     infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
     r["cache_mem_mib"] = round(sum(i.memSize() for i in infos) / 2**20)

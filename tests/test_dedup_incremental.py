@@ -77,6 +77,38 @@ def test_all_pair_classes_present(spark, split_docs):
     assert classes == {0, 1, 2}
 
 
+def test_precomputed_state_path_equals_full(spark, split_docs):
+    """The production path — maintained signature + pair tables passed
+    in, old_docs=None — must produce the same merged pair set as the
+    full recompute (and must not need the old corpus at all)."""
+    from transner_spark.operators.dedup import (
+        dedup_minhash_incremental,
+        dedup_minhash_lsh,
+        minhash_signatures,
+    )
+
+    old, new = split_docs
+    inc = dedup_minhash_incremental(
+        None,
+        new,
+        threshold=0.5,
+        old_sigs=minhash_signatures(old),
+        old_pairs=dedup_minhash_lsh(old, threshold=0.5),
+    )
+    full = dedup_minhash_lsh(old.unionByName(new), threshold=0.5)
+    assert _pairs(inc) == _pairs(full)
+
+
+def test_requires_old_input(spark, split_docs):
+    from transner_spark.operators.dedup import dedup_minhash_incremental
+
+    _, new = split_docs
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        dedup_minhash_incremental(None, new)
+
+
 def test_disjoint_union_no_duplicates(spark, split_docs):
     from transner_spark.operators.dedup import dedup_minhash_incremental
 

@@ -217,8 +217,24 @@ def test_stream_edge_increments_maintenance(spark, tiny_pdf, tiny_df, stream_dir
     # rewrite the pointer without the identity field and expect the
     # same loud failure even under the ORIGINAL checkpoint
     with open(os.path.join(state, "CURRENT")) as fh:
-        vname_cur, last_s = fh.read().split()[:2]
+        current_line = fh.read()
+    vname_cur, last_s = current_line.split()[:2]
     with open(os.path.join(state, "CURRENT"), "w") as fh:
         fh.write(f"{vname_cur} {last_s}")
     with pytest.raises(Exception, match="different checkpoint"):
         stream_edge_increments(spark, d["in"] + "/*", state, d["cp"], canon)
+
+    # a checkpoint DELETED AND RECREATED AT THE SAME PATH restarts batch
+    # ids at 0 under a fresh query id — the identity must come from the
+    # checkpoint's metadata, not its path, for the guard to see this
+    # (review r4): restore the full pointer, nuke the checkpoint, expect
+    # the same loud failure instead of silent batch drops
+    import shutil as _shutil
+
+    with open(os.path.join(state, "CURRENT"), "w") as fh:
+        fh.write(current_line)
+    _shutil.rmtree(d["cp"])
+    _write_batch(spark, tiny_pdf, d["in"], 7, 9, "b3")
+    with pytest.raises(Exception, match="different checkpoint"):
+        stream_edge_increments(spark, d["in"] + "/*", state, d["cp"], canon)
+    assert current_edge_state(state) == (path, last)

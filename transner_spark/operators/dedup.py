@@ -229,9 +229,11 @@ def dedup_minhash_lsh(
 
 
 def dedup_minhash_incremental(
-    old_docs: DataFrame,
+    old_docs: DataFrame | None,
     new_docs: DataFrame,
     threshold: float = JACCARD_THRESHOLD,
+    old_sigs: DataFrame | None = None,
+    old_pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Continuous-ingest dedup maintenance: merge a NEW batch of docs
     into an already-deduped corpus without re-fingerprinting the corpus.
@@ -254,10 +256,28 @@ def dedup_minhash_incremental(
 
     Caller contract: old/new doc_id sets are disjoint (an ingest batch
     is new by construction), which keeps the union duplicate-free since
-    every incremental pair touches ≥1 new doc."""
-    old_sigs = minhash_signatures(old_docs).persist()
+    every incremental pair touches ≥1 new doc.
+
+    Production plug points (review r4): pass ``old_sigs`` (the
+    maintained signature table: doc_id, shingles, sig) and
+    ``old_pairs`` (the maintained pair table) to skip re-fingerprinting
+    and re-pairing the corpus — then ``old_docs`` may be None and the
+    per-batch cost really is |new|-proportional. When they are omitted
+    (the raw-input gate path), both are recomputed from ``old_docs``.
+    Persist lifecycle: frames persisted here stay pinned for the
+    session (the returned plan reads them lazily, so this function
+    cannot unpersist); a long-lived ingest loop should pass the
+    precomputed tables and manage its own storage — at warehouse scale
+    both are real tables, not block-manager entries."""
+    if old_sigs is None:
+        if old_docs is None:
+            raise ValueError(
+                "dedup_minhash_incremental needs old_docs or old_sigs"
+            )
+        old_sigs = minhash_signatures(old_docs).persist()
     new_sigs = minhash_signatures(new_docs).persist()
-    old_pairs = _pairs_from_sigs(old_sigs, threshold)
+    if old_pairs is None:
+        old_pairs = _pairs_from_sigs(old_sigs, threshold)
 
     all_sigs = old_sigs.unionByName(new_sigs)
     nb = lsh_band_keys(new_sigs).alias("n")

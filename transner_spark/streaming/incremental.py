@@ -258,6 +258,15 @@ def assemble_conversations(
     # count(DISTINCT nullif(role, ''))).
     sep = "\x1f"
 
+    def _unpack_roles(packed: str) -> set:
+        # state written before the \x1f change packed roles with ','
+        # (review r4: a checkpoint that spans the upgrade would otherwise
+        # misparse 'agent,user' as ONE role). Legacy strings contain no
+        # \x1f, so: split on \x1f when present, else on the legacy ','
+        # — faithful to what the old code meant by that state.
+        s = packed.split(sep) if sep in packed else packed.split(",")
+        return set(s) - {""}
+
     def assemble(key, pdfs, state: GroupState):
         import pandas as pd  # worker-side: closure globals aren't shipped
 
@@ -269,7 +278,7 @@ def assemble_conversations(
                 {
                     "conv_id": [conv_id],
                     "n_turns": [n],
-                    "n_roles": [len([r for r in roles.split(sep) if r])],
+                    "n_roles": [len(_unpack_roles(roles))],
                     "first_ts": [pd.Timestamp(first_ts)],
                     "last_ts": [pd.Timestamp(last_ts)],
                     "closed_by": ["timeout"],
@@ -279,7 +288,7 @@ def assemble_conversations(
         n, first_ts, last_ts, roles = (
             state.get if state.exists else (0, None, None, "")
         )
-        role_set = set(roles.split(sep)) - {""}
+        role_set = _unpack_roles(roles)
         for pdf in pdfs:
             n += len(pdf)
             role_set |= {r for r in pdf["role"] if isinstance(r, str) and r}
@@ -329,13 +338,21 @@ def stream_conversations(
 
 
 def _checkpoint_identity(checkpoint_dir: str) -> str:
-    """Stable identity of a streaming checkpoint: digest of its resolved
-    path (fixed-width, whitespace-free — safe inside the CURRENT line)."""
-    import hashlib
+    """Stable identity of a streaming checkpoint: the query id Spark
+    records in ``<checkpoint>/metadata`` at stream start. A path digest
+    is NOT enough (review r4): a checkpoint deleted and recreated at the
+    SAME path restarts batch ids at 0 but keeps its digest, so the
+    guard would silently drop new batches — exactly the failure it
+    exists to make loud. The metadata query id is regenerated with the
+    checkpoint, so recreation is detected. Callers resolve this from
+    INSIDE foreachBatch (StreamExecution writes the file at query
+    start, before the first batch); a missing/unreadable metadata there
+    is itself an error worth raising. The uuid is whitespace-free —
+    safe inside the CURRENT line."""
+    import json as _json
 
-    return hashlib.md5(
-        os.path.realpath(checkpoint_dir).encode("utf-8")
-    ).hexdigest()[:12]
+    with open(os.path.join(checkpoint_dir, "metadata")) as fh:
+        return str(_json.load(fh)["id"])
 
 
 def _read_current(state_dir: str) -> tuple[str | None, int, str | None]:
@@ -396,11 +413,14 @@ def stream_edge_increments(
     At warehouse scale all of this collapses into Iceberg/Delta's
     atomic MERGE + snapshot expiry.
 
-    CURRENT also records the CHECKPOINT IDENTITY (digest of the resolved
-    checkpoint path): batch ids are only monotone within one checkpoint's
-    id sequence, so pointing a fresh/relocated checkpoint (whose ids
-    restart at 0) at an existing state dir would make ``batch_id <=
-    last_applied`` silently drop genuinely new batches. A mismatch — or
+    CURRENT also records the CHECKPOINT IDENTITY (the query id from
+    ``<checkpoint>/metadata``, which is regenerated whenever a
+    checkpoint is created — including recreation at the SAME path, the
+    case a path digest misses): batch ids are only monotone within one
+    checkpoint's id sequence, so pointing a fresh/relocated/recreated
+    checkpoint (whose ids restart at 0) at an existing state dir would
+    make ``batch_id <= last_applied`` silently drop genuinely new
+    batches. A mismatch — or
     a committed legacy pointer with no recorded identity, which is just
     as uncomparable — fails loud instead (ADVICE r3): reuse the
     original checkpoint, start a new state dir, or migrate a known-good
@@ -413,9 +433,10 @@ def stream_edge_increments(
         merge_edge_increments,
     )
 
-    ck_identity = _checkpoint_identity(checkpoint_dir)
-
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # resolved here, not at wiring time: the metadata file this
+        # identity comes from exists only once the query has started
+        ck_identity = _checkpoint_identity(checkpoint_dir)
         vname_cur, last_applied, state_ck = _read_current(state_dir)
         if vname_cur is not None and state_ck != ck_identity:
             # A committed state with EITHER a different identity OR a
