@@ -54,6 +54,75 @@ def test_edges_rollup_is_salted_two_phase(spark, tiny_df):
     assert "CartesianProduct" not in p
 
 
+@pytest.fixture()
+def bucketed_edges(spark, tmp_path_factory):
+    """A small edge table written twice: as a plain parquet directory
+    (negative control) and as a catalog-registered bucketed table."""
+    from transner_spark.config import PipelineConfig
+    from transner_spark.operators.materialize import write_edges_bucketed
+
+    root = tmp_path_factory.mktemp("bucketed_edges")
+    edges = spark.createDataFrame(
+        [(i % 7, "p", (i * 3) % 11, 1 + i % 4) for i in range(100)],
+        ["subj_id", "pred", "obj_id", "weight"],
+    )
+    plain = str(root / "plain")
+    edges.write.mode("overwrite").parquet(plain)
+    cfg = PipelineConfig(edge_buckets=8)
+    spark.sql("DROP TABLE IF EXISTS edges_bucketed_t")
+    write_edges_bucketed(edges, "edges_bucketed_t", str(root / "bucketed"), cfg)
+    yield plain, "edges_bucketed_t"
+    spark.sql("DROP TABLE IF EXISTS edges_bucketed_t")
+
+
+def _no_broadcast(spark):
+    """Force sort-merge joins so the Exchange presence/absence is the
+    signal (a broadcast join would hide the shuffle question entirely)."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def ctx():
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            yield
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+    return ctx()
+
+
+def test_bucketed_edges_self_join_skips_shuffle(spark, bucketed_edges):
+    """The serving layout's whole point: an equi-join on subj_id over
+    the bucketed edge table must read both sides pre-distributed — zero
+    shuffle Exchanges — while the identical plain-parquet join shuffles
+    both sides. (two-hop / edge-diff / incremental-merge all join on
+    this key.)"""
+    plain, table = bucketed_edges
+    with _no_broadcast(spark):
+        b = spark.table(table)
+        pb = _plan(b.alias("a").join(b.alias("b"), "subj_id"))
+        p = spark.read.parquet(plain)
+        pp = _plan(p.alias("a").join(p.alias("b"), "subj_id"))
+    assert "Exchange hashpartitioning" not in pb, pb
+    assert "SortMergeJoin" in pb or "ShuffledHashJoin" in pb
+    assert "Exchange hashpartitioning" in pp  # negative control
+
+
+def test_bucketed_edges_agg_skips_shuffle(spark, bucketed_edges):
+    """groupBy(subj_id) over the bucketed table satisfies the aggregate's
+    required distribution from the scan — no Exchange (entity rollups /
+    degree counts read for free)."""
+    plain, table = bucketed_edges
+    agg = spark.table(table).groupBy("subj_id").agg(F.sum("weight"))
+    pb = _plan(agg)
+    assert "Exchange hashpartitioning" not in pb, pb
+    pp = _plan(
+        spark.read.parquet(plain).groupBy("subj_id").agg(F.sum("weight"))
+    )
+    assert "Exchange hashpartitioning" in pp  # negative control
+
+
 def test_neighbors_topk_window_is_partitioned(spark):
     from transner_spark.operators.graph import graph_neighbors_topk
 

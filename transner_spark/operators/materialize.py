@@ -269,6 +269,48 @@ def write_edges(edges: DataFrame, path: str, cfg: PipelineConfig | None = None) 
     )
 
 
+def write_edges_bucketed(
+    edges: DataFrame,
+    table: str,
+    path: str,
+    cfg: PipelineConfig | None = None,
+) -> None:
+    """Serving-layout twin of ``write_edges``: a Spark-native BUCKETED
+    table (``bucketBy(edge_buckets, subj_id)`` + ``sortBy``) registered
+    in the session catalog at ``path``.
+
+    Why it exists: a plain parquet directory carries no partitioning
+    metadata, so EVERY downstream consumer that joins or aggregates on
+    ``subj_id`` — the graph stage's self-joins (two-hop), per-node rank
+    windows (neighbors top-k), entity rollups, edge-diff audits — pays a
+    fresh shuffle of the whole edge table. A bucketed table persists the
+    hash distribution in the catalog: scans come back already
+    hash-partitioned on ``subj_id``, and Catalyst drops the Exchange on
+    that side of any equi-join/agg keyed by it (pinned by
+    tests/test_plan_shapes.py::test_bucketed_edges_*). One write-time
+    shuffle is amortized across every read — at 100 TB the difference
+    between "each analytics query re-shuffles the KG" and "the KG is
+    born co-located". On Iceberg the same layout is the
+    ``bucket(N, subj_id)`` partition transform read under
+    storage-partitioned joins (SURVEY.md §1.2 toggle; no jar in this
+    sandbox, so the exercised branch is the session-catalog parquet
+    bucketed table — semantics and plan shape identical).
+
+    Bucket count = ``cfg.edge_buckets``, the same knob as the
+    subject-hash layout in ``write_edges`` — raise both with corpus
+    size. ``sortBy(subj_id)`` additionally lets single-file buckets skip
+    the join's Sort."""
+    cfg = cfg or PipelineConfig()
+    (
+        edges.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(cfg.edge_buckets, "subj_id")
+        .sortBy("subj_id")
+        .option("path", path)
+        .saveAsTable(table)
+    )
+
+
 def entity_profiles(
     triples: DataFrame,
     canon: DataFrame,
