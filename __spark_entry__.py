@@ -919,6 +919,49 @@ def q_stream_edges_batch_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_edges_log_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-structured streaming maintenance gate (streaming/logstate):
+    same 4-file micro-batch split as stream_edges_batch_eq, but each
+    batch APPENDS an increment-sized segment instead of rewriting the
+    maintained table, with inline compaction at 3 live segments — so the
+    run exercises append, compact, and append-after-compact. The
+    merge-on-read state must equal the whole-corpus SQL edge derivation
+    regardless of micro-batch boundaries or compaction points."""
+    import shutil
+    import tempfile
+
+    from transner_spark.operators.canonicalize import canonicalize
+    from transner_spark.sources.transcripts import ensure_transcripts_parquet
+    from transner_spark.streaming.logstate import (
+        read_edge_log,
+        stream_edge_increments_log,
+    )
+
+    src = ensure_transcripts_parquet(REPO, sf_dir)
+    canon = canonicalize(_links(spark, sf_dir))
+    work = tempfile.mkdtemp(prefix="stream_edges_log_gate_")
+    try:
+        in_dir = os.path.join(work, "in")
+        spark.read.parquet(src).repartition(4).write.parquet(in_dir)
+        state = os.path.join(work, "edges")
+        stream_edge_increments_log(
+            spark,
+            in_dir,
+            state,
+            os.path.join(work, "ck"),
+            canon,
+            compact_every=3,
+        )
+        out = _select_edge_cols(read_edge_log(spark, state)).toPandas()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        out,
+        "subj_id string, pred string, obj_id string, weight long, "
+        "first_epoch long, last_epoch long",
+    )
+
+
 def q_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming windowed-aggregate gate: tumbling 10-minute mention
     counts per type via the watermarked streaming aggregation (complete
@@ -1456,6 +1499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_edges_batch_eq": q_stream_edges_batch_eq,
         "stream_windowed_counts_append": q_stream_windowed_counts_append,
         # -- new this round --
+        "stream_edges_log_eq": q_stream_edges_log_eq,
         "kg_edges_canon_refresh": q_kg_edges_canon_refresh,
         "stream_conversations": q_stream_conversations,
         "kg_edges_diff": q_kg_edges_diff,
@@ -1624,6 +1668,9 @@ SELECT 'ivf' AS method, * FROM ({out["ann_recall_ivf"]})
         f"read_parquet('{g('canonical')}')",
         cache,
     )
+    # log-structured twin: append + compact + merge-on-read must land on
+    # the same whole-corpus derivation
+    out["stream_edges_log_eq"] = out["stream_edges_batch_eq"]
     from transner_spark.oracles import relational_oracles
 
     from transner_spark.oracles_ner import kg_mentions_sql

@@ -1,0 +1,171 @@
+"""Log-structured streaming edge state (streaming/logstate.py):
+O(batch) segment appends, merge-on-read equality with the batch rollup,
+amortized compaction, and the same crash/identity guarantees as the
+snapshot layout."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture()
+def log_dirs(tmp_path):
+    d = {k: str(tmp_path / k) for k in ("in", "state", "cp", "cp2")}
+    os.makedirs(d["in"])
+    return d
+
+
+def _write_batch(spark, tiny_pdf, in_dir: str, lo: int, hi: int, name: str):
+    from transner_spark.streaming.incremental import TRANSCRIPT_SCHEMA
+
+    part = tiny_pdf[(tiny_pdf["turn_idx"] >= lo) & (tiny_pdf["turn_idx"] < hi)]
+    spark.createDataFrame(part, schema=TRANSCRIPT_SCHEMA).coalesce(
+        1
+    ).write.mode("append").parquet(os.path.join(in_dir, name))
+
+
+def _canon(spark, tiny_df):
+    from transner_spark.operators.annotate import annotate_turns, explode_triples
+    from transner_spark.operators.canonicalize import canonicalize
+    from transner_spark.operators.linking import link_surfaces, node_surfaces
+
+    t_all = explode_triples(annotate_turns(tiny_df))
+    return canonicalize(link_surfaces(spark, node_surfaces(t_all)))
+
+
+def _snap(df):
+    cols = ["subj_id", "pred", "obj_id", "weight", "first_ts", "last_ts"]
+    return sorted(map(tuple, df.select(cols).collect()))
+
+
+def _batch_edges(tiny_df, canon, lo, hi):
+    from transner_spark.operators.annotate import annotate_turns, explode_triples
+    from transner_spark.operators.materialize import materialize_edges
+
+    part = tiny_df.where((F.col("turn_idx") >= lo) & (F.col("turn_idx") < hi))
+    return materialize_edges(explode_triples(annotate_turns(part)), canon)
+
+
+def test_log_state_merge_on_read_equals_batch(spark, tiny_pdf, tiny_df, log_dirs):
+    """Appended segments merged on read equal the whole-corpus rollup
+    after every arrival; a rerun with no new files is a no-op; and the
+    per-batch write is increment-sized — the live segments' TOTAL row
+    count equals the sum of the increments, not batches x table."""
+    from transner_spark.streaming.logstate import (
+        log_edge_segments,
+        read_edge_log,
+        stream_edge_increments_log,
+    )
+
+    d = log_dirs
+    canon = _canon(spark, tiny_df)
+
+    _write_batch(spark, tiny_pdf, d["in"], 0, 3, "b0")
+    stream_edge_increments_log(spark, d["in"] + "/*", d["state"], d["cp"], canon)
+    assert _snap(read_edge_log(spark, d["state"])) == _snap(
+        _batch_edges(tiny_df, canon, 0, 3)
+    )
+
+    before = _snap(read_edge_log(spark, d["state"]))
+    stream_edge_increments_log(spark, d["in"] + "/*", d["state"], d["cp"], canon)
+    assert _snap(read_edge_log(spark, d["state"])) == before
+
+    _write_batch(spark, tiny_pdf, d["in"], 3, 5, "b1")
+    stream_edge_increments_log(spark, d["in"] + "/*", d["state"], d["cp"], canon)
+    assert _snap(read_edge_log(spark, d["state"])) == _snap(
+        _batch_edges(tiny_df, canon, 0, 5)
+    )
+
+    # O(batch) writes: two live segments, and their combined stored rows
+    # equal the two increments' rows (the snapshot layout would have
+    # rewritten increment-1's edges a second time inside commit 2)
+    segs, last = log_edge_segments(d["state"])
+    assert len(segs) == 2 and last >= 1
+    stored = sum(spark.read.parquet(s).count() for s in segs)
+    want = (
+        _batch_edges(tiny_df, canon, 0, 3).count()
+        + _batch_edges(tiny_df, canon, 3, 5).count()
+    )
+    assert stored == want
+
+
+def test_log_state_compaction_offline_and_inline(
+    spark, tiny_pdf, tiny_df, log_dirs
+):
+    """compact_edge_log rolls live segments into one base segment with
+    value-identical reads and is idempotent; compact_every triggers the
+    same rollup inline inside the batch commit."""
+    from transner_spark.streaming.logstate import (
+        compact_edge_log,
+        log_edge_segments,
+        read_edge_log,
+        stream_edge_increments_log,
+    )
+
+    d = log_dirs
+    canon = _canon(spark, tiny_df)
+    _write_batch(spark, tiny_pdf, d["in"], 0, 3, "b0")
+    _write_batch(spark, tiny_pdf, d["in"], 3, 5, "b1")
+    stream_edge_increments_log(spark, d["in"] + "/*", d["state"], d["cp"], canon)
+    segs, last = log_edge_segments(d["state"])
+    assert len(segs) == 2
+    before = _snap(read_edge_log(spark, d["state"]))
+
+    assert compact_edge_log(spark, d["state"]) == 2
+    segs2, last2 = log_edge_segments(d["state"])
+    assert len(segs2) == 1 and os.path.basename(segs2[0]).startswith("base-")
+    assert last2 == last  # compaction never moves the batch cursor
+    assert _snap(read_edge_log(spark, d["state"])) == before
+    assert compact_edge_log(spark, d["state"]) == 0  # idempotent
+
+    # stale segments/manifests pruned after the commit
+    seg_names = os.listdir(os.path.join(d["state"], "segments"))
+    assert seg_names == [os.path.basename(segs2[0])]
+    manifests = [f for f in os.listdir(d["state"]) if f.startswith("MANIFEST.")]
+    assert len(manifests) == 1
+
+    # inline auto-compaction: a fresh state with compact_every=2 lands
+    # on one base segment and the same merged value
+    state2 = d["state"] + "_inline"
+    stream_edge_increments_log(
+        spark, d["in"] + "/*", state2, d["cp2"], canon, compact_every=2
+    )
+    segs3, _ = log_edge_segments(state2)
+    assert len(segs3) == 1 and os.path.basename(segs3[0]).startswith("base-")
+    assert _snap(read_edge_log(spark, state2)) == before
+
+
+def test_log_state_checkpoint_identity_guard(spark, tiny_pdf, tiny_df, log_dirs):
+    """Same loud-failure contract as the snapshot layout: a different
+    (or recreated) checkpoint against existing state raises instead of
+    silently dropping batches, and the committed state is untouched."""
+    import shutil
+
+    from transner_spark.streaming.logstate import (
+        log_edge_segments,
+        stream_edge_increments_log,
+    )
+
+    d = log_dirs
+    canon = _canon(spark, tiny_df)
+    _write_batch(spark, tiny_pdf, d["in"], 0, 3, "b0")
+    stream_edge_increments_log(spark, d["in"] + "/*", d["state"], d["cp"], canon)
+    committed = log_edge_segments(d["state"])
+
+    _write_batch(spark, tiny_pdf, d["in"], 3, 5, "b1")
+    with pytest.raises(Exception, match="different checkpoint"):
+        stream_edge_increments_log(
+            spark, d["in"] + "/*", d["state"], d["cp2"], canon
+        )
+    assert log_edge_segments(d["state"]) == committed
+
+    # recreated-at-same-path checkpoint: ids restart, identity differs
+    shutil.rmtree(d["cp"])
+    with pytest.raises(Exception, match="different checkpoint"):
+        stream_edge_increments_log(
+            spark, d["in"] + "/*", d["state"], d["cp"], canon
+        )
+    assert log_edge_segments(d["state"]) == committed
