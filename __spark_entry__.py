@@ -962,6 +962,61 @@ def q_stream_edges_log_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_profiles_log_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-substrate generality gate: the SAME log-structured
+    maintenance runner (streaming/logstate) maintaining a DIFFERENT
+    monoid — per-(entity,pred,surface) profile partials instead of edge
+    rollups. 4-file micro-batch split, inline compaction at 3 live
+    segments; the serving view re-derived from the merged-on-read
+    partials must equal the whole-corpus SQL profile derivation."""
+    import shutil
+    import tempfile
+
+    from transner_spark.operators.canonicalize import canonicalize
+    from transner_spark.operators.materialize import profiles_from_partials
+    from transner_spark.sources.transcripts import ensure_transcripts_parquet
+    from transner_spark.streaming.logstate import (
+        read_profile_partials_log,
+        stream_profile_partials_log,
+    )
+
+    src = ensure_transcripts_parquet(REPO, sf_dir)
+    canon = canonicalize(_links(spark, sf_dir))
+    work = tempfile.mkdtemp(prefix="stream_profiles_log_gate_")
+    try:
+        in_dir = os.path.join(work, "in")
+        spark.read.parquet(src).repartition(4).write.parquet(in_dir)
+        state = os.path.join(work, "profiles")
+        stream_profile_partials_log(
+            spark,
+            in_dir,
+            state,
+            os.path.join(work, "ck"),
+            canon,
+            compact_every=3,
+        )
+        out = (
+            profiles_from_partials(read_profile_partials_log(spark, state))
+            .select(
+                "entity_id",
+                "n_subj",
+                "n_obj",
+                "n_preds",
+                F.unix_timestamp("first_ts").alias("first_epoch"),
+                F.unix_timestamp("last_ts").alias("last_epoch"),
+                "top_surface",
+            )
+            .toPandas()
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        out,
+        "entity_id string, n_subj long, n_obj long, n_preds long, "
+        "first_epoch long, last_epoch long, top_surface string",
+    )
+
+
 def q_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming windowed-aggregate gate: tumbling 10-minute mention
     counts per type via the watermarked streaming aggregation (complete
@@ -1500,6 +1555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_windowed_counts_append": q_stream_windowed_counts_append,
         # -- new this round --
         "stream_edges_log_eq": q_stream_edges_log_eq,
+        "stream_profiles_log_eq": q_stream_profiles_log_eq,
         "kg_edges_canon_refresh": q_kg_edges_canon_refresh,
         "stream_conversations": q_stream_conversations,
         "kg_edges_diff": q_kg_edges_diff,
@@ -1671,6 +1727,9 @@ SELECT 'ivf' AS method, * FROM ({out["ann_recall_ivf"]})
     # log-structured twin: append + compact + merge-on-read must land on
     # the same whole-corpus derivation
     out["stream_edges_log_eq"] = out["stream_edges_batch_eq"]
+    # same substrate, different monoid: the profile partials maintained
+    # on the log must re-derive the exact serving view
+    out["stream_profiles_log_eq"] = out["entity_profiles"]
     from transner_spark.oracles import relational_oracles
 
     from transner_spark.oracles_ner import kg_mentions_sql

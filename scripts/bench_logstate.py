@@ -7,8 +7,11 @@ micro-batch at a time and measures what each COMMIT physically writes:
   whole accumulated table — per-batch bytes grow with the table, total
   written across k batches is ~k/2 x the final table;
 - log layout (``stream_edge_increments_log``): every batch appends an
-  increment-sized segment — per-batch bytes are O(batch), total written
-  is ~1x the final table.
+  increment-sized segment — per-batch bytes are O(batch); the total
+  (including each compaction's one-off table-sized rewrite, which this
+  script measures and reports separately) stays a small constant
+  multiple of the final table, versus the snapshot layout's multiple
+  that GROWS with the batch count.
 
 Also times the read path the log layout trades for its cheap writes:
 merge-on-read over k live segments vs after ``compact_edge_log`` vs the
@@ -96,54 +99,63 @@ def main() -> None:
     canon = canonicalize(link_surfaces(spark, node_surfaces(t))).localCheckpoint()
 
     work = tempfile.mkdtemp(prefix="transner_logstate_")
-    splits = os.path.join(work, "splits")
-    spark.read.parquet(src).repartition(N_BATCHES).write.parquet(splits)
-    parts = sorted(glob.glob(os.path.join(splits, "part-*.parquet")))
-    assert len(parts) == N_BATCHES
+    try:
+        splits = os.path.join(work, "splits")
+        spark.read.parquet(src).repartition(N_BATCHES).write.parquet(splits)
+        parts = sorted(glob.glob(os.path.join(splits, "part-*.parquet")))
+        assert len(parts) == N_BATCHES
 
-    per_batch: dict[str, list[int]] = {"snapshot": [], "log": []}
-    runners = {
-        "snapshot": lambda ind, st, cp: stream_edge_increments(
-            spark, ind, st, cp, canon, max_files_per_trigger=1
-        ),
-        "log": lambda ind, st, cp: stream_edge_increments_log(
-            spark, ind, st, cp, canon, max_files_per_trigger=1
-        ),
-    }
-    for layout, run in runners.items():
-        in_dir = os.path.join(work, layout, "in")
-        state = os.path.join(work, layout, "state")
-        cp = os.path.join(work, layout, "ck")
-        os.makedirs(in_dir)
-        for i, p in enumerate(parts):
-            shutil.copy(p, os.path.join(in_dir, f"b{i:02d}.parquet"))
-            run(in_dir, state, cp)
-            if layout == "snapshot":
-                live, _ = current_edge_state(state)
-                per_batch[layout].append(du(live))
-            else:
-                segs, bid = log_edge_segments(state)
-                (new_seg,) = [s for s in segs if s.endswith(f"s{bid}")]
-                per_batch[layout].append(du(new_seg))
+        per_batch: dict[str, list[int]] = {"snapshot": [], "log": []}
+        runners = {
+            "snapshot": lambda ind, st, cp: stream_edge_increments(
+                spark, ind, st, cp, canon, max_files_per_trigger=1
+            ),
+            "log": lambda ind, st, cp: stream_edge_increments_log(
+                spark, ind, st, cp, canon, max_files_per_trigger=1
+            ),
+        }
+        for layout, run in runners.items():
+            in_dir = os.path.join(work, layout, "in")
+            state = os.path.join(work, layout, "state")
+            cp = os.path.join(work, layout, "ck")
+            os.makedirs(in_dir)
+            for i, p in enumerate(parts):
+                shutil.copy(p, os.path.join(in_dir, f"b{i:02d}.parquet"))
+                run(in_dir, state, cp)
+                if layout == "snapshot":
+                    live, _ = current_edge_state(state)
+                    per_batch[layout].append(du(live))
+                else:
+                    segs, bid = log_edge_segments(state)
+                    (new_seg,) = [s for s in segs if s.endswith(f"s{bid}")]
+                    per_batch[layout].append(du(new_seg))
 
-    snap_state = os.path.join(work, "snapshot", "state")
-    log_state = os.path.join(work, "log", "state")
-    n_live = len(log_edge_segments(log_state)[0])
-    _, r_snap = timed_count(
-        lambda: spark.read.parquet(current_edge_state(snap_state)[0])
-    )
-    n_log, r_log = timed_count(lambda: read_edge_log(spark, log_state))
-    compacted = compact_edge_log(spark, log_state)
-    _, r_compact = timed_count(lambda: read_edge_log(spark, log_state))
+        snap_state = os.path.join(work, "snapshot", "state")
+        log_state = os.path.join(work, "log", "state")
+        n_live = len(log_edge_segments(log_state)[0])
+        _, r_snap = timed_count(
+            lambda: spark.read.parquet(current_edge_state(snap_state)[0])
+        )
+        n_log, r_log = timed_count(lambda: read_edge_log(spark, log_state))
+        compacted = compact_edge_log(spark, log_state)
+        # the compaction's base-segment rewrite is real write cost —
+        # charge it to the log layout's total (review r4)
+        compact_bytes = du(log_edge_segments(log_state)[0][0])
+        _, r_compact = timed_count(lambda: read_edge_log(spark, log_state))
 
-    tot = {k: sum(v) for k, v in per_batch.items()}
-    final = du(current_edge_state(snap_state)[0])
+        tot = {k: sum(v) for k, v in per_batch.items()}
+        tot["log"] += compact_bytes
+        final = du(current_edge_state(snap_state)[0])
+    finally:
+        spark.stop()
+        shutil.rmtree(work, ignore_errors=True)
     mib = lambda b: b / (1024 * 1024)  # noqa: E731
     rows = [
         f"| snapshot (`stream_edge_increments`) | {mib(tot['snapshot']):.1f} | "
         f"{mib(per_batch['snapshot'][0]):.2f} → {mib(per_batch['snapshot'][-1]):.2f} | "
         f"{tot['snapshot'] / final:.1f}x | {r_snap:.2f} |",
-        f"| log (`stream_edge_increments_log`) | {mib(tot['log']):.1f} | "
+        f"| log (`stream_edge_increments_log`, incl. one compaction "
+        f"rewrite of {mib(compact_bytes):.2f}) | {mib(tot['log']):.1f} | "
         f"{mib(per_batch['log'][0]):.2f} → {mib(per_batch['log'][-1]):.2f} | "
         f"{tot['log'] / final:.1f}x | {r_log:.2f} ({n_live} segs) / "
         f"{r_compact:.2f} compacted |",
@@ -184,8 +196,6 @@ def main() -> None:
         f"log: {mib(tot['log']):.1f} MiB written, read {r_log:.2f}s "
         f"({n_live} segs) / {r_compact:.2f}s compacted"
     )
-    spark.stop()
-    shutil.rmtree(work, ignore_errors=True)
 
 
 if __name__ == "__main__":

@@ -138,6 +138,52 @@ def test_log_state_compaction_offline_and_inline(
     assert _snap(read_edge_log(spark, state2)) == before
 
 
+def test_log_substrate_generalizes_to_profile_partials(
+    spark, tiny_pdf, tiny_df, log_dirs
+):
+    """The same log substrate maintaining a different monoid: profile
+    partials appended per batch, merged on read, re-deriving the EXACT
+    one-shot serving view; offline compaction preserves the value."""
+    from transner_spark.operators.annotate import annotate_turns, explode_triples
+    from transner_spark.operators.materialize import (
+        entity_profiles,
+        profiles_from_partials,
+    )
+    from transner_spark.streaming.logstate import (
+        compact_profile_partials_log,
+        log_edge_segments,
+        read_profile_partials_log,
+        stream_profile_partials_log,
+    )
+
+    d = log_dirs
+    canon = _canon(spark, tiny_df)
+    _write_batch(spark, tiny_pdf, d["in"], 0, 3, "b0")
+    _write_batch(spark, tiny_pdf, d["in"], 3, 5, "b1")
+    stream_profile_partials_log(
+        spark, d["in"] + "/*", d["state"], d["cp"], canon
+    )
+    assert len(log_edge_segments(d["state"])[0]) == 2
+
+    def view_snap(df):
+        cols = [
+            "entity_id", "n_subj", "n_obj", "n_preds",
+            "first_ts", "last_ts", "top_surface",
+        ]
+        return sorted(map(tuple, df.select(cols).collect()))
+
+    maintained = profiles_from_partials(
+        read_profile_partials_log(spark, d["state"])
+    )
+    whole = entity_profiles(explode_triples(annotate_turns(tiny_df)), canon)
+    assert view_snap(maintained) == view_snap(whole)
+
+    assert compact_profile_partials_log(spark, d["state"]) == 2
+    assert view_snap(
+        profiles_from_partials(read_profile_partials_log(spark, d["state"]))
+    ) == view_snap(whole)
+
+
 def test_log_state_checkpoint_identity_guard(spark, tiny_pdf, tiny_df, log_dirs):
     """Same loud-failure contract as the snapshot layout: a different
     (or recreated) checkpoint against existing state raises instead of

@@ -35,14 +35,18 @@ manifest-list):
   ids are only monotone within one checkpoint's sequence, so a
   fresh/recreated checkpoint against existing state fails loud instead
   of silently dropping batches);
-- superseded manifests and unreferenced segment dirs are pruned only
-  AFTER the commit;
-- compaction commits through the same CURRENT pointer with an
-  optimistic concurrency check (re-read CURRENT before the swing; a
-  batch landing in between aborts the compaction rather than losing
-  it). Inline auto-compaction (``compact_every``) runs inside
-  foreachBatch — same single writer, so batch + compaction are one
-  commit.
+- superseded manifests, unreferenced segment dirs, and orphaned
+  ``*.tmp`` files from crashed commits are pruned only AFTER the
+  commit;
+- commits are serialized by an advisory ``flock`` on
+  ``state_dir/LOCK`` (held across read-CURRENT → write → swing):
+  the streaming writer blocks on it, offline ``compact_edge_log``
+  takes it non-blocking and fails loud if a writer is active, so a
+  batch can never land between compaction's CURRENT read and its
+  swing and be pruned away. Inline auto-compaction
+  (``compact_every``) runs inside foreachBatch — inside the same
+  locked commit. At warehouse scale the lock is the table format's
+  atomic snapshot CAS (Iceberg commit conflict resolution).
 
 Read path at scale: segments share one schema, so the reader is a
 single multi-path parquet scan → one hash aggregate on the edge key
@@ -53,6 +57,8 @@ live-segment count — exactly the measured LSM trade
 
 from __future__ import annotations
 
+import contextlib
+import fcntl
 import os
 import shutil
 
@@ -63,21 +69,39 @@ from transner_spark.operators.annotate import annotate_turns
 from transner_spark.streaming.incremental import (
     TRANSCRIPT_SCHEMA,
     _checkpoint_identity,
+    _read_current as _read_log_current,  # same CURRENT format (3 fields)
 )
 
 SEGMENTS_DIR = "segments"
 MANIFEST_PREFIX = "MANIFEST."
 
 
-def _read_log_current(state_dir: str) -> tuple[str | None, int, str | None]:
-    """(manifest name, last applied batch id, checkpoint identity) from
-    the CURRENT pointer; (None, -1, None) if nothing committed."""
-    cur = os.path.join(state_dir, "CURRENT")
-    if not os.path.exists(cur):
-        return None, -1, None
-    with open(cur) as fh:
-        fields = fh.read().split()
-    return fields[0], int(fields[1]), fields[2] if len(fields) > 2 else None
+@contextlib.contextmanager
+def _writer_lock(state_dir: str, blocking: bool = True):
+    """Advisory exclusive lock serializing commits on one state dir.
+    Held across read-CURRENT → write → CURRENT swing, it makes the
+    read-modify-write atomic between the streaming writer and offline
+    compaction. ``blocking=False`` raises RuntimeError if a writer is
+    active instead of waiting (the compaction posture: abort loud,
+    never stall a live stream behind a table-sized rewrite)."""
+    os.makedirs(state_dir, exist_ok=True)
+    fd = os.open(os.path.join(state_dir, "LOCK"), os.O_CREAT | os.O_RDWR)
+    try:
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX | (0 if blocking else fcntl.LOCK_NB))
+        except BlockingIOError:
+            raise RuntimeError(
+                f"state dir {state_dir!r} has an active writer holding "
+                "LOCK — rerun compaction when the stream is idle."
+            )
+        yield
+    finally:
+        os.close(fd)  # releases the flock
+
+
+def _abs_seg(state_dir: str, rel: str) -> str:
+    """Manifest entries use '/' regardless of platform; join portably."""
+    return os.path.join(state_dir, *rel.split("/"))
 
 
 def _read_manifest(state_dir: str, manifest_name: str) -> list[str]:
@@ -94,23 +118,43 @@ def log_edge_segments(state_dir: str) -> tuple[list[str], int]:
     if manifest is None:
         return [], -1
     rels = _read_manifest(state_dir, manifest)
-    return [os.path.join(state_dir, r) for r in rels], bid
+    return [_abs_seg(state_dir, r) for r in rels], bid
+
+
+def _read_log(spark: SparkSession, state_dir: str, rollup) -> DataFrame | None:
+    """Merge-on-read: union the live segments and apply the state's
+    rollup monoid (one multi-path scan + one hash aggregate). Returns
+    None if nothing has committed."""
+    segs, _ = log_edge_segments(state_dir)
+    if not segs:
+        return None
+    return rollup(spark.read.parquet(*segs))
 
 
 def read_edge_log(
     spark: SparkSession, state_dir: str, cfg: PipelineConfig | None = None
 ) -> DataFrame | None:
-    """Merge-on-read: union the live segments and apply the edge monoid
-    (one multi-path scan + one hash aggregate). Returns None if nothing
-    has committed. The result is value-identical to the snapshot
-    layout's maintained table — the stream_edges_log_eq gate checks it
-    against the whole-corpus SQL derivation."""
+    """Merge-on-read over an edge-state dir via the edge monoid. The
+    result is value-identical to the snapshot layout's maintained
+    table — the stream_edges_log_eq gate checks it against the
+    whole-corpus SQL derivation."""
     from transner_spark.operators.materialize import merge_edge_increments
 
-    segs, _ = log_edge_segments(state_dir)
-    if not segs:
-        return None
-    return merge_edge_increments(spark.read.parquet(*segs), cfg=cfg)
+    return _read_log(
+        spark, state_dir, lambda df: merge_edge_increments(df, cfg=cfg)
+    )
+
+
+def read_profile_partials_log(
+    spark: SparkSession, state_dir: str
+) -> DataFrame | None:
+    """Merge-on-read over a profile-partials state dir via the partial
+    monoid (operators/materialize.merge_profile_partials); feed the
+    result to ``profiles_from_partials`` for the serving view. Gate:
+    stream_profiles_log_eq."""
+    from transner_spark.operators.materialize import merge_profile_partials
+
+    return _read_log(spark, state_dir, merge_profile_partials)
 
 
 def _commit(
@@ -121,7 +165,9 @@ def _commit(
     manifest_seq: int,
 ) -> None:
     """Write an immutable manifest then atomically swing CURRENT; prune
-    superseded manifests and unreferenced segments after the commit."""
+    superseded manifests, unreferenced segments, and crash-orphaned
+    ``*.tmp`` files after the commit. Caller holds ``_writer_lock``, so
+    no other commit's in-flight tmp can exist during the prune."""
     mname = f"{MANIFEST_PREFIX}{manifest_seq}"
     tmp = os.path.join(state_dir, f"{mname}.{os.getpid()}.tmp")
     with open(tmp, "w") as fh:
@@ -131,13 +177,13 @@ def _commit(
     with open(tmp, "w") as fh:
         fh.write(f"{mname} {batch_id} {ck_identity}")
     os.replace(tmp, os.path.join(state_dir, "CURRENT"))
-    live = {r.split("/", 1)[1] for r in segment_rels}
+    live = {r.split("/")[-1] for r in segment_rels}
     seg_root = os.path.join(state_dir, SEGMENTS_DIR)
     for d in os.listdir(seg_root):
         if d not in live:
             shutil.rmtree(os.path.join(seg_root, d), ignore_errors=True)
     for f in os.listdir(state_dir):
-        if f.startswith(MANIFEST_PREFIX) and f != mname and not f.endswith(".tmp"):
+        if f.endswith(".tmp") or (f.startswith(MANIFEST_PREFIX) and f != mname):
             os.remove(os.path.join(state_dir, f))
 
 
@@ -145,37 +191,131 @@ def _manifest_seq(manifest_name: str | None) -> int:
     return -1 if manifest_name is None else int(manifest_name.removeprefix(MANIFEST_PREFIX))
 
 
-def compact_edge_log(
-    spark: SparkSession, state_dir: str, cfg: PipelineConfig | None = None
-) -> int:
+def _compact_log(spark: SparkSession, state_dir: str, rollup) -> int:
     """Offline compaction: roll the live segments up into one base
     segment and commit a one-entry manifest. Returns the number of
     segments compacted away (0 = nothing to do). The rollup is the same
     monoid as the read path, so reads before and after are
     value-identical (pinned by tests/test_logstate.py).
 
-    Concurrency: optimistic — CURRENT is re-read just before the swing
-    and a batch id or manifest change aborts with RuntimeError (the
-    writer's inline ``compact_every`` path has no such race: it compacts
-    inside the same foreachBatch commit)."""
-    manifest, bid, ck = _read_log_current(state_dir)
-    if manifest is None:
-        return 0
-    rels = _read_manifest(state_dir, manifest)
-    if len(rels) <= 1:
-        return 0
-    merged = read_edge_log(spark, state_dir, cfg)
-    base_rel = os.path.join(SEGMENTS_DIR, f"base-{bid}")
-    merged.write.mode("overwrite").parquet(os.path.join(state_dir, base_rel))
-    manifest2, bid2, _ = _read_log_current(state_dir)
-    if (manifest2, bid2) != (manifest, bid):
-        raise RuntimeError(
-            f"compact_edge_log: state {state_dir!r} advanced during "
-            f"compaction (CURRENT {manifest} b{bid} -> {manifest2} "
-            f"b{bid2}); single-writer discipline violated — rerun."
+    Concurrency: takes ``_writer_lock`` NON-blocking for the whole
+    read-CURRENT → rollup-write → swing — an active streaming writer
+    makes this raise immediately (never stall a live stream behind a
+    table-sized rewrite), and while compaction holds the lock no batch
+    can commit between its CURRENT read and its swing, so a concurrent
+    batch can never be pruned away."""
+    with _writer_lock(state_dir, blocking=False):
+        manifest, bid, ck = _read_log_current(state_dir)
+        if manifest is None:
+            return 0
+        rels = _read_manifest(state_dir, manifest)
+        if len(rels) <= 1:
+            return 0
+        merged = _read_log(spark, state_dir, rollup)
+        base_rel = f"{SEGMENTS_DIR}/base-{bid}"
+        merged.write.mode("overwrite").parquet(_abs_seg(state_dir, base_rel))
+        _commit(
+            state_dir, [base_rel], bid, ck or "", _manifest_seq(manifest) + 1
         )
-    _commit(state_dir, [base_rel], bid, ck or "", _manifest_seq(manifest) + 1)
-    return len(rels)
+        return len(rels)
+
+
+def compact_edge_log(
+    spark: SparkSession, state_dir: str, cfg: PipelineConfig | None = None
+) -> int:
+    """Offline compaction of an edge-state dir (see ``_compact_log``)."""
+    from transner_spark.operators.materialize import merge_edge_increments
+
+    return _compact_log(
+        spark, state_dir, lambda df: merge_edge_increments(df, cfg=cfg)
+    )
+
+
+def compact_profile_partials_log(spark: SparkSession, state_dir: str) -> int:
+    """Offline compaction of a profile-partials state dir (see
+    ``_compact_log``)."""
+    from transner_spark.operators.materialize import merge_profile_partials
+
+    return _compact_log(spark, state_dir, merge_profile_partials)
+
+
+def _stream_log_maintenance(
+    spark: SparkSession,
+    input_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    make_increment,
+    rollup,
+    cfg: PipelineConfig | None,
+    max_files_per_trigger: int,
+    await_termination: bool,
+    compact_every: int | None,
+    op_name: str,
+):
+    """Generic log-structured maintenance runner: any maintained state
+    whose increment is a per-batch derivation (``make_increment(batch)``)
+    and whose merge is a commutative monoid (``rollup(union_of_parts)``)
+    gets O(batch) appends, merge-on-read, inline compaction at
+    ``compact_every`` live segments, the manifest/CURRENT atomic commit,
+    the writer lock, and the checkpoint-identity guard — the same
+    substrate serves the edge table and the entity-profile partials."""
+
+    def append_batch(batch_df: DataFrame, batch_id: int) -> None:
+        ck_identity = _checkpoint_identity(checkpoint_dir)
+        with _writer_lock(state_dir):
+            manifest, last_applied, state_ck = _read_log_current(state_dir)
+            if manifest is not None and state_ck != ck_identity:
+                raise RuntimeError(
+                    f"{op_name}: state dir {state_dir!r} "
+                    f"was built by a different checkpoint (or one with no "
+                    f"recorded identity; state {state_ck}, this query "
+                    f"{ck_identity}). Batch ids are not comparable across "
+                    "checkpoints — reuse the original checkpoint_dir or "
+                    "start a fresh state_dir."
+                )
+            if batch_id <= last_applied:
+                return  # re-delivered batch: already committed
+            sess = batch_df.sparkSession
+            inc = make_increment(batch_df)
+            seg_rel = f"{SEGMENTS_DIR}/s{batch_id}"
+            inc.write.mode("overwrite").parquet(_abs_seg(state_dir, seg_rel))
+            rels = (
+                _read_manifest(state_dir, manifest) if manifest else []
+            ) + [seg_rel]
+            if compact_every is not None and len(rels) >= compact_every:
+                merged = rollup(
+                    sess.read.parquet(
+                        *(_abs_seg(state_dir, r) for r in rels)
+                    )
+                )
+                base_rel = f"{SEGMENTS_DIR}/base-{batch_id}"
+                merged.write.mode("overwrite").parquet(
+                    _abs_seg(state_dir, base_rel)
+                )
+                rels = [base_rel]
+            _commit(
+                state_dir,
+                rels,
+                batch_id,
+                ck_identity,
+                _manifest_seq(manifest) + 1,
+            )
+
+    stream = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+    q = (
+        annotate_turns(stream, cfg)
+        .writeStream.foreachBatch(append_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if await_termination:
+        q.awaitTermination()
+    return q
 
 
 def stream_edge_increments_log(
@@ -204,51 +344,62 @@ def stream_edge_increments_log(
         merge_edge_increments,
     )
 
-    def append_batch(batch_df: DataFrame, batch_id: int) -> None:
-        ck_identity = _checkpoint_identity(checkpoint_dir)
-        manifest, last_applied, state_ck = _read_log_current(state_dir)
-        if manifest is not None and state_ck != ck_identity:
-            raise RuntimeError(
-                f"stream_edge_increments_log: state dir {state_dir!r} "
-                f"was built by a different checkpoint (or one with no "
-                f"recorded identity; state {state_ck}, this query "
-                f"{ck_identity}). Batch ids are not comparable across "
-                "checkpoints — reuse the original checkpoint_dir or "
-                "start a fresh state_dir."
-            )
-        if batch_id <= last_applied:
-            return  # re-delivered batch: already committed
-        sess = batch_df.sparkSession
-        inc = materialize_edges(explode_triples(batch_df), canon, cfg)
-        seg_rel = os.path.join(SEGMENTS_DIR, f"s{batch_id}")
-        inc.write.mode("overwrite").parquet(os.path.join(state_dir, seg_rel))
-        rels = (_read_manifest(state_dir, manifest) if manifest else []) + [seg_rel]
-        if compact_every is not None and len(rels) >= compact_every:
-            merged = merge_edge_increments(
-                sess.read.parquet(*(os.path.join(state_dir, r) for r in rels)),
-                cfg=cfg,
-            )
-            base_rel = os.path.join(SEGMENTS_DIR, f"base-{batch_id}")
-            merged.write.mode("overwrite").parquet(
-                os.path.join(state_dir, base_rel)
-            )
-            rels = [base_rel]
-        _commit(
-            state_dir, rels, batch_id, ck_identity, _manifest_seq(manifest) + 1
-        )
+    return _stream_log_maintenance(
+        spark,
+        input_dir,
+        state_dir,
+        checkpoint_dir,
+        make_increment=lambda b: materialize_edges(
+            explode_triples(b), canon, cfg
+        ),
+        rollup=lambda df: merge_edge_increments(df, cfg=cfg),
+        cfg=cfg,
+        max_files_per_trigger=max_files_per_trigger,
+        await_termination=await_termination,
+        compact_every=compact_every,
+        op_name="stream_edge_increments_log",
+    )
 
-    stream = (
-        spark.readStream.schema(TRANSCRIPT_SCHEMA)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(input_dir)
+
+def stream_profile_partials_log(
+    spark: SparkSession,
+    input_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    canon: DataFrame,
+    cfg: PipelineConfig | None = None,
+    max_files_per_trigger: int = 1,
+    await_termination: bool = True,
+    compact_every: int | None = None,
+):
+    """Streaming maintenance of the entity-profile SERVING VIEW on the
+    same log substrate: each micro-batch becomes a
+    per-(entity, pred, surface) partials increment
+    (operators/materialize.entity_profile_partials — the key that makes
+    the view's pred-distinct and modal-surface aggregates distributive),
+    appended as a segment and merged on read with the partial monoid.
+    ``profiles_from_partials(read_profile_partials_log(...))`` re-derives
+    the EXACT one-shot view — the stream_profiles_log_eq gate pins that
+    against the full-recompute SQL oracle. State is bounded by the
+    observed (entity, pred, surface) vocabulary, not the corpus."""
+    from transner_spark.operators.annotate import explode_triples
+    from transner_spark.operators.materialize import (
+        entity_profile_partials,
+        merge_profile_partials,
     )
-    q = (
-        annotate_turns(stream, cfg)
-        .writeStream.foreachBatch(append_batch)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+
+    return _stream_log_maintenance(
+        spark,
+        input_dir,
+        state_dir,
+        checkpoint_dir,
+        make_increment=lambda b: entity_profile_partials(
+            explode_triples(b), canon
+        ),
+        rollup=merge_profile_partials,
+        cfg=cfg,
+        max_files_per_trigger=max_files_per_trigger,
+        await_termination=await_termination,
+        compact_every=compact_every,
+        op_name="stream_profile_partials_log",
     )
-    if await_termination:
-        q.awaitTermination()
-    return q
