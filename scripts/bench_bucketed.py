@@ -107,25 +107,49 @@ def main() -> None:
             "plain parquet": lambda: spark.read.parquet(plain_path),
             "bucketed table": lambda: spark.table("edges_serving"),
         }
+        # hot subject for the point-lookup workload (driver-side single
+        # value — bench harness, not the data path)
+        hot = (
+            edges.groupBy("subj_id")
+            .count()
+            .orderBy(F.desc("count"), "subj_id")
+            .first()["subj_id"]
+        )
+        # bucket PRUNING needs the bucketed scan kept for filter-only
+        # plans; autoBucketedScan would trade it away for split
+        # parallelism (pinned by test_bucketed_edges_point_lookup_*)
+        spark.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false"
+        )
         rows = {}
         for name, rd in readers.items():
             join = lambda rd=rd: rd().alias("a").join(rd().alias("b"), "subj_id")
             agg = lambda rd=rd: rd().groupBy("subj_id").agg(
                 F.sum("weight").alias("w")
             )
+            lookup = lambda rd=rd: rd().where(F.col("subj_id") == hot)
             jn, jw = _timed(join)
             an, aw = _timed(agg)
+            ln, lw = _timed(lookup)
+            m = re.search(
+                r"SelectedBucketsCount: (\d+ out of \d+)",
+                lookup()._jdf.queryExecution().executedPlan().toString(),
+            )
             rows[name] = {
-                "join": (jn, jw, _exchanges(join())),
-                "agg": (an, aw, _exchanges(agg())),
+                "join": (jn, jw, str(_exchanges(join()))),
+                "agg": (an, aw, str(_exchanges(agg()))),
+                "lookup": (ln, lw, f"buckets {m.group(1)}" if m else "no pruning"),
             }
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled", "true"
+        )
         spark.sql("DROP TABLE IF EXISTS edges_serving")
 
     body_rows = []
     for name, r in rows.items():
-        for wl in ("join", "agg"):
+        for wl in ("join", "agg", "lookup"):
             n, w, ex = r[wl]
             body_rows.append(f"| {name} | {wl} on subj_id | {n} | {w:.2f} | {ex} |")
 
@@ -136,24 +160,30 @@ def main() -> None:
             f"Edge table: {sf_name(sf_dir)}, {n_edges} edges, written as a "
             "plain parquet directory vs a Spark-native bucketed table "
             "(`write_edges_bucketed`: `bucketBy(64, subj_id) + sortBy`, "
-            "session catalog). Workloads: self-equi-join and groupBy "
-            "rollup on `subj_id` — the access patterns two-hop, edge-diff, "
-            "incremental merge, and entity rollups repeat. Broadcast "
-            "disabled so the shuffle question is visible; warm+steady "
-            "timing protocol as the two-hop section.",
+            "session catalog). Workloads: self-equi-join, groupBy rollup, "
+            "and hot-subject point lookup on `subj_id` — the access "
+            "patterns two-hop, edge-diff, incremental merge, entity "
+            "rollups, and entity serving repeat. Broadcast disabled so "
+            "the shuffle question is visible; autoBucketedScan disabled "
+            "so the filter-only lookup keeps the prunable bucketed scan; "
+            "warm+steady timing protocol as the two-hop section.",
             "",
-            "| layout | workload | rows | wall (s) | shuffle Exchanges |",
+            "| layout | workload | rows | wall (s) | shuffle Exchanges / pruning |",
             "| --- | --- | --- | --- | --- |",
             *body_rows,
             "",
-            "The bucketed layout runs BOTH workloads with **zero** shuffle "
-            "Exchanges — the write-time shuffle is amortized across every "
-            "read (plan pins: tests/test_plan_shapes.py::"
-            "test_bucketed_edges_*). At sf0.1 the edge table is dim-sized "
-            "so the wall delta is modest; the Exchange count is the "
-            "scale-relevant fact — each eliminated Exchange is a full "
-            "table shuffle that at 10^12-turn scale costs network + spill "
-            "proportional to the KG, per consumer query.",
+            "The bucketed layout runs the join and agg workloads with "
+            "**zero** shuffle Exchanges — the write-time shuffle is "
+            "amortized across every read — and the point lookup reads "
+            "**one bucket of 64** (bucket pruning; the plain directory "
+            "scans every file). Plan pins: tests/test_plan_shapes.py::"
+            "test_bucketed_edges_*. At sf0.1 the edge table is dim-sized "
+            "so the wall delta is modest; the Exchange and "
+            "SelectedBucketsCount figures are the scale-relevant facts — "
+            "each eliminated Exchange is a full table shuffle, and a "
+            "pruned point lookup touches 1/64th of the KG's files, at "
+            "10^12-turn scale the difference between a serving query and "
+            "a table scan.",
         ]
     )
     upsert_section(os.path.join(REPO, "BENCH.md"), body)

@@ -123,6 +123,27 @@ def test_bucketed_edges_agg_skips_shuffle(spark, bucketed_edges):
     assert "Exchange hashpartitioning" in pp  # negative control
 
 
+def test_bucketed_edges_point_lookup_prunes_buckets(spark, bucketed_edges):
+    """Point lookups on the bucket key read ONE bucket's files, not the
+    table: the scan plan must carry `SelectedBucketsCount: 1 out of N`
+    (bucket pruning). autoBucketedScan is disabled for the probe — with
+    it on, Spark may drop the bucketed layout for filter-only scans to
+    regain split parallelism, which forfeits pruning; a serving-side
+    point-lookup path wants the pruned scan."""
+    plain, table = bucketed_edges
+    old = spark.conf.get("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try:
+        pb = _plan(spark.table(table).where(F.col("subj_id") == 3))
+        pp = _plan(spark.read.parquet(plain).where(F.col("subj_id") == 3))
+    finally:
+        spark.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled", old
+        )
+    assert "SelectedBucketsCount: 1 out of 8" in pb, pb
+    assert "SelectedBucketsCount" not in pp  # plain layout cannot prune
+
+
 def test_neighbors_topk_window_is_partitioned(spark):
     from transner_spark.operators.graph import graph_neighbors_topk
 
