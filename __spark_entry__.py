@@ -919,44 +919,54 @@ def q_stream_edges_batch_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_stream_edges_log_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Log-structured streaming maintenance gate (streaming/logstate):
-    same 4-file micro-batch split as stream_edges_batch_eq, but each
-    batch APPENDS an increment-sized segment instead of rewriting the
-    maintained table, with inline compaction at 3 live segments — so the
-    run exercises append, compact, and append-after-compact. The
-    merge-on-read state must equal the whole-corpus SQL edge derivation
-    regardless of micro-batch boundaries or compaction points."""
+def _stream_log_gate(
+    spark: SparkSession, sf_dir: str, run_stream, read_result, schema: str
+) -> DataFrame:
+    """Shared harness for the log-substrate gates: 4-file micro-batch
+    split with inline compaction at 3 live segments — the run exercises
+    append, compact, and append-after-compact — and the merge-on-read
+    result materialized before the tempdir is removed. ``run_stream``
+    gets (spark, in_dir, state, ck_dir, canon); ``read_result`` gets
+    (spark, state) and returns the gate-shaped DataFrame."""
     import shutil
     import tempfile
 
     from transner_spark.operators.canonicalize import canonicalize
     from transner_spark.sources.transcripts import ensure_transcripts_parquet
+
+    src = ensure_transcripts_parquet(REPO, sf_dir)
+    canon = canonicalize(_links(spark, sf_dir))
+    work = tempfile.mkdtemp(prefix="stream_log_gate_")
+    try:
+        in_dir = os.path.join(work, "in")
+        spark.read.parquet(src).repartition(4).write.parquet(in_dir)
+        state = os.path.join(work, "state")
+        run_stream(spark, in_dir, state, os.path.join(work, "ck"), canon)
+        out = read_result(spark, state).toPandas()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(out, schema)
+
+
+def q_stream_edges_log_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-structured streaming maintenance gate (streaming/logstate):
+    same 4-file micro-batch split as stream_edges_batch_eq, but each
+    batch APPENDS an increment-sized segment instead of rewriting the
+    maintained table. The merge-on-read state must equal the
+    whole-corpus SQL edge derivation regardless of micro-batch
+    boundaries or compaction points."""
     from transner_spark.streaming.logstate import (
         read_edge_log,
         stream_edge_increments_log,
     )
 
-    src = ensure_transcripts_parquet(REPO, sf_dir)
-    canon = canonicalize(_links(spark, sf_dir))
-    work = tempfile.mkdtemp(prefix="stream_edges_log_gate_")
-    try:
-        in_dir = os.path.join(work, "in")
-        spark.read.parquet(src).repartition(4).write.parquet(in_dir)
-        state = os.path.join(work, "edges")
-        stream_edge_increments_log(
-            spark,
-            in_dir,
-            state,
-            os.path.join(work, "ck"),
-            canon,
-            compact_every=3,
-        )
-        out = _select_edge_cols(read_edge_log(spark, state)).toPandas()
-    finally:
-        shutil.rmtree(work, ignore_errors=True)
-    return spark.createDataFrame(
-        out,
+    return _stream_log_gate(
+        spark,
+        sf_dir,
+        lambda s, ind, st, ck, canon: stream_edge_increments_log(
+            s, ind, st, ck, canon, compact_every=3
+        ),
+        lambda s, st: _select_edge_cols(read_edge_log(s, st)),
         "subj_id string, pred string, obj_id string, weight long, "
         "first_epoch long, last_epoch long",
     )
@@ -966,52 +976,31 @@ def q_stream_profiles_log_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Log-substrate generality gate: the SAME log-structured
     maintenance runner (streaming/logstate) maintaining a DIFFERENT
     monoid — per-(entity,pred,surface) profile partials instead of edge
-    rollups. 4-file micro-batch split, inline compaction at 3 live
-    segments; the serving view re-derived from the merged-on-read
+    rollups; the serving view re-derived from the merged-on-read
     partials must equal the whole-corpus SQL profile derivation."""
-    import shutil
-    import tempfile
-
-    from transner_spark.operators.canonicalize import canonicalize
     from transner_spark.operators.materialize import profiles_from_partials
-    from transner_spark.sources.transcripts import ensure_transcripts_parquet
     from transner_spark.streaming.logstate import (
         read_profile_partials_log,
         stream_profile_partials_log,
     )
 
-    src = ensure_transcripts_parquet(REPO, sf_dir)
-    canon = canonicalize(_links(spark, sf_dir))
-    work = tempfile.mkdtemp(prefix="stream_profiles_log_gate_")
-    try:
-        in_dir = os.path.join(work, "in")
-        spark.read.parquet(src).repartition(4).write.parquet(in_dir)
-        state = os.path.join(work, "profiles")
-        stream_profile_partials_log(
-            spark,
-            in_dir,
-            state,
-            os.path.join(work, "ck"),
-            canon,
-            compact_every=3,
-        )
-        out = (
-            profiles_from_partials(read_profile_partials_log(spark, state))
-            .select(
-                "entity_id",
-                "n_subj",
-                "n_obj",
-                "n_preds",
-                F.unix_timestamp("first_ts").alias("first_epoch"),
-                F.unix_timestamp("last_ts").alias("last_epoch"),
-                "top_surface",
-            )
-            .toPandas()
-        )
-    finally:
-        shutil.rmtree(work, ignore_errors=True)
-    return spark.createDataFrame(
-        out,
+    return _stream_log_gate(
+        spark,
+        sf_dir,
+        lambda s, ind, st, ck, canon: stream_profile_partials_log(
+            s, ind, st, ck, canon, compact_every=3
+        ),
+        lambda s, st: profiles_from_partials(
+            read_profile_partials_log(s, st)
+        ).select(
+            "entity_id",
+            "n_subj",
+            "n_obj",
+            "n_preds",
+            F.unix_timestamp("first_ts").alias("first_epoch"),
+            F.unix_timestamp("last_ts").alias("last_epoch"),
+            "top_surface",
+        ),
         "entity_id string, n_subj long, n_obj long, n_preds long, "
         "first_epoch long, last_epoch long, top_surface string",
     )

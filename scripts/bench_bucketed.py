@@ -101,6 +101,9 @@ def main() -> None:
 
     # force sort-merge so the Exchange presence/absence is the signal
     old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_abs = spark.conf.get(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    )
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         readers = {
@@ -143,7 +146,7 @@ def main() -> None:
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         spark.conf.set(
-            "spark.sql.sources.bucketing.autoBucketedScan.enabled", "true"
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled", old_abs
         )
         spark.sql("DROP TABLE IF EXISTS edges_serving")
 

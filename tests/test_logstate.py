@@ -138,6 +138,47 @@ def test_log_state_compaction_offline_and_inline(
     assert _snap(read_edge_log(spark, state2)) == before
 
 
+def test_writer_lock_blocks_compaction_and_tmp_orphans_are_pruned(
+    spark, tiny_pdf, tiny_df, log_dirs
+):
+    """The advisory writer lock actually excludes: compaction taken
+    while another writer holds LOCK fails loud (non-blocking posture),
+    and a crash-orphaned commit tmp file is swept by the next commit."""
+    import fcntl
+
+    from transner_spark.streaming.logstate import (
+        compact_edge_log,
+        read_edge_log,
+        stream_edge_increments_log,
+    )
+
+    d = log_dirs
+    canon = _canon(spark, tiny_df)
+    _write_batch(spark, tiny_pdf, d["in"], 0, 3, "b0")
+    _write_batch(spark, tiny_pdf, d["in"], 3, 5, "b1")
+    stream_edge_increments_log(spark, d["in"] + "/*", d["state"], d["cp"], canon)
+    before = _snap(read_edge_log(spark, d["state"]))
+
+    # a second open file description of LOCK conflicts under flock even
+    # in-process — the stand-in for a concurrent writer
+    fd = os.open(os.path.join(d["state"], "LOCK"), os.O_CREAT | os.O_RDWR)
+    try:
+        fcntl.flock(fd, fcntl.LOCK_EX)
+        with pytest.raises(RuntimeError, match="active writer"):
+            compact_edge_log(spark, d["state"])
+    finally:
+        os.close(fd)  # releases the conflicting lock
+    assert _snap(read_edge_log(spark, d["state"])) == before  # untouched
+
+    # crash-orphaned commit tmp: swept by the next successful commit
+    orphan = os.path.join(d["state"], "MANIFEST.99.12345.tmp")
+    with open(orphan, "w") as fh:
+        fh.write("junk")
+    assert compact_edge_log(spark, d["state"]) == 2
+    assert not os.path.exists(orphan)
+    assert _snap(read_edge_log(spark, d["state"])) == before
+
+
 def test_log_substrate_generalizes_to_profile_partials(
     spark, tiny_pdf, tiny_df, log_dirs
 ):

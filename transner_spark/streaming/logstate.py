@@ -110,10 +110,12 @@ def _read_manifest(state_dir: str, manifest_name: str) -> list[str]:
         return [line.strip() for line in fh if line.strip()]
 
 
-def log_edge_segments(state_dir: str) -> tuple[list[str], int]:
-    """Resolve the live snapshot of a log-structured state dir:
-    (absolute segment paths, last applied batch id), or ([], -1) if no
-    commit yet. Readers go through this instead of assuming a layout."""
+def log_segments(state_dir: str) -> tuple[list[str], int]:
+    """Resolve the live snapshot of a log-structured state dir
+    (monoid-agnostic — edge states and profile-partials states share the
+    layout): (absolute segment paths, last applied batch id), or
+    ([], -1) if no commit yet. Readers go through this instead of
+    assuming a layout."""
     manifest, bid, _ = _read_log_current(state_dir)
     if manifest is None:
         return [], -1
@@ -121,11 +123,15 @@ def log_edge_segments(state_dir: str) -> tuple[list[str], int]:
     return [_abs_seg(state_dir, r) for r in rels], bid
 
 
+# historical name from when the substrate only held edge state
+log_edge_segments = log_segments
+
+
 def _read_log(spark: SparkSession, state_dir: str, rollup) -> DataFrame | None:
     """Merge-on-read: union the live segments and apply the state's
     rollup monoid (one multi-path scan + one hash aggregate). Returns
     None if nothing has committed."""
-    segs, _ = log_edge_segments(state_dir)
+    segs, _ = log_segments(state_dir)
     if not segs:
         return None
     return rollup(spark.read.parquet(*segs))
@@ -214,6 +220,18 @@ def _compact_log(spark: SparkSession, state_dir: str, rollup) -> int:
         merged = _read_log(spark, state_dir, rollup)
         base_rel = f"{SEGMENTS_DIR}/base-{bid}"
         merged.write.mode("overwrite").parquet(_abs_seg(state_dir, base_rel))
+        # defense in depth beyond the flock (review r4): a writer that
+        # does not honor the lock (older module version, or a filesystem
+        # where flock is advisory-only across hosts) would otherwise have
+        # its batch silently pruned — re-check CURRENT and fail loud.
+        manifest2, bid2, _ = _read_log_current(state_dir)
+        if (manifest2, bid2) != (manifest, bid):
+            raise RuntimeError(
+                f"compaction on {state_dir!r} lost a race despite the "
+                f"writer lock (CURRENT {manifest} b{bid} -> {manifest2} "
+                f"b{bid2}): a non-lock-honoring writer is active — "
+                "compaction aborted, no state was changed."
+            )
         _commit(
             state_dir, [base_rel], bid, ck or "", _manifest_seq(manifest) + 1
         )
