@@ -127,6 +127,19 @@ def test_log_state_compaction_offline_and_inline(
     manifests = [f for f in os.listdir(d["state"]) if f.startswith("MANIFEST.")]
     assert len(manifests) == 1
 
+    # lineage/metrics sidecar: one line per commit (2 appends + 1
+    # compaction), rows_written matching what each commit put on disk
+    import json
+
+    with open(os.path.join(d["state"], "METRICS.jsonl")) as fh:
+        metrics = [json.loads(line) for line in fh]
+    assert [m["action"] for m in metrics] == ["append", "append", "compact"]
+    assert [m["batch_id"] for m in metrics] == [0, 1, 1]
+    n_final = spark.read.parquet(segs2[0]).count()
+    assert metrics[-1]["rows_written"] == n_final
+    assert metrics[-1]["segments_in"] == 2
+    assert all(m["rows_written"] > 0 for m in metrics)
+
     # inline auto-compaction: a fresh state with compact_every=2 lands
     # on one base segment and the same merged value
     state2 = d["state"] + "_inline"

@@ -163,6 +163,21 @@ def read_profile_partials_log(
     return _read_log(spark, state_dir, merge_profile_partials)
 
 
+def _append_metrics(state_dir: str, record: dict) -> None:
+    """Append one JSON line to the state dir's METRICS.jsonl — the
+    streaming twin of the batch pipeline's per-stage lineage table
+    (north rule: every stage writes lineage + count metrics to a
+    checkpoint table). Append-only and never pruned: it is the audit
+    trail of what each commit did (batch id, action, live segments,
+    rows written), written AFTER the CURRENT swing so a metrics line
+    always describes a durable commit. At warehouse scale this is the
+    table format's snapshot summary/history metadata."""
+    import json as _json
+
+    with open(os.path.join(state_dir, "METRICS.jsonl"), "a") as fh:
+        fh.write(_json.dumps(record, sort_keys=True) + "\n")
+
+
 def _commit(
     state_dir: str,
     segment_rels: list[str],
@@ -235,6 +250,19 @@ def _compact_log(spark: SparkSession, state_dir: str, rollup) -> int:
         _commit(
             state_dir, [base_rel], bid, ck or "", _manifest_seq(manifest) + 1
         )
+        _append_metrics(
+            state_dir,
+            {
+                "action": "compact",
+                "batch_id": bid,
+                "segments_in": len(rels),
+                "segments_live": 1,
+                # parquet footer count — metadata-only job
+                "rows_written": spark.read.parquet(
+                    _abs_seg(state_dir, base_rel)
+                ).count(),
+            },
+        )
         return len(rels)
 
 
@@ -297,9 +325,11 @@ def _stream_log_maintenance(
             inc = make_increment(batch_df)
             seg_rel = f"{SEGMENTS_DIR}/s{batch_id}"
             inc.write.mode("overwrite").parquet(_abs_seg(state_dir, seg_rel))
+            written_rels = [seg_rel]
             rels = (
                 _read_manifest(state_dir, manifest) if manifest else []
             ) + [seg_rel]
+            compacted = False
             if compact_every is not None and len(rels) >= compact_every:
                 merged = rollup(
                     sess.read.parquet(
@@ -311,12 +341,28 @@ def _stream_log_maintenance(
                     _abs_seg(state_dir, base_rel)
                 )
                 rels = [base_rel]
+                written_rels.append(base_rel)
+                compacted = True
+            # parquet footer count — metadata-only job; BEFORE _commit,
+            # which prunes the raw segment when compaction folded it
+            rows_written = sess.read.parquet(
+                *(_abs_seg(state_dir, r) for r in written_rels)
+            ).count()
             _commit(
                 state_dir,
                 rels,
                 batch_id,
                 ck_identity,
                 _manifest_seq(manifest) + 1,
+            )
+            _append_metrics(
+                state_dir,
+                {
+                    "action": "append+compact" if compacted else "append",
+                    "batch_id": batch_id,
+                    "segments_live": len(rels),
+                    "rows_written": rows_written,
+                },
             )
 
     stream = (
