@@ -150,6 +150,49 @@ def test_append_mode_windowed_counts_flush(spark, tmp_path):
     assert g == w and len(g) > 0
 
 
+def test_append_mode_drops_late_data(spark, tmp_path):
+    """Watermark semantics pinned from the LATE side: once the watermark
+    has passed a window's end (and its row flushed to the sink), a late
+    event inside that window is DROPPED — the sink row is neither
+    re-emitted nor updated. This is the exactly-once contract consumers
+    of the append sink rely on: a flushed window is final."""
+    from datetime import timedelta
+
+    from pyspark.sql import functions as F
+    from transner_spark.sources.transcripts import ensure_transcripts_parquet
+    from transner_spark.streaming.incremental import (
+        TRANSCRIPT_SCHEMA,
+        run_append_counts_to_horizon,
+        stream_windowed_counts_append,
+    )
+
+    src = ensure_transcripts_parquet("/root/repo", "/root/testdata/sf0.001")
+    in_dir, out_dir, ck = (
+        str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck"),
+    )
+    run_append_counts_to_horizon(spark, src, in_dir, out_dir, ck)
+    before = {tuple(r) for r in spark.read.parquet(out_dir).collect()}
+    assert len(before) > 0
+
+    # a late turn INSIDE the already-flushed data range, carrying a
+    # mention so the post-explode watermark node sees its ts
+    min_ts = spark.read.parquet(src).agg(F.min("ts")).collect()[0][0]
+    late = [(
+        "__late_arrival__", 0, "user",
+        "late [URL_9] inside a closed window",
+        None, min_ts + timedelta(seconds=1),
+    )]
+    spark.createDataFrame(late, TRANSCRIPT_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    stream_windowed_counts_append(
+        spark, in_dir, out_dir, ck
+    ).awaitTermination()
+
+    after = {tuple(r) for r in spark.read.parquet(out_dir).collect()}
+    assert after == before  # late event dropped; flushed windows final
+
+
 def test_stream_edge_increments_maintenance(spark, tiny_pdf, tiny_df, stream_dirs):
     """The maintained edge table equals the batch rollup after each
     arrival; a rerun with no new files is a no-op (exactly-once per
