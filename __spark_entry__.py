@@ -1423,6 +1423,7 @@ def _lineage_chain_sql(cache: str, phrases: str, names: str) -> str:
         UNION ALL SELECT 'links', CAST(COUNT(*) AS BIGINT) FROM lnk
         UNION ALL SELECT 'canonical', CAST(COUNT(*) AS BIGINT) FROM can
         UNION ALL SELECT 'edges', CAST(COUNT(*) AS BIGINT) FROM edg
+        UNION ALL SELECT 'serving', CAST(COUNT(*) AS BIGINT) FROM edg
     """
 
 

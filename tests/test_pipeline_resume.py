@@ -23,13 +23,16 @@ def test_pipeline_commits_and_resume(spark, tiny_df, tmp_path):
 
     e1 = out["edges"].toPandas().sort_values(["subj_id", "pred", "obj_id"]).reset_index(drop=True)
 
-    # simulate a mid-run kill: wipe the last two stages, rerun
+    # simulate a mid-run kill: wipe the trailing stages, rerun
     shutil.rmtree(run1.catalog.path("canonical"))
     shutil.rmtree(run1.catalog.path("edges"))
+    shutil.rmtree(run1.catalog.path("serving"))
     run2 = PipelineRun(spark, workdir, run_id="run2")
     out2 = run2.run(tiny_df)
-    assert set(run2.stages_run) == {"canonical", "edges"}
-    assert set(run2.stages_skipped) == set(STAGES) - {"canonical", "edges"}
+    assert set(run2.stages_run) == {"canonical", "edges", "serving"}
+    assert set(run2.stages_skipped) == set(STAGES) - {
+        "canonical", "edges", "serving",
+    }
 
     # identical final edge table
     e2 = out2["edges"].toPandas().sort_values(["subj_id", "pred", "obj_id"]).reset_index(drop=True)

@@ -7,8 +7,14 @@ reference's JSON-lines request log, /root/reference/logger.py:5-11,
 upgraded to the north rule's checkpoint-table contract):
 
     transcripts ─→ annotated ─→ mentions
-                        │  └──→ triples ─→ links ─→ canonical ─→ edges
+                        │  └──→ triples ─→ links ─→ canonical ─→ edges ─→ serving
                         └─────→ quarantine
+
+The final ``serving`` stage re-publishes the committed edge table as the
+bucketed layout (operators/materialize.write_edges_bucketed): downstream
+subj_id joins/aggs read it shuffle-free and point lookups bucket-prune
+(BENCH.md bucketed section) — the KG is born co-located, as part of the
+resumable run rather than a separate job.
 
 On rerun, any stage whose output is already committed (``_SUCCESS``
 present — the Parquet stand-in for an Iceberg snapshot) is skipped; a
@@ -32,10 +38,22 @@ from transner_spark.operators.annotate import (
 )
 from transner_spark.operators.canonicalize import canonicalize
 from transner_spark.operators.linking import link_surfaces, node_surfaces
-from transner_spark.operators.materialize import materialize_edges
+from transner_spark.operators.materialize import (
+    materialize_edges,
+    write_edges_bucketed,
+)
 from transner_spark.sources.catalog import Catalog
 
-STAGES = ("annotated", "quarantine", "mentions", "triples", "links", "canonical", "edges")
+STAGES = (
+    "annotated",
+    "quarantine",
+    "mentions",
+    "triples",
+    "links",
+    "canonical",
+    "edges",
+    "serving",
+)
 
 
 class PipelineRun:
@@ -108,6 +126,21 @@ class PipelineRun:
         if not self._done("edges"):
             edges = materialize_edges(triples, cat.read("canonical"), cfg)
             self._commit(edges, "edges", partition_by=["bucket"])
+        if not self._done("serving"):
+            # bucketed serving twin of the edge table — bypasses
+            # catalog.write (the layout IS the point) but keeps the same
+            # lineage + commit bookkeeping; the session-catalog name is
+            # run-scoped, the durable artifact is the path (re-read by
+            # path on resume, like every other stage)
+            t0 = time.monotonic()
+            write_edges_bucketed(
+                cat.read("edges"),
+                f"edges_serving_{self.run_id}",
+                cat.path("serving"),
+                cfg,
+            )
+            self._lineage("serving", (time.monotonic() - t0) * 1000.0)
+            self.stages_run.append("serving")
 
         return {s: cat.read(s) for s in STAGES}
 
