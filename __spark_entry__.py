@@ -1006,6 +1006,58 @@ def q_stream_profiles_log_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_edges_log_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-travel gate for the log substrate (streaming/logstate
+    retention + ``read_edge_log_asof``): the corpus is split into four
+    deterministic micro-batches by md5(conv_id) hex quartile — a split
+    both engines can express identically — and fed as four sequential
+    availableNow runs with ``retain_snapshots=8`` and inline compaction
+    at 3 live segments (batch 2's commit compacts, so the as-of read
+    crosses a compaction point). Reading AS OF batch 2 must equal the
+    DuckDB edge derivation restricted to the first three quartiles'
+    conversations (``substr(md5(conv_id),1,1) < 'c'``) — Iceberg
+    ``VERSION AS OF`` semantics proven value-level."""
+    import shutil
+    import tempfile
+
+    from transner_spark.operators.canonicalize import canonicalize
+    from transner_spark.sources.transcripts import ensure_transcripts_parquet
+    from transner_spark.streaming.logstate import (
+        read_edge_log_asof,
+        stream_edge_increments_log,
+    )
+
+    src = ensure_transcripts_parquet(REPO, sf_dir)
+    canon = canonicalize(_links(spark, sf_dir))
+    full = spark.read.parquet(src)
+    hexq = F.substring(F.md5(F.col("conv_id").cast("binary")), 1, 1)
+    work = tempfile.mkdtemp(prefix="stream_log_asof_")
+    try:
+        in_dir = os.path.join(work, "in")
+        state = os.path.join(work, "state")
+        ck = os.path.join(work, "ck")
+        for lo, hi in (("0", "4"), ("4", "8"), ("8", "c"), ("c", "g")):
+            # one data file per quartile -> exactly one micro-batch per
+            # sequential run; batch ids continue across runs (0..3)
+            full.where((hexq >= lo) & (hexq < hi)).coalesce(1).write.mode(
+                "append"
+            ).parquet(in_dir)
+            stream_edge_increments_log(
+                spark, in_dir, state, ck, canon,
+                compact_every=3, retain_snapshots=8,
+            )
+        out = _select_edge_cols(
+            read_edge_log_asof(spark, state, batch_id=2)
+        ).toPandas()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        out,
+        "subj_id string, pred string, obj_id string, weight long, "
+        "first_epoch long, last_epoch long",
+    )
+
+
 def q_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming windowed-aggregate gate: tumbling 10-minute mention
     counts per type via the watermarked streaming aggregation (complete
@@ -1546,6 +1598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new this round --
         "stream_edges_log_eq": q_stream_edges_log_eq,
         "stream_profiles_log_eq": q_stream_profiles_log_eq,
+        "stream_edges_log_asof": q_stream_edges_log_asof,
         "kg_edges_canon_refresh": q_kg_edges_canon_refresh,
         "stream_conversations": q_stream_conversations,
         "kg_edges_diff": q_kg_edges_diff,
@@ -1583,7 +1636,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
         "corpus_filter": q_corpus_filter,
-        "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_clusters": q_dedup_clusters,
         "dedup_simhash": q_dedup_simhash,
@@ -1618,8 +1670,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall_lsh": q_ann_recall_lsh,
         "ann_recall_ivf": q_ann_recall_ivf,
         # rotated out of the window for round 4 (green driver rows in
-        # r01+r02+r03) to make room for dedup_minhash_incremental
+        # r01+r02+r03) to make room for dedup_minhash_incremental and
+        # stream_edges_log_asof
         "length_guard": q_length_guard,
+        "dedup_exact": q_dedup_exact,
     }
 
 
@@ -1717,6 +1771,16 @@ SELECT 'ivf' AS method, * FROM ({out["ann_recall_ivf"]})
     # log-structured twin: append + compact + merge-on-read must land on
     # the same whole-corpus derivation
     out["stream_edges_log_eq"] = out["stream_edges_batch_eq"]
+    # time-travel twin: reading AS OF batch 2 of the 4 md5-quartile
+    # micro-batches must equal the derivation over the first three
+    # quartiles' conversations (same hex-prefix split in both engines;
+    # DuckDB md5(varchar) and Spark md5(binary utf8) agree)
+    out["stream_edges_log_asof"] = kg_edges_sql(
+        f"(SELECT * FROM read_parquet('{g('triples')}') "
+        "WHERE substr(md5(conv_id), 1, 1) < 'c')",
+        f"read_parquet('{g('canonical')}')",
+        cache,
+    )
     # same substrate, different monoid: the profile partials maintained
     # on the log must re-derive the exact serving view
     out["stream_profiles_log_eq"] = out["entity_profiles"]

@@ -269,3 +269,89 @@ def test_log_state_checkpoint_identity_guard(spark, tiny_pdf, tiny_df, log_dirs)
             spark, d["in"] + "/*", d["state"], d["cp"], canon
         )
     assert log_edge_segments(d["state"]) == committed
+
+
+def test_log_state_time_travel(spark, tiny_pdf, tiny_df, log_dirs):
+    """Snapshot retention + as-of reads: with retain_snapshots=k the
+    last k manifests (and the segments they reference) survive pruning,
+    and read_edge_log_asof(b) re-derives exactly the table the live read
+    returned when batch b committed — including ACROSS a compaction
+    (pre-compaction manifests keep their raw segments alive). Resolution
+    is newest-snapshot-<=-b; expired snapshots fail loud."""
+    from transner_spark.streaming.logstate import (
+        read_edge_log,
+        read_edge_log_asof,
+        stream_edge_increments_log,
+    )
+
+    d = log_dirs
+    canon = _canon(spark, tiny_df)
+
+    # three sequential batches, retention deep enough to keep them all
+    live_at = {}
+    for bid, (lo, hi) in enumerate([(0, 2), (2, 4), (4, 6)]):
+        _write_batch(spark, tiny_pdf, d["in"], lo, hi, f"b{bid}")
+        stream_edge_increments_log(
+            spark, d["in"] + "/*", d["state"], d["cp"], canon,
+            retain_snapshots=8,
+        )
+        live_at[bid] = _snap(read_edge_log(spark, d["state"]))
+
+    for bid, (lo, hi) in enumerate([(0, 2), (0, 4), (0, 6)]):
+        got = _snap(read_edge_log_asof(spark, d["state"], bid))
+        assert got == live_at[bid]
+        assert got == _snap(_batch_edges(tiny_df, canon, 0, hi))
+
+    # newest-<=-b semantics: asking past the live batch answers live
+    assert _snap(read_edge_log_asof(spark, d["state"], 99)) == live_at[2]
+    # asking before the first commit fails loud
+    with pytest.raises(RuntimeError, match="at or before"):
+        read_edge_log_asof(spark, d["state"], -1)
+
+
+def test_log_state_time_travel_across_compaction(
+    spark, tiny_pdf, tiny_df, log_dirs
+):
+    """Inline compaction folds the live manifest but retention keeps the
+    pre-compaction snapshots' raw segments: as-of reads before the
+    compaction point still answer, and the default retain=1 expires
+    history with a loud error."""
+    from transner_spark.streaming.logstate import (
+        read_edge_log,
+        read_edge_log_asof,
+        stream_edge_increments_log,
+    )
+
+    d = log_dirs
+    canon = _canon(spark, tiny_df)
+    live_at = {}
+    for bid, (lo, hi) in enumerate([(0, 2), (2, 4), (4, 6)]):
+        _write_batch(spark, tiny_pdf, d["in"], lo, hi, f"b{bid}")
+        stream_edge_increments_log(
+            spark, d["in"] + "/*", d["state"], d["cp"], canon,
+            compact_every=3, retain_snapshots=8,
+        )
+        live_at[bid] = _snap(read_edge_log(spark, d["state"]))
+
+    # batch 2's commit compacted (3 live segments -> base); snapshots
+    # 0 and 1 still resolve through their retained raw segments
+    segs = os.listdir(os.path.join(d["state"], "segments"))
+    assert any(s.startswith("base-") for s in segs)
+    for bid in (0, 1, 2):
+        assert _snap(read_edge_log_asof(spark, d["state"], bid)) == live_at[bid]
+
+    # default retention (=1) on a fresh state expires history: the
+    # as-of resolution finds the snapshot in METRICS but its manifest
+    # is gone -> loud error, never a silently-wrong answer
+    state2, cp2 = d["state"] + "_r1", d["cp"] + "_r1"
+    in2 = d["in"] + "_r1"
+    os.makedirs(in2)
+    for bid, (lo, hi) in enumerate([(0, 2), (2, 4)]):
+        _write_batch(spark, tiny_pdf, in2, lo, hi, f"b{bid}")
+        stream_edge_increments_log(spark, in2 + "/*", state2, cp2, canon)
+    with pytest.raises(RuntimeError, match="expired"):
+        read_edge_log_asof(spark, state2, 0)
+    # ...but the live snapshot always answers (CURRENT-authoritative)
+    assert _snap(read_edge_log_asof(spark, state2, 1)) == _snap(
+        read_edge_log(spark, state2)
+    )

@@ -53,6 +53,18 @@ single multi-path parquet scan → one hash aggregate on the edge key
 (map-side partials bound hot edges). Read amplification grows with the
 live-segment count — exactly the measured LSM trade
 (scripts/bench_logstate.py, BENCH.md) — and compaction is the knob.
+
+Snapshot retention + time travel: ``retain_snapshots=k`` keeps the last
+k manifests (and every segment they reference) through the prune, and
+``read_edge_log_asof`` / ``read_profile_partials_log_asof`` answer
+"the table as of batch b" by resolving b through the state's snapshot
+history (METRICS.jsonl records the manifest per commit — the Iceberg
+metadata-log / ``VERSION AS OF`` pattern; retention is the
+``expireSnapshots`` knob). Resolution is newest-snapshot-≤-b; reads of
+expired snapshots fail loud. Since manifests and segments are
+immutable, an as-of read is value-identical to what the live read
+returned when that snapshot committed — pinned by the
+stream_edges_log_asof gate against a corpus-prefix SQL derivation.
 """
 
 from __future__ import annotations
@@ -163,15 +175,112 @@ def read_profile_partials_log(
     return _read_log(spark, state_dir, merge_profile_partials)
 
 
+def _resolve_asof(state_dir: str, batch_id: int) -> str:
+    """Resolve a batch id to the manifest of the newest retained
+    snapshot whose last applied batch is ≤ ``batch_id`` — Iceberg
+    ``VERSION AS OF`` semantics over the state's own snapshot history
+    (METRICS.jsonl records one ``manifest`` per commit; CURRENT stays
+    authoritative for the live snapshot). Fails loud when the resolved
+    snapshot has been expired by the retention window instead of
+    silently answering from a different snapshot."""
+    import json as _json
+
+    cur_manifest, cur_bid, _ = _read_log_current(state_dir)
+    if cur_manifest is None:
+        raise RuntimeError(f"state dir {state_dir!r} has no committed snapshot")
+    if batch_id >= cur_bid:
+        return cur_manifest
+    metrics_path = os.path.join(state_dir, "METRICS.jsonl")
+    if not os.path.exists(metrics_path):
+        raise RuntimeError(
+            f"state dir {state_dir!r} predates snapshot history "
+            "(no METRICS.jsonl) — time travel needs states written by "
+            "this module version."
+        )
+    best: dict | None = None
+    with open(metrics_path) as fh:
+        for line in fh:
+            rec = _json.loads(line)
+            if "manifest" in rec and rec["batch_id"] <= batch_id:
+                best = rec  # commit order == file order; last wins
+    if best is None:
+        raise RuntimeError(
+            f"no snapshot at or before batch {batch_id} in {state_dir!r} "
+            f"(earliest recorded commit is newer)."
+        )
+    mname = best["manifest"]
+    if not os.path.exists(os.path.join(state_dir, mname)):
+        raise RuntimeError(
+            f"snapshot {mname} (batch {best['batch_id']}) has been "
+            f"expired by the retention window — rerun the writer with a "
+            "larger retain_snapshots to keep history this deep."
+        )
+    return mname
+
+
+def _read_log_asof(
+    spark: SparkSession, state_dir: str, rollup, batch_id: int
+) -> DataFrame:
+    """Merge-on-read pinned to a retained snapshot: union the segments
+    of the as-of manifest and apply the state's rollup monoid. The
+    result equals what ``_read_log`` returned when that snapshot was
+    live — the read path never depends on which commits happened
+    later (segments and manifests are immutable; retention only
+    controls how long they survive)."""
+    mname = _resolve_asof(state_dir, batch_id)
+    rels = _read_manifest(state_dir, mname)
+    for r in rels:
+        if not os.path.exists(_abs_seg(state_dir, r)):
+            raise RuntimeError(
+                f"snapshot {mname} references expired segment {r!r} — "
+                "retention window too small for this read."
+            )
+    return rollup(spark.read.parquet(*(_abs_seg(state_dir, r) for r in rels)))
+
+
+def read_edge_log_asof(
+    spark: SparkSession,
+    state_dir: str,
+    batch_id: int,
+    cfg: PipelineConfig | None = None,
+) -> DataFrame:
+    """Time-travel read of a maintained edge state: the edge table as of
+    the snapshot committed for ``batch_id`` (or the newest one before
+    it). The stream_edges_log_asof gate pins this against the DuckDB
+    edge derivation restricted to the conversations of the first k
+    micro-batches."""
+    from transner_spark.operators.materialize import merge_edge_increments
+
+    return _read_log_asof(
+        spark, state_dir, lambda df: merge_edge_increments(df, cfg=cfg), batch_id
+    )
+
+
+def read_profile_partials_log_asof(
+    spark: SparkSession, state_dir: str, batch_id: int
+) -> DataFrame:
+    """Time-travel read of a profile-partials state via the partial
+    monoid; feed to ``profiles_from_partials`` for the as-of serving
+    view."""
+    from transner_spark.operators.materialize import merge_profile_partials
+
+    return _read_log_asof(spark, state_dir, merge_profile_partials, batch_id)
+
+
 def _append_metrics(state_dir: str, record: dict) -> None:
     """Append one JSON line to the state dir's METRICS.jsonl — the
     streaming twin of the batch pipeline's per-stage lineage table
     (north rule: every stage writes lineage + count metrics to a
     checkpoint table). Append-only and never pruned: it is the audit
-    trail of what each commit did (batch id, action, live segments,
-    rows written), written AFTER the CURRENT swing so a metrics line
-    always describes a durable commit. At warehouse scale this is the
-    table format's snapshot summary/history metadata."""
+    trail of what each commit did (batch id, action, manifest, live
+    segments, rows written), written AFTER the CURRENT swing so a
+    metrics line always describes a durable commit. At warehouse scale
+    this is the table format's snapshot summary/history metadata — and
+    since each line names its manifest, it doubles as the snapshot
+    index ``_resolve_asof`` time-travels through (a crash between swing
+    and append can lose at most the latest line; CURRENT stays
+    authoritative for the live snapshot, so as-of reads at or past the
+    live batch id never depend on the history file)."""
     import json as _json
 
     with open(os.path.join(state_dir, "METRICS.jsonl"), "a") as fh:
@@ -184,11 +293,23 @@ def _commit(
     batch_id: int,
     ck_identity: str,
     manifest_seq: int,
-) -> None:
+    retain: int = 1,
+) -> str:
     """Write an immutable manifest then atomically swing CURRENT; prune
     superseded manifests, unreferenced segments, and crash-orphaned
     ``*.tmp`` files after the commit. Caller holds ``_writer_lock``, so
-    no other commit's in-flight tmp can exist during the prune."""
+    no other commit's in-flight tmp can exist during the prune.
+
+    ``retain`` is the snapshot-retention window: the last ``retain``
+    manifests survive the prune, along with EVERY segment any of them
+    references — so ``read_*_log_asof`` can time-travel to any retained
+    snapshot, including across a compaction (the pre-compaction
+    manifests keep their raw segments alive). ``retain=1`` is the
+    storage-minimal default: only the live snapshot's segments exist,
+    exactly the pre-retention behavior. This is the table-format
+    snapshot-expiry knob (Iceberg ``expireSnapshots`` /
+    ``history.expire.min-snapshots-to-keep``). Returns the committed
+    manifest's name."""
     mname = f"{MANIFEST_PREFIX}{manifest_seq}"
     tmp = os.path.join(state_dir, f"{mname}.{os.getpid()}.tmp")
     with open(tmp, "w") as fh:
@@ -198,21 +319,33 @@ def _commit(
     with open(tmp, "w") as fh:
         fh.write(f"{mname} {batch_id} {ck_identity}")
     os.replace(tmp, os.path.join(state_dir, "CURRENT"))
-    live = {r.split("/")[-1] for r in segment_rels}
+    cutoff = manifest_seq - max(1, retain)  # prune seq <= cutoff
+    live: set[str] = set()
+    for f in os.listdir(state_dir):
+        if f.startswith(MANIFEST_PREFIX) and not f.endswith(".tmp"):
+            if _manifest_seq(f) > cutoff:
+                live.update(
+                    r.split("/")[-1] for r in _read_manifest(state_dir, f)
+                )
     seg_root = os.path.join(state_dir, SEGMENTS_DIR)
     for d in os.listdir(seg_root):
         if d not in live:
             shutil.rmtree(os.path.join(seg_root, d), ignore_errors=True)
     for f in os.listdir(state_dir):
-        if f.endswith(".tmp") or (f.startswith(MANIFEST_PREFIX) and f != mname):
+        if f.endswith(".tmp") or (
+            f.startswith(MANIFEST_PREFIX) and _manifest_seq(f) <= cutoff
+        ):
             os.remove(os.path.join(state_dir, f))
+    return mname
 
 
 def _manifest_seq(manifest_name: str | None) -> int:
     return -1 if manifest_name is None else int(manifest_name.removeprefix(MANIFEST_PREFIX))
 
 
-def _compact_log(spark: SparkSession, state_dir: str, rollup) -> int:
+def _compact_log(
+    spark: SparkSession, state_dir: str, rollup, retain: int = 1
+) -> int:
     """Offline compaction: roll the live segments up into one base
     segment and commit a one-entry manifest. Returns the number of
     segments compacted away (0 = nothing to do). The rollup is the same
@@ -247,14 +380,20 @@ def _compact_log(spark: SparkSession, state_dir: str, rollup) -> int:
                 f"b{bid2}): a non-lock-honoring writer is active — "
                 "compaction aborted, no state was changed."
             )
-        _commit(
-            state_dir, [base_rel], bid, ck or "", _manifest_seq(manifest) + 1
+        mname = _commit(
+            state_dir,
+            [base_rel],
+            bid,
+            ck or "",
+            _manifest_seq(manifest) + 1,
+            retain=retain,
         )
         _append_metrics(
             state_dir,
             {
                 "action": "compact",
                 "batch_id": bid,
+                "manifest": mname,
                 "segments_in": len(rels),
                 "segments_live": 1,
                 # parquet footer count — metadata-only job
@@ -267,22 +406,35 @@ def _compact_log(spark: SparkSession, state_dir: str, rollup) -> int:
 
 
 def compact_edge_log(
-    spark: SparkSession, state_dir: str, cfg: PipelineConfig | None = None
+    spark: SparkSession,
+    state_dir: str,
+    cfg: PipelineConfig | None = None,
+    retain_snapshots: int = 1,
 ) -> int:
-    """Offline compaction of an edge-state dir (see ``_compact_log``)."""
+    """Offline compaction of an edge-state dir (see ``_compact_log``).
+    ``retain_snapshots`` is caller-owned, like ``compact_every`` on the
+    writer — pass the same window the stream uses so compaction's prune
+    honors it."""
     from transner_spark.operators.materialize import merge_edge_increments
 
     return _compact_log(
-        spark, state_dir, lambda df: merge_edge_increments(df, cfg=cfg)
+        spark,
+        state_dir,
+        lambda df: merge_edge_increments(df, cfg=cfg),
+        retain=retain_snapshots,
     )
 
 
-def compact_profile_partials_log(spark: SparkSession, state_dir: str) -> int:
+def compact_profile_partials_log(
+    spark: SparkSession, state_dir: str, retain_snapshots: int = 1
+) -> int:
     """Offline compaction of a profile-partials state dir (see
     ``_compact_log``)."""
     from transner_spark.operators.materialize import merge_profile_partials
 
-    return _compact_log(spark, state_dir, merge_profile_partials)
+    return _compact_log(
+        spark, state_dir, merge_profile_partials, retain=retain_snapshots
+    )
 
 
 def _stream_log_maintenance(
@@ -297,6 +449,7 @@ def _stream_log_maintenance(
     await_termination: bool,
     compact_every: int | None,
     op_name: str,
+    retain_snapshots: int = 1,
 ):
     """Generic log-structured maintenance runner: any maintained state
     whose increment is a per-batch derivation (``make_increment(batch)``)
@@ -348,18 +501,20 @@ def _stream_log_maintenance(
             rows_written = sess.read.parquet(
                 *(_abs_seg(state_dir, r) for r in written_rels)
             ).count()
-            _commit(
+            mname = _commit(
                 state_dir,
                 rels,
                 batch_id,
                 ck_identity,
                 _manifest_seq(manifest) + 1,
+                retain=retain_snapshots,
             )
             _append_metrics(
                 state_dir,
                 {
                     "action": "append+compact" if compacted else "append",
                     "batch_id": batch_id,
+                    "manifest": mname,
                     "segments_live": len(rels),
                     "rows_written": rows_written,
                 },
@@ -392,6 +547,7 @@ def stream_edge_increments_log(
     max_files_per_trigger: int = 1,
     await_termination: bool = True,
     compact_every: int | None = None,
+    retain_snapshots: int = 1,
 ):
     """Log-structured twin of ``stream_edge_increments``: each
     micro-batch of new transcripts is annotated, rolled up to an edge
@@ -422,6 +578,7 @@ def stream_edge_increments_log(
         await_termination=await_termination,
         compact_every=compact_every,
         op_name="stream_edge_increments_log",
+        retain_snapshots=retain_snapshots,
     )
 
 
@@ -435,6 +592,7 @@ def stream_profile_partials_log(
     max_files_per_trigger: int = 1,
     await_termination: bool = True,
     compact_every: int | None = None,
+    retain_snapshots: int = 1,
 ):
     """Streaming maintenance of the entity-profile SERVING VIEW on the
     same log substrate: each micro-batch becomes a
@@ -466,4 +624,5 @@ def stream_profile_partials_log(
         await_termination=await_termination,
         compact_every=compact_every,
         op_name="stream_profile_partials_log",
+        retain_snapshots=retain_snapshots,
     )
