@@ -816,12 +816,13 @@ def q_pipeline_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from transner_spark.plans.pipeline import run_pipeline
+    from transner_spark.plans.pipeline import PipelineRun
     from transner_spark.sources.catalog import Catalog
 
     workdir = tempfile.mkdtemp(prefix="lineage_gate_")
+    run = PipelineRun(spark, workdir)
     try:
-        run_pipeline(spark, _transcripts(spark, sf_dir), workdir)
+        run.run(_transcripts(spark, sf_dir))
         lineage = Catalog(spark, workdir).read("_lineage")
         out = (
             lineage.groupBy("stage")
@@ -829,6 +830,9 @@ def q_pipeline_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
             .toPandas()
         )
     finally:
+        # the serving table's catalog entry points into the tempdir —
+        # drop it with the files so no dangling entry outlives the gate
+        spark.sql(f"DROP TABLE IF EXISTS {run.serving_table}")
         shutil.rmtree(workdir, ignore_errors=True)
     return spark.createDataFrame(out, "stage string, rows_out long")
 

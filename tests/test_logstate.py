@@ -137,8 +137,17 @@ def test_log_state_compaction_offline_and_inline(
     assert [m["batch_id"] for m in metrics] == [0, 1, 1]
     n_final = spark.read.parquet(segs2[0]).count()
     assert metrics[-1]["rows_written"] == n_final
+    assert metrics[-1]["rows_compacted"] == n_final
     assert metrics[-1]["segments_in"] == 2
     assert all(m["rows_written"] > 0 for m in metrics)
+    # every commit names its manifest (the snapshot index time travel
+    # resolves through), and appends record their increment size
+    assert all("manifest" in m for m in metrics)
+    assert all(
+        m["rows_appended"] == m["rows_written"]
+        for m in metrics
+        if m["action"] == "append"
+    )
 
     # inline auto-compaction: a fresh state with compact_every=2 lands
     # on one base segment and the same merged value
@@ -149,6 +158,18 @@ def test_log_state_compaction_offline_and_inline(
     segs3, _ = log_edge_segments(state2)
     assert len(segs3) == 1 and os.path.basename(segs3[0]).startswith("base-")
     assert _snap(read_edge_log(spark, state2)) == before
+
+    # the inline record carries both halves of its physical write —
+    # the raw increment AND the folded base — plus the fold fan-in,
+    # same auditability as the offline path
+    with open(os.path.join(state2, "METRICS.jsonl")) as fh:
+        m2 = [json.loads(line) for line in fh]
+    assert [m["action"] for m in m2] == ["append", "append+compact"]
+    ac = m2[-1]
+    n_base2 = spark.read.parquet(segs3[0]).count()
+    assert ac["segments_in"] == 2
+    assert ac["rows_compacted"] == n_base2
+    assert ac["rows_written"] == ac["rows_appended"] + n_base2
 
 
 def test_writer_lock_blocks_compaction_and_tmp_orphans_are_pruned(
@@ -307,6 +328,15 @@ def test_log_state_time_travel(spark, tiny_pdf, tiny_df, log_dirs):
     # asking before the first commit fails loud
     with pytest.raises(RuntimeError, match="at or before"):
         read_edge_log_asof(spark, d["state"], -1)
+
+    # offline compaction with NO explicit retention honors the window
+    # the stream persisted (RETENTION) — a plain maintenance call can
+    # never expire history the stream was keeping
+    from transner_spark.streaming.logstate import compact_edge_log
+
+    assert compact_edge_log(spark, d["state"]) == 3
+    for bid in (0, 1, 2):
+        assert _snap(read_edge_log_asof(spark, d["state"], bid)) == live_at[bid]
 
 
 def test_log_state_time_travel_across_compaction(

@@ -158,3 +158,50 @@ def test_neighbors_topk_window_is_partitioned(spark):
     # 'WindowExec: No Partition Defined' collapse).
     assert "hashpartitioning(subj_id" in p
     assert "SinglePartition" not in p
+
+
+def test_bucketed_reattach_after_catalog_loss(spark, tmp_path):
+    """A resumed run / fresh session has the serving FILES but no
+    catalog entry (the bucket spec is session metadata):
+    ensure_edges_bucketed_table re-binds the CLUSTERED BY spec over the
+    existing directory — values identical, zero-Exchange self-join
+    restored (bucketed files carry their bucket id in the file name),
+    and the call is idempotent."""
+    import datetime
+
+    from transner_spark.config import PipelineConfig
+    from transner_spark.operators.materialize import (
+        ensure_edges_bucketed_table,
+        write_edges_bucketed,
+    )
+
+    cfg = PipelineConfig(edge_buckets=8)
+    ts0 = datetime.datetime(2024, 1, 1)
+    edges = spark.createDataFrame(
+        [
+            (f"e{i % 7}", "p", f"o{(i * 3) % 11}", i % 4 + 1, ts0, ts0, i % 8)
+            for i in range(100)
+        ],
+        "subj_id string, pred string, obj_id string, weight long, "
+        "first_ts timestamp, last_ts timestamp, bucket int",
+    )
+    path = str(tmp_path / "serving")
+    spark.sql("DROP TABLE IF EXISTS serving_reattach_t")
+    write_edges_bucketed(edges, "serving_reattach_t", path, cfg)
+    vals = sorted(map(tuple, spark.table("serving_reattach_t").collect()))
+
+    # simulate the fresh session: catalog entry gone, files remain
+    # (saveAsTable with an explicit path is EXTERNAL — drop keeps files)
+    spark.sql("DROP TABLE serving_reattach_t")
+    ensure_edges_bucketed_table(spark, "serving_reattach_t", path, cfg)
+    t = spark.table("serving_reattach_t")
+    assert sorted(map(tuple, t.collect())) == vals
+    with _no_broadcast(spark):
+        pb = _plan(t.alias("a").join(t.alias("b"), "subj_id"))
+    assert "Exchange hashpartitioning" not in pb, pb
+
+    ensure_edges_bucketed_table(spark, "serving_reattach_t", path, cfg)
+    assert sorted(
+        map(tuple, spark.table("serving_reattach_t").collect())
+    ) == vals
+    spark.sql("DROP TABLE IF EXISTS serving_reattach_t")

@@ -192,6 +192,27 @@ def test_append_mode_drops_late_data(spark, tmp_path):
     after = {tuple(r) for r in spark.read.parquet(out_dir).collect()}
     assert after == before  # late event dropped; flushed windows final
 
+    # a regression that ADMITTED the late row into window state might
+    # only surface its duplicate/updated row on a LATER batch (state
+    # eviction order is an implementation detail) — so drive one more
+    # micro-batch. The extra turn is itself late vs the horizon
+    # watermark (dropped too); its only job is forcing batch N+1, where
+    # any wrongly-admitted state would have to flush.
+    max_ts = spark.read.parquet(src).agg(F.max("ts")).collect()[0][0]
+    sentinel = [(
+        "__batch_driver__", 0, "user",
+        "one more [URL_9] to drive the next micro-batch",
+        None, max_ts + timedelta(hours=2),
+    )]
+    spark.createDataFrame(sentinel, TRANSCRIPT_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    stream_windowed_counts_append(
+        spark, in_dir, out_dir, ck
+    ).awaitTermination()
+    final = {tuple(r) for r in spark.read.parquet(out_dir).collect()}
+    assert final == before  # nothing re-emitted, nothing updated
+
 
 def test_stream_edge_increments_maintenance(spark, tiny_pdf, tiny_df, stream_dirs):
     """The maintained edge table equals the batch rollup after each

@@ -311,6 +311,38 @@ def write_edges_bucketed(
     )
 
 
+def ensure_edges_bucketed_table(
+    spark,
+    table: str,
+    path: str,
+    cfg: PipelineConfig | None = None,
+) -> None:
+    """Idempotently (re)register the bucketed serving table over an
+    ALREADY-WRITTEN serving path. The bucket spec is catalog METADATA
+    while the files are durable: a resumed run or a fresh session that
+    skips the serving write would otherwise read the path as plain
+    parquet and silently lose the zero-Exchange property the layout
+    exists for. Spark's bucketed writer encodes each file's bucket id
+    in its name, so an external ``CLUSTERED BY`` table declared over
+    the same directory re-binds the distribution exactly (the same
+    re-attach a real warehouse gets for free from a persistent
+    metastore / Iceberg metadata)."""
+    cfg = cfg or PipelineConfig()
+    spark.sql(
+        f"""
+        CREATE TABLE IF NOT EXISTS {table} (
+          subj_id STRING, pred STRING, obj_id STRING,
+          weight BIGINT, first_ts TIMESTAMP, last_ts TIMESTAMP,
+          bucket INT
+        )
+        USING PARQUET
+        CLUSTERED BY (subj_id) SORTED BY (subj_id)
+        INTO {cfg.edge_buckets} BUCKETS
+        LOCATION '{path}'
+        """
+    )
+
+
 def entity_profiles(
     triples: DataFrame,
     canon: DataFrame,

@@ -23,6 +23,8 @@ mid-run kill therefore resumes exactly after the last committed stage.
 
 from __future__ import annotations
 
+import hashlib
+import os
 import time
 import uuid
 
@@ -39,6 +41,7 @@ from transner_spark.operators.annotate import (
 from transner_spark.operators.canonicalize import canonicalize
 from transner_spark.operators.linking import link_surfaces, node_surfaces
 from transner_spark.operators.materialize import (
+    ensure_edges_bucketed_table,
     materialize_edges,
     write_edges_bucketed,
 )
@@ -68,6 +71,12 @@ class PipelineRun:
         self.catalog = Catalog(spark, workdir)
         self.cfg = cfg or PipelineConfig()
         self.run_id = run_id or uuid.uuid4().hex[:12]
+        # workdir-stable (NOT run-scoped): reruns and resumed sessions
+        # re-attach the same catalog entry instead of leaking one per run
+        digest = hashlib.md5(
+            os.path.abspath(workdir).encode("utf-8")
+        ).hexdigest()[:10]
+        self.serving_table = f"edges_serving_{digest}"
         self.stages_run: list[str] = []
         self.stages_skipped: list[str] = []
 
@@ -129,20 +138,30 @@ class PipelineRun:
         if not self._done("serving"):
             # bucketed serving twin of the edge table — bypasses
             # catalog.write (the layout IS the point) but keeps the same
-            # lineage + commit bookkeeping; the session-catalog name is
-            # run-scoped, the durable artifact is the path (re-read by
-            # path on resume, like every other stage)
+            # lineage + commit bookkeeping; the catalog name is
+            # workdir-stable, the durable artifact is the path
             t0 = time.monotonic()
             write_edges_bucketed(
                 cat.read("edges"),
-                f"edges_serving_{self.run_id}",
+                self.serving_table,
                 cat.path("serving"),
                 cfg,
             )
             self._lineage("serving", (time.monotonic() - t0) * 1000.0)
             self.stages_run.append("serving")
+        else:
+            # resumed run / fresh session: the files are committed but
+            # the bucket spec is session-catalog metadata — re-attach it
+            # so downstream reads keep the zero-Exchange property
+            ensure_edges_bucketed_table(
+                self.spark, self.serving_table, cat.path("serving"), cfg
+            )
 
-        return {s: cat.read(s) for s in STAGES}
+        out = {s: cat.read(s) for s in STAGES if s != "serving"}
+        # read through the catalog entry (never the bare path): the
+        # bucketed distribution only exists via the table metadata
+        out["serving"] = self.spark.table(self.serving_table)
+        return out
 
 
 def run_pipeline(

@@ -55,7 +55,9 @@ live-segment count — exactly the measured LSM trade
 (scripts/bench_logstate.py, BENCH.md) — and compaction is the knob.
 
 Snapshot retention + time travel: ``retain_snapshots=k`` keeps the last
-k manifests (and every segment they reference) through the prune, and
+k manifests (and every segment they reference) through the prune — the
+writer persists the window into the state dir (RETENTION) so offline
+compaction honors it by default — and
 ``read_edge_log_asof`` / ``read_profile_partials_log_asof`` answer
 "the table as of batch b" by resolving b through the state's snapshot
 history (METRICS.jsonl records the manifest per commit — the Iceberg
@@ -273,18 +275,48 @@ def _append_metrics(state_dir: str, record: dict) -> None:
     (north rule: every stage writes lineage + count metrics to a
     checkpoint table). Append-only and never pruned: it is the audit
     trail of what each commit did (batch id, action, manifest, live
-    segments, rows written), written AFTER the CURRENT swing so a
-    metrics line always describes a durable commit. At warehouse scale
-    this is the table format's snapshot summary/history metadata — and
-    since each line names its manifest, it doubles as the snapshot
-    index ``_resolve_asof`` time-travels through (a crash between swing
-    and append can lose at most the latest line; CURRENT stays
-    authoritative for the live snapshot, so as-of reads at or past the
-    live batch id never depend on the history file)."""
+    segments, rows appended/compacted/physically written). At warehouse
+    scale this is the table format's snapshot summary/history metadata —
+    and since each line names its manifest, it doubles as the snapshot
+    index ``_resolve_asof`` time-travels through.
+
+    ``_commit`` writes the line BETWEEN the manifest write and the
+    CURRENT swing, so every committed snapshot is guaranteed a history
+    line (a re-delivered batch skips before re-committing, so a
+    post-swing append could lose its line forever in a crash window and
+    leave as-of reads of that batch silently answering from the
+    previous snapshot). The converse crash — line written, swing never
+    happened — leaves a GHOST line for an uncommitted batch, which is
+    unreachable: ``_resolve_asof`` answers any ``batch_id >= CURRENT``'s
+    from CURRENT itself, and re-delivery rewrites the same manifest
+    name with identical content before appending a (harmless,
+    last-wins) duplicate line."""
     import json as _json
 
     with open(os.path.join(state_dir, "METRICS.jsonl"), "a") as fh:
         fh.write(_json.dumps(record, sort_keys=True) + "\n")
+
+
+def _persist_retention(state_dir: str, retain: int) -> None:
+    """Record the snapshot-retention window in the state dir itself
+    (RETENTION, tmp + atomic replace) so the policy is a property of
+    the STATE, not of whichever process happens to call next: offline
+    compaction resolves its prune window from here by default instead
+    of silently expiring history a stream paid to keep."""
+    tmp = os.path.join(state_dir, f"RETENTION.{os.getpid()}.tmp")
+    with open(tmp, "w") as fh:
+        fh.write(str(int(retain)))
+    os.replace(tmp, os.path.join(state_dir, "RETENTION"))
+
+
+def _state_retention(state_dir: str) -> int:
+    """The state's persisted retention window (1 — keep only the live
+    snapshot — when nothing was ever persisted)."""
+    try:
+        with open(os.path.join(state_dir, "RETENTION")) as fh:
+            return max(1, int(fh.read().strip()))
+    except FileNotFoundError:
+        return 1
 
 
 def _commit(
@@ -293,28 +325,38 @@ def _commit(
     batch_id: int,
     ck_identity: str,
     manifest_seq: int,
-    retain: int = 1,
+    retain: int | None = None,
+    metrics: dict | None = None,
 ) -> str:
-    """Write an immutable manifest then atomically swing CURRENT; prune
-    superseded manifests, unreferenced segments, and crash-orphaned
-    ``*.tmp`` files after the commit. Caller holds ``_writer_lock``, so
-    no other commit's in-flight tmp can exist during the prune.
+    """Write an immutable manifest, append the snapshot-history/metrics
+    line, then atomically swing CURRENT; prune expired manifests,
+    unreferenced segments, and crash-orphaned ``*.tmp`` files after the
+    commit. Caller holds ``_writer_lock``, so no other commit's
+    in-flight tmp can exist during the prune. The history line goes in
+    BEFORE the swing so a committed snapshot can never lack one (see
+    ``_append_metrics``).
 
     ``retain`` is the snapshot-retention window: the last ``retain``
     manifests survive the prune, along with EVERY segment any of them
     references — so ``read_*_log_asof`` can time-travel to any retained
     snapshot, including across a compaction (the pre-compaction
-    manifests keep their raw segments alive). ``retain=1`` is the
-    storage-minimal default: only the live snapshot's segments exist,
-    exactly the pre-retention behavior. This is the table-format
-    snapshot-expiry knob (Iceberg ``expireSnapshots`` /
+    manifests keep their raw segments alive). ``retain=None`` resolves
+    the state's persisted policy (RETENTION file; 1 — only the live
+    snapshot — if never set). This is the table-format snapshot-expiry
+    knob (Iceberg ``expireSnapshots`` /
     ``history.expire.min-snapshots-to-keep``). Returns the committed
     manifest's name."""
+    if retain is None:
+        retain = _state_retention(state_dir)
     mname = f"{MANIFEST_PREFIX}{manifest_seq}"
     tmp = os.path.join(state_dir, f"{mname}.{os.getpid()}.tmp")
     with open(tmp, "w") as fh:
         fh.write("\n".join(segment_rels) + "\n")
     os.replace(tmp, os.path.join(state_dir, mname))
+    if metrics is not None:
+        _append_metrics(
+            state_dir, {**metrics, "batch_id": batch_id, "manifest": mname}
+        )
     tmp = os.path.join(state_dir, f"CURRENT.{os.getpid()}.tmp")
     with open(tmp, "w") as fh:
         fh.write(f"{mname} {batch_id} {ck_identity}")
@@ -344,7 +386,7 @@ def _manifest_seq(manifest_name: str | None) -> int:
 
 
 def _compact_log(
-    spark: SparkSession, state_dir: str, rollup, retain: int = 1
+    spark: SparkSession, state_dir: str, rollup, retain: int | None = None
 ) -> int:
     """Offline compaction: roll the live segments up into one base
     segment and commit a one-entry manifest. Returns the number of
@@ -380,26 +422,21 @@ def _compact_log(
                 f"b{bid2}): a non-lock-honoring writer is active — "
                 "compaction aborted, no state was changed."
             )
-        mname = _commit(
+        # parquet footer count — metadata-only job
+        n_base = spark.read.parquet(_abs_seg(state_dir, base_rel)).count()
+        _commit(
             state_dir,
             [base_rel],
             bid,
             ck or "",
             _manifest_seq(manifest) + 1,
             retain=retain,
-        )
-        _append_metrics(
-            state_dir,
-            {
+            metrics={
                 "action": "compact",
-                "batch_id": bid,
-                "manifest": mname,
                 "segments_in": len(rels),
                 "segments_live": 1,
-                # parquet footer count — metadata-only job
-                "rows_written": spark.read.parquet(
-                    _abs_seg(state_dir, base_rel)
-                ).count(),
+                "rows_compacted": n_base,
+                "rows_written": n_base,
             },
         )
         return len(rels)
@@ -409,12 +446,14 @@ def compact_edge_log(
     spark: SparkSession,
     state_dir: str,
     cfg: PipelineConfig | None = None,
-    retain_snapshots: int = 1,
+    retain_snapshots: int | None = None,
 ) -> int:
     """Offline compaction of an edge-state dir (see ``_compact_log``).
-    ``retain_snapshots`` is caller-owned, like ``compact_every`` on the
-    writer — pass the same window the stream uses so compaction's prune
-    honors it."""
+    ``retain_snapshots=None`` (the default) honors the retention window
+    the stream persisted into the state dir (RETENTION), so a plain
+    maintenance call can never expire history the stream was paying to
+    keep; pass an explicit value only to deliberately override the
+    state's policy."""
     from transner_spark.operators.materialize import merge_edge_increments
 
     return _compact_log(
@@ -426,10 +465,10 @@ def compact_edge_log(
 
 
 def compact_profile_partials_log(
-    spark: SparkSession, state_dir: str, retain_snapshots: int = 1
+    spark: SparkSession, state_dir: str, retain_snapshots: int | None = None
 ) -> int:
     """Offline compaction of a profile-partials state dir (see
-    ``_compact_log``)."""
+    ``_compact_log`` and ``compact_edge_log`` on retention)."""
     from transner_spark.operators.materialize import merge_profile_partials
 
     return _compact_log(
@@ -475,14 +514,24 @@ def _stream_log_maintenance(
             if batch_id <= last_applied:
                 return  # re-delivered batch: already committed
             sess = batch_df.sparkSession
+            _persist_retention(state_dir, retain_snapshots)
             inc = make_increment(batch_df)
             seg_rel = f"{SEGMENTS_DIR}/s{batch_id}"
             inc.write.mode("overwrite").parquet(_abs_seg(state_dir, seg_rel))
-            written_rels = [seg_rel]
-            rels = (
+            # parquet footer counts — metadata-only jobs; taken BEFORE
+            # _commit, whose prune may expire the raw segment once the
+            # retention window passes a compaction
+            n_inc = sess.read.parquet(_abs_seg(state_dir, seg_rel)).count()
+            in_rels = (
                 _read_manifest(state_dir, manifest) if manifest else []
             ) + [seg_rel]
-            compacted = False
+            rels = in_rels
+            metrics: dict = {
+                "action": "append",
+                "segments_live": len(rels),
+                "rows_appended": n_inc,
+                "rows_written": n_inc,
+            }
             if compact_every is not None and len(rels) >= compact_every:
                 merged = rollup(
                     sess.read.parquet(
@@ -493,31 +542,28 @@ def _stream_log_maintenance(
                 merged.write.mode("overwrite").parquet(
                     _abs_seg(state_dir, base_rel)
                 )
+                n_base = sess.read.parquet(
+                    _abs_seg(state_dir, base_rel)
+                ).count()
                 rels = [base_rel]
-                written_rels.append(base_rel)
-                compacted = True
-            # parquet footer count — metadata-only job; BEFORE _commit,
-            # which prunes the raw segment when compaction folded it
-            rows_written = sess.read.parquet(
-                *(_abs_seg(state_dir, r) for r in written_rels)
-            ).count()
-            mname = _commit(
+                metrics = {
+                    "action": "append+compact",
+                    "segments_in": len(in_rels),
+                    "segments_live": 1,
+                    "rows_appended": n_inc,
+                    "rows_compacted": n_base,
+                    # physical rows this commit put on disk: the raw
+                    # increment AND the folded base (the write-amp fact)
+                    "rows_written": n_inc + n_base,
+                }
+            _commit(
                 state_dir,
                 rels,
                 batch_id,
                 ck_identity,
                 _manifest_seq(manifest) + 1,
                 retain=retain_snapshots,
-            )
-            _append_metrics(
-                state_dir,
-                {
-                    "action": "append+compact" if compacted else "append",
-                    "batch_id": batch_id,
-                    "manifest": mname,
-                    "segments_live": len(rels),
-                    "rows_written": rows_written,
-                },
+                metrics=metrics,
             )
 
     stream = (
