@@ -1646,13 +1646,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "dedup_embedding_cosine_lsh": q_dedup_embedding_cosine_lsh,
         "ann_bruteforce": q_ann_bruteforce,
-        "ann_lsh": q_ann_lsh,
-        "ann_ivf": q_ann_ivf,
         "kmeans_cells": q_kmeans_cells,
         # ---- position 50 ends here; every gate below has green driver
         # rows in at least two of r01-r03 (triples_structural and
         # triples_relational are also strict subsets of kg_triples,
-        # which stays in-window) ----
+        # which stays in-window; kmeans_cells stays IN — its only green
+        # driver row is r03, r02 was rows-only — while ann_lsh/ann_ivf
+        # rotate out on 3/2 green rows plus the in-window ann_recall
+        # consolidation that re-derives both methods) ----
+        "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "triples_structural": q_triples_structural,
         "triples_relational": q_triples_relational,

@@ -385,3 +385,69 @@ def test_log_state_time_travel_across_compaction(
     assert _snap(read_edge_log_asof(spark, state2, 1)) == _snap(
         read_edge_log(spark, state2)
     )
+
+
+def test_expire_snapshots_reclaims_history(spark, tiny_pdf, tiny_df, log_dirs):
+    """Offline snapshot expiry (the Iceberg ``expireSnapshots`` verb):
+    shrinks retained history to the last ``keep`` snapshots, physically
+    reclaims segments only expired manifests reference, persists
+    ``keep`` as the state's new retention policy, and leaves expired
+    as-of reads failing LOUD (METRICS survives, so the error names the
+    expiry, never 'unknown batch')."""
+    from transner_spark.streaming.logstate import (
+        compact_edge_log,
+        expire_snapshots,
+        read_edge_log,
+        read_edge_log_asof,
+        stream_edge_increments_log,
+    )
+
+    d = log_dirs
+    canon = _canon(spark, tiny_df)
+
+    # empty state: nothing to expire, no error
+    assert expire_snapshots(d["state"], keep=1) == 0
+    with pytest.raises(ValueError, match="keep >= 1"):
+        expire_snapshots(d["state"], keep=0)
+
+    live_at = {}
+    for bid, (lo, hi) in enumerate([(0, 2), (2, 4), (4, 6)]):
+        _write_batch(spark, tiny_pdf, d["in"], lo, hi, f"b{bid}")
+        stream_edge_increments_log(
+            spark, d["in"] + "/*", d["state"], d["cp"], canon,
+            retain_snapshots=8,
+        )
+        live_at[bid] = _snap(read_edge_log(spark, d["state"]))
+
+    # compact (retention deep: pre-compaction raw segments stay alive
+    # for time travel) -> 4 manifests, raw s0..s2 + base all on disk
+    assert compact_edge_log(spark, d["state"]) == 3
+    seg_root = os.path.join(d["state"], "segments")
+    assert {"s0", "s1", "s2"} <= set(os.listdir(seg_root))
+    for bid in (0, 1, 2):
+        assert _snap(read_edge_log_asof(spark, d["state"], bid)) == live_at[bid]
+
+    # expire down to the live snapshot only: 3 manifests expired, the
+    # raw segments (referenced by nothing live) physically reclaimed,
+    # the base segment kept
+    assert expire_snapshots(d["state"], keep=1) == 3
+    segs = set(os.listdir(seg_root))
+    assert not ({"s0", "s1", "s2"} & segs) and any(
+        s.startswith("base-") for s in segs
+    )
+    manifests = [f for f in os.listdir(d["state"]) if f.startswith("MANIFEST.")]
+    assert len(manifests) == 1
+
+    # live read is untouched; expired history fails loud with the
+    # precise 'expired' diagnosis (METRICS.jsonl outlives the snapshots)
+    assert _snap(read_edge_log(spark, d["state"])) == live_at[2]
+    assert _snap(read_edge_log_asof(spark, d["state"], 2)) == live_at[2]
+    with pytest.raises(RuntimeError, match="expired"):
+        read_edge_log_asof(spark, d["state"], 0)
+
+    # keep became the state's policy: the next commit prunes at 1, so
+    # history stays shallow without re-passing retain_snapshots
+    with open(os.path.join(d["state"], "RETENTION")) as fh:
+        assert fh.read().strip() == "1"
+    # idempotent: nothing further to expire
+    assert expire_snapshots(d["state"], keep=1) == 0

@@ -442,6 +442,51 @@ def _compact_log(
         return len(rels)
 
 
+def expire_snapshots(state_dir: str, keep: int) -> int:
+    """Offline snapshot expiry — the Iceberg ``expireSnapshots`` verb:
+    shrink the state's retained history to the last ``keep`` snapshots,
+    persist ``keep`` as the new retention policy, and prune every
+    manifest (and segment only expired manifests reference) outside the
+    window. Storage reclaim for states whose time-travel depth can
+    relax after a backfill. Takes the writer lock non-blocking (same
+    posture as compaction: never stall a live stream). Returns the
+    number of manifests expired. METRICS.jsonl is never pruned — the
+    audit trail outlives the snapshots it describes, so expired as-of
+    reads keep failing with the precise 'expired' error rather than
+    'unknown batch'."""
+    if keep < 1:
+        raise ValueError("expire_snapshots needs keep >= 1")
+    with _writer_lock(state_dir, blocking=False):
+        _persist_retention(state_dir, keep)  # policy even when empty
+        manifest, _, _ = _read_log_current(state_dir)
+        if manifest is None:
+            return 0
+        cur_seq = _manifest_seq(manifest)
+        cutoff = cur_seq - keep
+        live: set[str] = set()
+        expired = 0
+        for f in sorted(os.listdir(state_dir)):
+            if f.startswith(MANIFEST_PREFIX) and not f.endswith(".tmp"):
+                if _manifest_seq(f) > cutoff:
+                    live.update(
+                        r.split("/")[-1] for r in _read_manifest(state_dir, f)
+                    )
+                else:
+                    expired += 1
+        seg_root = os.path.join(state_dir, SEGMENTS_DIR)
+        for d in os.listdir(seg_root):
+            if d not in live:
+                shutil.rmtree(os.path.join(seg_root, d), ignore_errors=True)
+        for f in os.listdir(state_dir):
+            if (
+                f.startswith(MANIFEST_PREFIX)
+                and not f.endswith(".tmp")
+                and _manifest_seq(f) <= cutoff
+            ):
+                os.remove(os.path.join(state_dir, f))
+        return expired
+
+
 def compact_edge_log(
     spark: SparkSession,
     state_dir: str,
