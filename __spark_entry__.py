@@ -1010,17 +1010,26 @@ def q_stream_profiles_log_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_stream_edges_log_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Time-travel gate for the log substrate (streaming/logstate
-    retention + ``read_edge_log_asof``): the corpus is split into four
+def q_stream_edges_log_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-travel + changelog gate for the log substrate
+    (streaming/logstate retention, ``read_edge_log_asof``,
+    ``read_edge_log_changes``): the corpus is split into four
     deterministic micro-batches by md5(conv_id) hex quartile — a split
     both engines can express identically — and fed as four sequential
     availableNow runs with ``retain_snapshots=8`` and inline compaction
-    at 3 live segments (batch 2's commit compacts, so the as-of read
-    crosses a compaction point). Reading AS OF batch 2 must equal the
-    DuckDB edge derivation restricted to the first three quartiles'
-    conversations (``substr(md5(conv_id),1,1) < 'c'``) — Iceberg
-    ``VERSION AS OF`` semantics proven value-level."""
+    at 3 live segments (batch 2's append commit triggers the fold, so
+    both probes cross a compaction point). Two probes over ONE
+    maintained state, discriminated by the ``probe`` column:
+
+    - ``asof_b2``: reading AS OF batch 2 must equal the DuckDB edge
+      derivation restricted to the first three quartiles'
+      conversations (``substr(md5(conv_id),1,1) < 'c'``) — Iceberg
+      ``VERSION AS OF`` semantics proven value-level;
+    - ``changes_b1_b3``: the changelog read ``(1, 3]`` — what an
+      incremental downstream consumer ingests — must equal the
+      derivation restricted to the LAST two quartiles (``>= '8'``),
+      including the folded batch 2's raw increment (alive because its
+      append snapshot is retained)."""
     import shutil
     import tempfile
 
@@ -1028,6 +1037,7 @@ def q_stream_edges_log_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     from transner_spark.sources.transcripts import ensure_transcripts_parquet
     from transner_spark.streaming.logstate import (
         read_edge_log_asof,
+        read_edge_log_changes,
         stream_edge_increments_log,
     )
 
@@ -1035,7 +1045,7 @@ def q_stream_edges_log_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     canon = canonicalize(_links(spark, sf_dir))
     full = spark.read.parquet(src)
     hexq = F.substring(F.md5(F.col("conv_id").cast("binary")), 1, 1)
-    work = tempfile.mkdtemp(prefix="stream_log_asof_")
+    work = tempfile.mkdtemp(prefix="stream_log_travel_")
     try:
         in_dir = os.path.join(work, "in")
         state = os.path.join(work, "state")
@@ -1050,15 +1060,20 @@ def q_stream_edges_log_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
                 spark, in_dir, state, ck, canon,
                 compact_every=3, retain_snapshots=8,
             )
-        out = _select_edge_cols(
+        probed = _select_edge_cols(
             read_edge_log_asof(spark, state, batch_id=2)
-        ).toPandas()
+        ).select(F.lit("asof_b2").alias("probe"), "*").unionByName(
+            _select_edge_cols(
+                read_edge_log_changes(spark, state, since_batch=1)
+            ).select(F.lit("changes_b1_b3").alias("probe"), "*")
+        )
+        out = probed.toPandas()
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return spark.createDataFrame(
         out,
-        "subj_id string, pred string, obj_id string, weight long, "
-        "first_epoch long, last_epoch long",
+        "probe string, subj_id string, pred string, obj_id string, "
+        "weight long, first_epoch long, last_epoch long",
     )
 
 
@@ -1602,7 +1617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new this round --
         "stream_edges_log_eq": q_stream_edges_log_eq,
         "stream_profiles_log_eq": q_stream_profiles_log_eq,
-        "stream_edges_log_asof": q_stream_edges_log_asof,
+        "stream_edges_log_travel": q_stream_edges_log_travel,
         "kg_edges_canon_refresh": q_kg_edges_canon_refresh,
         "stream_conversations": q_stream_conversations,
         "kg_edges_diff": q_kg_edges_diff,
@@ -1678,7 +1693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall_ivf": q_ann_recall_ivf,
         # rotated out of the window for round 4 (green driver rows in
         # r01+r02+r03) to make room for dedup_minhash_incremental and
-        # stream_edges_log_asof
+        # stream_edges_log_travel
         "length_guard": q_length_guard,
         "dedup_exact": q_dedup_exact,
     }
@@ -1778,16 +1793,30 @@ SELECT 'ivf' AS method, * FROM ({out["ann_recall_ivf"]})
     # log-structured twin: append + compact + merge-on-read must land on
     # the same whole-corpus derivation
     out["stream_edges_log_eq"] = out["stream_edges_batch_eq"]
-    # time-travel twin: reading AS OF batch 2 of the 4 md5-quartile
-    # micro-batches must equal the derivation over the first three
-    # quartiles' conversations (same hex-prefix split in both engines;
-    # DuckDB md5(varchar) and Spark md5(binary utf8) agree)
-    out["stream_edges_log_asof"] = kg_edges_sql(
+    # time-travel + changelog twin: AS OF batch 2 of the 4 md5-quartile
+    # micro-batches ≡ the derivation over the first three quartiles'
+    # conversations, and the changelog read (1, 3] ≡ the derivation over
+    # the last two quartiles (same hex-prefix split in both engines;
+    # DuckDB md5(varchar) and Spark md5(binary utf8) agree) — two
+    # independent restrictions of the same SQL chain, discriminated by
+    # the probe column
+    _asof_sql = kg_edges_sql(
         f"(SELECT * FROM read_parquet('{g('triples')}') "
         "WHERE substr(md5(conv_id), 1, 1) < 'c')",
         f"read_parquet('{g('canonical')}')",
         cache,
     )
+    _changes_sql = kg_edges_sql(
+        f"(SELECT * FROM read_parquet('{g('triples')}') "
+        "WHERE substr(md5(conv_id), 1, 1) >= '8')",
+        f"read_parquet('{g('canonical')}')",
+        cache,
+    )
+    out["stream_edges_log_travel"] = f"""
+SELECT 'asof_b2' AS probe, * FROM ({_asof_sql})
+UNION ALL
+SELECT 'changes_b1_b3' AS probe, * FROM ({_changes_sql})
+"""
     # same substrate, different monoid: the profile partials maintained
     # on the log must re-derive the exact serving view
     out["stream_profiles_log_eq"] = out["entity_profiles"]

@@ -159,17 +159,24 @@ def test_log_state_compaction_offline_and_inline(
     assert len(segs3) == 1 and os.path.basename(segs3[0]).startswith("base-")
     assert _snap(read_edge_log(spark, state2)) == before
 
-    # the inline record carries both halves of its physical write —
-    # the raw increment AND the folded base — plus the fold fan-in,
-    # same auditability as the offline path
+    # the inline fold is a SECOND commit (append snapshot, then rewrite
+    # snapshot — the Iceberg two-snapshot shape, identical METRICS lines
+    # to the offline path), so the write-amp fact for the folding batch
+    # is the sum of its two lines, and the raw increment stays
+    # referenced by the retained append manifest instead of being
+    # orphaned by a fused commit
     with open(os.path.join(state2, "METRICS.jsonl")) as fh:
         m2 = [json.loads(line) for line in fh]
-    assert [m["action"] for m in m2] == ["append", "append+compact"]
+    assert [m["action"] for m in m2] == ["append", "append", "compact"]
+    assert [m["batch_id"] for m in m2] == [0, 1, 1]
     ac = m2[-1]
     n_base2 = spark.read.parquet(segs3[0]).count()
     assert ac["segments_in"] == 2
     assert ac["rows_compacted"] == n_base2
-    assert ac["rows_written"] == ac["rows_appended"] + n_base2
+    assert ac["rows_written"] == n_base2
+    assert m2[1]["rows_written"] == m2[1]["rows_appended"]
+    # every append commit names its changelog unit
+    assert all("segment" in m for m in m2 if m["action"] == "append")
 
 
 def test_writer_lock_blocks_compaction_and_tmp_orphans_are_pruned(
@@ -451,3 +458,67 @@ def test_expire_snapshots_reclaims_history(spark, tiny_pdf, tiny_df, log_dirs):
         assert fh.read().strip() == "1"
     # idempotent: nothing further to expire
     assert expire_snapshots(d["state"], keep=1) == 0
+
+
+def test_changelog_reads_are_the_monoid_delta(
+    spark, tiny_pdf, tiny_df, log_dirs
+):
+    """Changelog (incremental-consumption) reads: ``(since, until]``
+    returns exactly the batches-in-window increment rollup;
+    merge(asof(since) ∪ changes) == asof(until) (the monoid identity a
+    downstream consumer relies on); the delta survives a compaction
+    point while retention holds the append snapshots; and a read whose
+    raw segments retention expired fails LOUD, never partially."""
+    from transner_spark.operators.materialize import merge_edge_increments
+    from transner_spark.streaming.logstate import (
+        read_edge_log_asof,
+        read_edge_log_changes,
+        stream_edge_increments_log,
+    )
+
+    d = log_dirs
+    canon = _canon(spark, tiny_df)
+    bounds = [(0, 2), (2, 4), (4, 6)]
+    for bid, (lo, hi) in enumerate(bounds):
+        _write_batch(spark, tiny_pdf, d["in"], lo, hi, f"b{bid}")
+        stream_edge_increments_log(
+            spark, d["in"] + "/*", d["state"], d["cp"], canon,
+            compact_every=3, retain_snapshots=8,
+        )
+
+    # (0, 2] = increments of batches 1 and 2, across the batch-2
+    # compaction point (the raw s2 lives because the append snapshot is
+    # retained); equals the direct rollup of those turns' edges
+    got = _snap(read_edge_log_changes(spark, d["state"], since_batch=0))
+    assert got == _snap(_batch_edges(tiny_df, canon, 2, 6))
+    # explicit until: (0, 1]
+    assert _snap(
+        read_edge_log_changes(spark, d["state"], 0, until_batch=1)
+    ) == _snap(_batch_edges(tiny_df, canon, 2, 4))
+
+    # the consumer identity: asof(0) merged with changes(0, 2] == asof(2)
+    merged = merge_edge_increments(
+        read_edge_log_asof(spark, d["state"], 0).unionByName(
+            read_edge_log_changes(spark, d["state"], 0)
+        )
+    )
+    assert _snap(merged) == _snap(read_edge_log_asof(spark, d["state"], 2))
+
+    # empty window -> None; bad windows fail loud
+    assert read_edge_log_changes(spark, d["state"], 2) is None
+    with pytest.raises(RuntimeError, match="past the live"):
+        read_edge_log_changes(spark, d["state"], 0, until_batch=99)
+    with pytest.raises(ValueError, match="since_batch <= until_batch"):
+        read_edge_log_changes(spark, d["state"], 3, until_batch=1)
+
+    # default retention (=1): the fold's rewrite snapshot evicts the
+    # append manifests, raw segments die, and the changelog says so
+    state2, cp2, in2 = d["state"] + "_r1", d["cp"] + "_r1", d["in"] + "_r1"
+    os.makedirs(in2)
+    for bid, (lo, hi) in enumerate(bounds):
+        _write_batch(spark, tiny_pdf, in2, lo, hi, f"b{bid}")
+        stream_edge_increments_log(
+            spark, in2 + "/*", state2, cp2, canon, compact_every=3
+        )
+    with pytest.raises(RuntimeError, match="expired raw segment"):
+        read_edge_log_changes(spark, state2, 0)

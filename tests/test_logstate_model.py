@@ -45,6 +45,7 @@ from hypothesis.stateful import (
 from transner_spark.streaming.logstate import (
     MANIFEST_PREFIX,
     SEGMENTS_DIR,
+    _changes_segments,
     _commit,
     _manifest_seq,
     _persist_retention,
@@ -206,6 +207,44 @@ class LogStateModel(RuleBasedStateMachine):
                     _resolve_asof(self.state_dir, q)
             else:
                 assert _resolve_asof(self.state_dir, q) == cands[-1]
+
+    @invariant()
+    def changelog_resolves_from_history(self):
+        """_changes_segments returns exactly the window's append
+        segments when they all survive, raises 'expired' when any was
+        pruned, and polices the window bounds."""
+        if not self.snapshots:
+            with pytest.raises(RuntimeError, match="no committed snapshot"):
+                _changes_segments(self.state_dir, 0)
+            return
+        cur_bid = self.snapshots[-1][1]
+        with pytest.raises(RuntimeError, match="past the live"):
+            _changes_segments(self.state_dir, 0, until_batch=cur_bid + 1)
+        with pytest.raises(ValueError, match="since_batch <= until_batch"):
+            _changes_segments(self.state_dir, cur_bid, until_batch=cur_bid - 1)
+        alive = {r for _, _, rels in self.retained for r in rels}
+        append_bids = sorted(
+            {b for b, _ in self.history}
+        )  # appends and compactions share bids; appends own s{b}
+        for since in [self.history[0][0] - 1, *append_bids]:
+            want = [
+                (b, f"{SEGMENTS_DIR}/s{b}")
+                for b in append_bids
+                if since < b <= cur_bid and self._was_append(b)
+            ]
+            if any(rel not in alive for _, rel in want):
+                with pytest.raises(RuntimeError, match="expired raw segment"):
+                    _changes_segments(self.state_dir, since)
+            else:
+                got = _changes_segments(self.state_dir, since)
+                assert got == [rel for _, rel in want], (since, got, want)
+
+    def _was_append(self, bid: int) -> bool:
+        """Model appends create segments/s{bid}; compaction commits
+        reuse the bid but never an s-segment."""
+        return any(
+            f"{SEGMENTS_DIR}/s{bid}" in rels for _, _, rels in self.snapshots
+        )
 
     def teardown(self):
         self._tmp.cleanup()

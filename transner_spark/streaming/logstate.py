@@ -44,9 +44,12 @@ manifest-list):
   takes it non-blocking and fails loud if a writer is active, so a
   batch can never land between compaction's CURRENT read and its
   swing and be pruned away. Inline auto-compaction
-  (``compact_every``) runs inside foreachBatch — inside the same
-  locked commit. At warehouse scale the lock is the table format's
-  atomic snapshot CAS (Iceberg commit conflict resolution).
+  (``compact_every``) runs inside foreachBatch under the same lock
+  hold, as a SECOND commit after the append commit (append snapshot,
+  then rewrite snapshot — the Iceberg two-snapshot shape), so the raw
+  increment stays referenced by a retained manifest instead of being
+  orphaned by a fused fold. At warehouse scale the lock is the table
+  format's atomic snapshot CAS (Iceberg commit conflict resolution).
 
 Read path at scale: segments share one schema, so the reader is a
 single multi-path parquet scan → one hash aggregate on the edge key
@@ -66,7 +69,16 @@ metadata-log / ``VERSION AS OF`` pattern; retention is the
 expired snapshots fail loud. Since manifests and segments are
 immutable, an as-of read is value-identical to what the live read
 returned when that snapshot committed — pinned by the
-stream_edges_log_asof gate against a corpus-prefix SQL derivation.
+stream_edges_log_travel gate against a corpus-prefix SQL derivation.
+
+Changelog (incremental) reads: ``read_edge_log_changes`` /
+``read_profile_partials_log_changes`` hand a downstream incremental
+consumer (ANN index maintainer, serving-view refresher, replication)
+the monoid DELTA of batches ``(since, until]`` — the union-rollup of
+just those raw increment segments, never a table-sized diff — the
+Iceberg incremental-read verb. Reads that would need raw segments the
+retention window already expired fail loud (consume more often or
+retain deeper), never return a silently partial delta.
 """
 
 from __future__ import annotations
@@ -248,7 +260,7 @@ def read_edge_log_asof(
 ) -> DataFrame:
     """Time-travel read of a maintained edge state: the edge table as of
     the snapshot committed for ``batch_id`` (or the newest one before
-    it). The stream_edges_log_asof gate pins this against the DuckDB
+    it). The stream_edges_log_travel gate pins this against the DuckDB
     edge derivation restricted to the conversations of the first k
     micro-batches."""
     from transner_spark.operators.materialize import merge_edge_increments
@@ -267,6 +279,137 @@ def read_profile_partials_log_asof(
     from transner_spark.operators.materialize import merge_profile_partials
 
     return _read_log_asof(spark, state_dir, merge_profile_partials, batch_id)
+
+
+def _changes_segments(
+    state_dir: str, since_batch: int, until_batch: int | None = None
+) -> list[str]:
+    """Resolve a changelog read to raw increment segments: the segment
+    of every applied batch b with ``since_batch < b <= until_batch``
+    (None = the live batch), in batch order, as state_dir-relative
+    paths. This is the Iceberg incremental-read verb over the state's
+    own snapshot history: METRICS.jsonl names each append commit's
+    segment, and the read fails LOUD when
+
+    - ``until_batch`` is past the live snapshot (nothing committed to
+      answer from),
+    - a required raw segment has been expired (compaction folded it and
+      the retention window has passed its append snapshot) — the fix is
+      a deeper ``retain_snapshots`` or a more frequent consumer, never
+      a silently partial delta.
+
+    Duplicate history lines from a crash-redelivered batch are harmless
+    (same segment name, set-deduped)."""
+    import json as _json
+
+    _, cur_bid, _ = _read_log_current(state_dir)
+    if cur_bid < 0:
+        raise RuntimeError(f"state dir {state_dir!r} has no committed snapshot")
+    until = cur_bid if until_batch is None else until_batch
+    if until > cur_bid:
+        raise RuntimeError(
+            f"changelog read until batch {until} is past the live "
+            f"snapshot (batch {cur_bid}) in {state_dir!r}"
+        )
+    if since_batch > until:
+        raise ValueError(
+            f"changelog read needs since_batch <= until_batch "
+            f"(got {since_batch} > {until})"
+        )
+    metrics_path = os.path.join(state_dir, "METRICS.jsonl")
+    if not os.path.exists(metrics_path):
+        raise RuntimeError(
+            f"state dir {state_dir!r} predates snapshot history "
+            "(no METRICS.jsonl) — changelog reads need states written "
+            "by this module version."
+        )
+    by_bid: dict[int, str] = {}
+    with open(metrics_path) as fh:
+        for line in fh:
+            rec = _json.loads(line)
+            if rec.get("action") == "append" and (
+                since_batch < rec["batch_id"] <= until
+            ):
+                by_bid[rec["batch_id"]] = rec.get(
+                    "segment", f"{SEGMENTS_DIR}/s{rec['batch_id']}"
+                )
+    missing = [
+        (b, r)
+        for b, r in sorted(by_bid.items())
+        if not os.path.exists(_abs_seg(state_dir, r))
+    ]
+    if missing:
+        raise RuntimeError(
+            f"changelog read ({since_batch}, {until}] on {state_dir!r} "
+            f"needs expired raw segment(s) "
+            f"{[r for _, r in missing]} — compaction folded them and "
+            "retention let their append snapshots go. Keep a deeper "
+            "retain_snapshots or consume the changelog more often."
+        )
+    return [by_bid[b] for b in sorted(by_bid)]
+
+
+def _read_log_changes(
+    spark: SparkSession,
+    state_dir: str,
+    rollup,
+    since_batch: int,
+    until_batch: int | None = None,
+) -> DataFrame | None:
+    """The monoid DELTA between two retained snapshots: union the raw
+    increment segments of the batches in ``(since, until]`` and roll
+    them up. By the merge monoid's associativity,
+    ``rollup(asof(since) ∪ changes(since, until)) == asof(until)`` —
+    pinned by tests/test_logstate.py. Returns None for an empty range
+    (no batches applied in the window). This is what a downstream
+    incremental consumer (ANN index maintainer, serving-view refresher)
+    reads instead of diffing two table-sized snapshots."""
+    rels = _changes_segments(state_dir, since_batch, until_batch)
+    if not rels:
+        return None
+    return rollup(
+        spark.read.parquet(*(_abs_seg(state_dir, r) for r in rels))
+    )
+
+
+def read_edge_log_changes(
+    spark: SparkSession,
+    state_dir: str,
+    since_batch: int,
+    until_batch: int | None = None,
+    cfg: PipelineConfig | None = None,
+) -> DataFrame | None:
+    """Changelog read of a maintained edge state: the edge-increment
+    delta contributed by batches in ``(since_batch, until_batch]`` —
+    itself a valid increment table (merge it into any downstream copy
+    with ``merge_edge_increments``). Gate ``stream_edges_log_travel``
+    pins it against the DuckDB edge derivation restricted to those
+    batches' conversations."""
+    from transner_spark.operators.materialize import merge_edge_increments
+
+    return _read_log_changes(
+        spark,
+        state_dir,
+        lambda df: merge_edge_increments(df, cfg=cfg),
+        since_batch,
+        until_batch,
+    )
+
+
+def read_profile_partials_log_changes(
+    spark: SparkSession,
+    state_dir: str,
+    since_batch: int,
+    until_batch: int | None = None,
+) -> DataFrame | None:
+    """Changelog read of a profile-partials state: the partials delta
+    for ``(since, until]`` — mergeable into any downstream partials copy
+    with ``merge_profile_partials``."""
+    from transner_spark.operators.materialize import merge_profile_partials
+
+    return _read_log_changes(
+        spark, state_dir, merge_profile_partials, since_batch, until_batch
+    )
 
 
 def _append_metrics(state_dir: str, record: dict) -> None:
@@ -567,17 +710,34 @@ def _stream_log_maintenance(
             # _commit, whose prune may expire the raw segment once the
             # retention window passes a compaction
             n_inc = sess.read.parquet(_abs_seg(state_dir, seg_rel)).count()
-            in_rels = (
+            rels = (
                 _read_manifest(state_dir, manifest) if manifest else []
             ) + [seg_rel]
-            rels = in_rels
-            metrics: dict = {
-                "action": "append",
-                "segments_live": len(rels),
-                "rows_appended": n_inc,
-                "rows_written": n_inc,
-            }
+            _commit(
+                state_dir,
+                rels,
+                batch_id,
+                ck_identity,
+                _manifest_seq(manifest) + 1,
+                retain=retain_snapshots,
+                metrics={
+                    "action": "append",
+                    "segment": seg_rel,  # the changelog unit (_read_log_changes)
+                    "segments_live": len(rels),
+                    "rows_appended": n_inc,
+                    "rows_written": n_inc,
+                },
+            )
             if compact_every is not None and len(rels) >= compact_every:
+                # a SECOND commit for the fold (append snapshot, then
+                # rewrite snapshot — the Iceberg two-snapshot shape, and
+                # the same METRICS lines the offline path writes). The
+                # raw increment stays referenced by the append manifest,
+                # so deep retention keeps it alive for time travel AND
+                # changelog reads; a fused commit would orphan it
+                # immediately. Crash between the two commits: the batch
+                # is durably applied (re-delivery skips), and the fold
+                # simply re-triggers on the next batch's live count.
                 merged = rollup(
                     sess.read.parquet(
                         *(_abs_seg(state_dir, r) for r in rels)
@@ -590,26 +750,21 @@ def _stream_log_maintenance(
                 n_base = sess.read.parquet(
                     _abs_seg(state_dir, base_rel)
                 ).count()
-                rels = [base_rel]
-                metrics = {
-                    "action": "append+compact",
-                    "segments_in": len(in_rels),
-                    "segments_live": 1,
-                    "rows_appended": n_inc,
-                    "rows_compacted": n_base,
-                    # physical rows this commit put on disk: the raw
-                    # increment AND the folded base (the write-amp fact)
-                    "rows_written": n_inc + n_base,
-                }
-            _commit(
-                state_dir,
-                rels,
-                batch_id,
-                ck_identity,
-                _manifest_seq(manifest) + 1,
-                retain=retain_snapshots,
-                metrics=metrics,
-            )
+                _commit(
+                    state_dir,
+                    [base_rel],
+                    batch_id,
+                    ck_identity,
+                    _manifest_seq(manifest) + 2,
+                    retain=retain_snapshots,
+                    metrics={
+                        "action": "compact",
+                        "segments_in": len(rels),
+                        "segments_live": 1,
+                        "rows_compacted": n_base,
+                        "rows_written": n_base,
+                    },
+                )
 
     stream = (
         spark.readStream.schema(TRANSCRIPT_SCHEMA)
