@@ -426,18 +426,24 @@ def test_expire_snapshots_reclaims_history(spark, tiny_pdf, tiny_df, log_dirs):
         )
         live_at[bid] = _snap(read_edge_log(spark, d["state"]))
 
-    # compact (retention deep: pre-compaction raw segments stay alive
-    # for time travel) -> 4 manifests, raw s0..s2 + base all on disk
+    # compact (retention deep: pre-compaction raw segments of EARLIER
+    # batches stay alive for time travel; the explicit maintenance verb
+    # supersedes the same-batch append manifest it just folded — its
+    # read is value-identical, so only batch 2's raw changelog unit is
+    # reclaimed, never as-of coverage)
     assert compact_edge_log(spark, d["state"]) == 3
     seg_root = os.path.join(d["state"], "segments")
-    assert {"s0", "s1", "s2"} <= set(os.listdir(seg_root))
+    segs_after_compact = set(os.listdir(seg_root))
+    assert {"s0", "s1"} <= segs_after_compact
+    assert "s2" not in segs_after_compact  # superseded by base-2
     for bid in (0, 1, 2):
         assert _snap(read_edge_log_asof(spark, d["state"], bid)) == live_at[bid]
 
-    # expire down to the live snapshot only: 3 manifests expired, the
-    # raw segments (referenced by nothing live) physically reclaimed,
-    # the base segment kept
-    assert expire_snapshots(d["state"], keep=1) == 3
+    # expire down to the live batch only: the two earlier batches'
+    # manifests expired (the compact pair for batch 2 already collapsed
+    # to one), the raw segments (referenced by nothing live) physically
+    # reclaimed, the base segment kept
+    assert expire_snapshots(d["state"], keep=1) == 2
     segs = set(os.listdir(seg_root))
     assert not ({"s0", "s1", "s2"} & segs) and any(
         s.startswith("base-") for s in segs
@@ -511,11 +517,14 @@ def test_changelog_reads_are_the_monoid_delta(
     with pytest.raises(ValueError, match="since_batch <= until_batch"):
         read_edge_log_changes(spark, d["state"], 3, until_batch=1)
 
-    # default retention (=1): the fold's rewrite snapshot evicts the
-    # append manifests, raw segments die, and the changelog says so
+    # default retention (=1, batch units): a fold's append+compact pair
+    # shares one slot, so the folding batch's raw segment survives the
+    # fold itself — but once the NEXT batch commits, the older batches
+    # leave the window, their raw segments die, and the changelog says
+    # so loudly instead of returning a partial delta
     state2, cp2, in2 = d["state"] + "_r1", d["cp"] + "_r1", d["in"] + "_r1"
     os.makedirs(in2)
-    for bid, (lo, hi) in enumerate(bounds):
+    for bid, (lo, hi) in enumerate(bounds + [(0, 2)]):
         _write_batch(spark, tiny_pdf, in2, lo, hi, f"b{bid}")
         stream_edge_increments_log(
             spark, in2 + "/*", state2, cp2, canon, compact_every=3

@@ -10,8 +10,11 @@ in-memory model in seconds and check, after every step, the invariants
 the Spark-backed tests can only afford to spot-check:
 
 - CURRENT always names the newest manifest and its batch id;
-- exactly the last ``retention`` manifests survive on disk — never a
-  gap, never a leak;
+- retention is counted in BATCH units: exactly the manifests of the
+  last ``retention`` DISTINCT applied batch ids survive on disk (a
+  compaction commit shares its batch's slot) — never a gap, never a
+  leak — and the supersede rule (offline compaction/expiry) drops
+  append manifests shadowed by a newer same-batch compact manifest;
 - every segment a retained manifest references exists, and no
   unreferenced segment dir survives a prune (no storage leak);
 - ``_resolve_asof`` answers every batch id from the model's own
@@ -76,9 +79,9 @@ class LogStateModel(RuleBasedStateMachine):
         self._tmp = tempfile.TemporaryDirectory(prefix="logstate-model-")
         self.state_dir = self._tmp.name
         os.makedirs(os.path.join(self.state_dir, SEGMENTS_DIR), exist_ok=True)
-        # model state
-        self.snapshots: list[tuple[int, int, tuple[str, ...]]] = []  # (seq, bid, rels)
-        self.retained: list[tuple[int, int, tuple[str, ...]]] = []
+        # model state: entries are (seq, bid, rels, action)
+        self.snapshots: list[tuple[int, int, tuple[str, ...], str]] = []
+        self.retained: list[tuple[int, int, tuple[str, ...], str]] = []
         self.history: list[tuple[int, str]] = []  # (bid, manifest) per commit
         self.retention = 1  # matches _state_retention default
         self.next_bid = 0
@@ -104,21 +107,26 @@ class LogStateModel(RuleBasedStateMachine):
             retain=None,  # resolve the state's persisted policy
             metrics={"action": "append"},
         )
-        self._model_commit(seq, bid, tuple(rels))
+        self._model_commit(seq, bid, tuple(rels), "append")
 
     @precondition(lambda self: self.retained)
-    @rule()
-    def compact(self):
-        """A compaction commit: same batch id, one base segment."""
-        _, bid, _ = self.retained[-1]
+    @rule(supersede=st.booleans())
+    def compact(self, supersede):
+        """A compaction commit: same batch id, one base segment.
+        ``supersede=False`` mirrors the inline fold (the raw-increment
+        append manifest keeps its slot-mate alive); ``supersede=True``
+        mirrors offline ``compact_edge_log`` (same-batch append
+        manifests reclaimed)."""
+        _, bid, _, _ = self.retained[-1]
         seg = f"{SEGMENTS_DIR}/base-{bid}-{len(self.snapshots)}"
         _fake_segment(self.state_dir, seg)
         seq = self.snapshots[-1][0] + 1
         _commit(
             self.state_dir, [seg], bid, CK, seq,
             retain=None, metrics={"action": "compact"},
+            supersede=supersede,
         )
-        self._model_commit(seq, bid, (seg,))
+        self._model_commit(seq, bid, (seg,), "compact", supersede=supersede)
 
     @rule(retain=st.integers(min_value=1, max_value=4))
     def set_retention(self, retain):
@@ -130,26 +138,46 @@ class LogStateModel(RuleBasedStateMachine):
 
     @rule(keep=st.integers(min_value=1, max_value=4))
     def expire(self, keep):
-        expected = sum(
-            1 for seq, _, _ in self.retained
-            if self.retained and seq <= self.retained[-1][0] - keep
-        )
+        want_retained = self._model_prune(self.retained, keep, supersede=True)
+        expected = len(self.retained) - len(want_retained)
         got = expire_snapshots(self.state_dir, keep)
         assert got == expected, (got, expected)
         self.retention = keep
-        if self.retained:
-            cutoff = self.retained[-1][0] - keep
-            self.retained = [s for s in self.retained if s[0] > cutoff]
+        self.retained = want_retained
         # idempotent
         assert expire_snapshots(self.state_dir, keep) == 0
 
-    def _model_commit(self, seq, bid, rels):
-        self.snapshots.append((seq, bid, rels))
+    @staticmethod
+    def _model_prune(entries, retain, supersede=False):
+        """The retention rule _prune implements: walk newest-first,
+        keep manifests whose bid is among the first ``retain`` distinct
+        bids; under supersede, drop append manifests shadowed by a
+        newer same-bid compact manifest."""
+        retain = max(1, retain)
+        seen_bids: list[int] = []
+        compacted: set[int] = set()
+        out = []
+        for e in sorted(entries, key=lambda t: -t[0]):
+            seq, bid, rels, action = e
+            if bid not in seen_bids:
+                if len(seen_bids) >= retain:
+                    continue
+                seen_bids.append(bid)
+            if supersede and action == "append" and bid in compacted:
+                continue
+            if action == "compact":
+                compacted.add(bid)
+            out.append(e)
+        return sorted(out)
+
+    def _model_commit(self, seq, bid, rels, action, supersede=False):
+        self.snapshots.append((seq, bid, rels, action))
         self.history.append((bid, f"{MANIFEST_PREFIX}{seq}"))
-        cutoff = seq - max(1, self.retention)
-        self.retained = [
-            s for s in (self.retained + [(seq, bid, rels)]) if s[0] > cutoff
-        ]
+        self.retained = self._model_prune(
+            self.retained + [(seq, bid, rels, action)],
+            self.retention,
+            supersede=supersede,
+        )
 
     # ---- invariants --------------------------------------------------
 
@@ -159,7 +187,7 @@ class LogStateModel(RuleBasedStateMachine):
         if not self.snapshots:
             assert mname is None and bid == -1
             return
-        seq, want_bid, _ = self.snapshots[-1]
+        seq, want_bid, _, _ = self.snapshots[-1]
         assert _manifest_seq(mname) == seq and bid == want_bid and ck == CK
 
     @invariant()
@@ -171,7 +199,7 @@ class LogStateModel(RuleBasedStateMachine):
         }
         assert set(on_disk) == {s[0] for s in self.retained}
         live: set[str] = set()
-        for seq, _, rels in self.retained:
+        for seq, _, rels, _ in self.retained:
             got = tuple(_read_manifest(self.state_dir, on_disk[seq]))
             assert got == rels, (seq, got, rels)
             live.update(r.split("/")[-1] for r in rels)
@@ -222,7 +250,7 @@ class LogStateModel(RuleBasedStateMachine):
             _changes_segments(self.state_dir, 0, until_batch=cur_bid + 1)
         with pytest.raises(ValueError, match="since_batch <= until_batch"):
             _changes_segments(self.state_dir, cur_bid, until_batch=cur_bid - 1)
-        alive = {r for _, _, rels in self.retained for r in rels}
+        alive = {r for _, _, rels, _ in self.retained for r in rels}
         append_bids = sorted(
             {b for b, _ in self.history}
         )  # appends and compactions share bids; appends own s{b}
@@ -243,7 +271,7 @@ class LogStateModel(RuleBasedStateMachine):
         """Model appends create segments/s{bid}; compaction commits
         reuse the bid but never an s-segment."""
         return any(
-            f"{SEGMENTS_DIR}/s{bid}" in rels for _, _, rels in self.snapshots
+            f"{SEGMENTS_DIR}/s{bid}" in rels for _, _, rels, _ in self.snapshots
         )
 
     def teardown(self):

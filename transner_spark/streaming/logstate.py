@@ -57,10 +57,12 @@ single multi-path parquet scan → one hash aggregate on the edge key
 live-segment count — exactly the measured LSM trade
 (scripts/bench_logstate.py, BENCH.md) — and compaction is the knob.
 
-Snapshot retention + time travel: ``retain_snapshots=k`` keeps the last
-k manifests (and every segment they reference) through the prune — the
-writer persists the window into the state dir (RETENTION) so offline
-compaction honors it by default — and
+Snapshot retention + time travel: ``retain_snapshots=k`` keeps the
+snapshots of the last k DISTINCT applied batches (and every segment
+they reference) through the prune — batch units, so an inline fold's
+two same-batch commits cost one slot and never silently shrink
+time-travel depth; the writer persists the window into the state dir
+(RETENTION) so offline compaction honors it by default — and
 ``read_edge_log_asof`` / ``read_profile_partials_log_asof`` answer
 "the table as of batch b" by resolving b through the state's snapshot
 history (METRICS.jsonl records the manifest per commit — the Iceberg
@@ -131,9 +133,38 @@ def _abs_seg(state_dir: str, rel: str) -> str:
 
 
 def _read_manifest(state_dir: str, manifest_name: str) -> list[str]:
-    """Live segment paths (relative to state_dir), in commit order."""
+    """Live segment paths (relative to state_dir), in commit order.
+    ``#``-prefixed lines are the manifest's self-describing header
+    (batch id + action, see ``_manifest_meta``), not segments."""
     with open(os.path.join(state_dir, manifest_name)) as fh:
-        return [line.strip() for line in fh if line.strip()]
+        return [
+            line.strip()
+            for line in fh
+            if line.strip() and not line.startswith("#")
+        ]
+
+
+def _manifest_meta(
+    state_dir: str, manifest_name: str
+) -> tuple[int | None, str | None]:
+    """(batch_id, action) from the manifest's header line
+    (``#batch=<bid> action=<append|compact>``), or (None, None) for a
+    manifest written before headers existed. The header makes each
+    snapshot self-describing so the prune can count retention in BATCH
+    units without consulting (and re-scanning) the unbounded
+    METRICS.jsonl on every commit."""
+    with open(os.path.join(state_dir, manifest_name)) as fh:
+        first = fh.readline().strip()
+    if not first.startswith("#batch="):
+        return None, None
+    fields = dict(
+        kv.split("=", 1) for kv in first.lstrip("#").split() if "=" in kv
+    )
+    try:
+        bid = int(fields["batch"])
+    except (KeyError, ValueError):
+        return None, None
+    return bid, fields.get("action")
 
 
 def log_segments(state_dir: str) -> tuple[list[str], int]:
@@ -327,7 +358,12 @@ def _changes_segments(
     with open(metrics_path) as fh:
         for line in fh:
             rec = _json.loads(line)
-            if rec.get("action") == "append" and (
+            # 'append+compact' is the legacy FUSED action (pre
+            # two-commit folds): it still applied a batch, so it must
+            # not be silently skipped — its raw segment was orphaned by
+            # the fused fold, so the existence check below fails LOUD
+            # for it (the contract) instead of returning a partial delta
+            if rec.get("action") in ("append", "append+compact") and (
                 since_batch < rec["batch_id"] <= until
             ):
                 by_bid[rec["batch_id"]] = rec.get(
@@ -470,30 +506,40 @@ def _commit(
     manifest_seq: int,
     retain: int | None = None,
     metrics: dict | None = None,
+    supersede: bool = False,
 ) -> str:
-    """Write an immutable manifest, append the snapshot-history/metrics
-    line, then atomically swing CURRENT; prune expired manifests,
-    unreferenced segments, and crash-orphaned ``*.tmp`` files after the
-    commit. Caller holds ``_writer_lock``, so no other commit's
-    in-flight tmp can exist during the prune. The history line goes in
-    BEFORE the swing so a committed snapshot can never lack one (see
-    ``_append_metrics``).
+    """Write an immutable manifest (with a self-describing
+    ``#batch=<bid> action=<...>`` header), append the
+    snapshot-history/metrics line, then atomically swing CURRENT; prune
+    via ``_prune`` after the commit. Caller holds ``_writer_lock``, so
+    no other commit's in-flight tmp can exist during the prune. The
+    history line goes in BEFORE the swing so a committed snapshot can
+    never lack one (see ``_append_metrics``).
 
-    ``retain`` is the snapshot-retention window: the last ``retain``
-    manifests survive the prune, along with EVERY segment any of them
-    references — so ``read_*_log_asof`` can time-travel to any retained
-    snapshot, including across a compaction (the pre-compaction
-    manifests keep their raw segments alive). ``retain=None`` resolves
-    the state's persisted policy (RETENTION file; 1 — only the live
-    snapshot — if never set). This is the table-format snapshot-expiry
-    knob (Iceberg ``expireSnapshots`` /
-    ``history.expire.min-snapshots-to-keep``). Returns the committed
-    manifest's name."""
+    ``retain`` is the snapshot-retention window in BATCH units: the
+    snapshots of the last ``retain`` DISTINCT applied batch ids survive
+    the prune, along with every segment any of them references — so
+    ``read_*_log_asof`` can time-travel to any of the last ``retain``
+    batches, including across a compaction. An inline fold's two
+    commits share a batch id and therefore consume ONE retention slot
+    (a fold never silently shrinks time-travel depth), and the fold's
+    append manifest keeps the raw increment alive for changelog reads
+    while its batch stays in the window. ``retain=None`` resolves the
+    state's persisted policy (RETENTION file; 1 — only the live batch —
+    if never set). This is the table-format snapshot-expiry knob
+    (Iceberg ``expireSnapshots``). ``supersede=True`` is the explicit
+    maintenance posture (offline compaction): append manifests shadowed
+    by a newer same-batch compact manifest are dropped even inside the
+    window — value-identical by the merge monoid, so time travel loses
+    nothing; only the raw changelog unit is reclaimed. Returns the
+    committed manifest's name."""
     if retain is None:
         retain = _state_retention(state_dir)
+    action = (metrics or {}).get("action", "append")
     mname = f"{MANIFEST_PREFIX}{manifest_seq}"
     tmp = os.path.join(state_dir, f"{mname}.{os.getpid()}.tmp")
     with open(tmp, "w") as fh:
+        fh.write(f"#batch={batch_id} action={action}\n")
         fh.write("\n".join(segment_rels) + "\n")
     os.replace(tmp, os.path.join(state_dir, mname))
     if metrics is not None:
@@ -504,24 +550,77 @@ def _commit(
     with open(tmp, "w") as fh:
         fh.write(f"{mname} {batch_id} {ck_identity}")
     os.replace(tmp, os.path.join(state_dir, "CURRENT"))
-    cutoff = manifest_seq - max(1, retain)  # prune seq <= cutoff
-    live: set[str] = set()
-    for f in os.listdir(state_dir):
-        if f.startswith(MANIFEST_PREFIX) and not f.endswith(".tmp"):
-            if _manifest_seq(f) > cutoff:
-                live.update(
-                    r.split("/")[-1] for r in _read_manifest(state_dir, f)
-                )
-    seg_root = os.path.join(state_dir, SEGMENTS_DIR)
-    for d in os.listdir(seg_root):
-        if d not in live:
-            shutil.rmtree(os.path.join(seg_root, d), ignore_errors=True)
-    for f in os.listdir(state_dir):
-        if f.endswith(".tmp") or (
-            f.startswith(MANIFEST_PREFIX) and _manifest_seq(f) <= cutoff
-        ):
-            os.remove(os.path.join(state_dir, f))
+    _prune(state_dir, retain, supersede=supersede)
     return mname
+
+
+def _prune(state_dir: str, retain: int, supersede: bool = False) -> int:
+    """The single snapshot-expiry implementation behind both
+    ``_commit`` and ``expire_snapshots`` (review r4: the two copies had
+    already diverged on ``*.tmp`` cleanup). Retention is counted in
+    BATCH units: walking manifests newest-first, a manifest survives iff
+    its batch id is among the first ``retain`` distinct batch ids
+    encountered — so an inline fold's append+compact pair costs one slot
+    and ``retain=k`` always means "the last k applied batches stay
+    time-travelable". Manifests from before self-describing headers
+    existed have no recoverable batch id; each counts as its own slot
+    (the old manifest-count semantics, so legacy states degrade to
+    exactly their old behavior).
+
+    ``supersede=True`` (offline compaction / ``expire_snapshots``)
+    additionally drops append manifests shadowed by a NEWER compact
+    manifest of the same batch: the two read value-identically (monoid),
+    so this reclaims the raw increment segments without shrinking as-of
+    coverage — the explicit storage-reclaim verb. The streaming writer
+    never passes it: an automatic fold must not expire changelog units
+    the user's retention window is paying for.
+
+    Also removes every crash-orphaned ``*.tmp`` and every segment dir no
+    surviving manifest references. Returns the number of manifests
+    removed. Caller holds ``_writer_lock``."""
+    entries = sorted(
+        (
+            (_manifest_seq(f), f)
+            for f in os.listdir(state_dir)
+            if f.startswith(MANIFEST_PREFIX) and not f.endswith(".tmp")
+        ),
+        reverse=True,
+    )
+    retain = max(1, retain)
+    seen_keys: list[tuple] = []
+    compacted_keys: set[tuple] = set()
+    keep: list[str] = []
+    drop: list[str] = []
+    for seq, f in entries:
+        bid, action = _manifest_meta(state_dir, f)
+        # legacy manifests (no header): unique key -> one slot each
+        key = ("b", bid) if bid is not None else ("m", seq)
+        is_compact = action is not None and "compact" in action
+        if key not in seen_keys:
+            if len(seen_keys) >= retain:
+                drop.append(f)
+                continue
+            seen_keys.append(key)
+        if supersede and not is_compact and key in compacted_keys:
+            drop.append(f)
+            continue
+        if is_compact:
+            compacted_keys.add(key)
+        keep.append(f)
+    live: set[str] = set()
+    for f in keep:
+        live.update(r.split("/")[-1] for r in _read_manifest(state_dir, f))
+    seg_root = os.path.join(state_dir, SEGMENTS_DIR)
+    if os.path.isdir(seg_root):
+        for d in os.listdir(seg_root):
+            if d not in live:
+                shutil.rmtree(os.path.join(seg_root, d), ignore_errors=True)
+    for f in drop:
+        os.remove(os.path.join(state_dir, f))
+    for f in os.listdir(state_dir):
+        if f.endswith(".tmp"):
+            os.remove(os.path.join(state_dir, f))
+    return len(drop)
 
 
 def _manifest_seq(manifest_name: str | None) -> int:
@@ -581,16 +680,22 @@ def _compact_log(
                 "rows_compacted": n_base,
                 "rows_written": n_base,
             },
+            # the explicit maintenance verb reclaims the same-batch
+            # append manifest it just superseded (value-identical read)
+            supersede=True,
         )
         return len(rels)
 
 
 def expire_snapshots(state_dir: str, keep: int) -> int:
     """Offline snapshot expiry — the Iceberg ``expireSnapshots`` verb:
-    shrink the state's retained history to the last ``keep`` snapshots,
+    shrink the state's retained history to the last ``keep`` BATCHES,
     persist ``keep`` as the new retention policy, and prune every
     manifest (and segment only expired manifests reference) outside the
-    window. Storage reclaim for states whose time-travel depth can
+    window — including append manifests a newer same-batch compaction
+    superseded (``_prune(supersede=True)``: value-identical reads, so
+    only raw changelog units are reclaimed, never as-of coverage inside
+    the window). Storage reclaim for states whose time-travel depth can
     relax after a backfill. Takes the writer lock non-blocking (same
     posture as compaction: never stall a live stream). Returns the
     number of manifests expired. METRICS.jsonl is never pruned — the
@@ -604,30 +709,7 @@ def expire_snapshots(state_dir: str, keep: int) -> int:
         manifest, _, _ = _read_log_current(state_dir)
         if manifest is None:
             return 0
-        cur_seq = _manifest_seq(manifest)
-        cutoff = cur_seq - keep
-        live: set[str] = set()
-        expired = 0
-        for f in sorted(os.listdir(state_dir)):
-            if f.startswith(MANIFEST_PREFIX) and not f.endswith(".tmp"):
-                if _manifest_seq(f) > cutoff:
-                    live.update(
-                        r.split("/")[-1] for r in _read_manifest(state_dir, f)
-                    )
-                else:
-                    expired += 1
-        seg_root = os.path.join(state_dir, SEGMENTS_DIR)
-        for d in os.listdir(seg_root):
-            if d not in live:
-                shutil.rmtree(os.path.join(seg_root, d), ignore_errors=True)
-        for f in os.listdir(state_dir):
-            if (
-                f.startswith(MANIFEST_PREFIX)
-                and not f.endswith(".tmp")
-                and _manifest_seq(f) <= cutoff
-            ):
-                os.remove(os.path.join(state_dir, f))
-        return expired
+        return _prune(state_dir, keep, supersede=True)
 
 
 def compact_edge_log(
@@ -732,10 +814,11 @@ def _stream_log_maintenance(
                 # a SECOND commit for the fold (append snapshot, then
                 # rewrite snapshot — the Iceberg two-snapshot shape, and
                 # the same METRICS lines the offline path writes). The
-                # raw increment stays referenced by the append manifest,
-                # so deep retention keeps it alive for time travel AND
-                # changelog reads; a fused commit would orphan it
-                # immediately. Crash between the two commits: the batch
+                # raw increment stays referenced by the append manifest
+                # — and since retention counts BATCHES, the pair costs
+                # one slot, keeping the increment changelog-readable
+                # while its batch is in the window; a fused commit
+                # would orphan it immediately. Crash between the two commits: the batch
                 # is durably applied (re-delivery skips), and the fold
                 # simply re-triggers on the next batch's live count.
                 merged = rollup(
