@@ -99,6 +99,52 @@ def q_kg_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _links(spark, sf_dir).select("norm_key", "entity_key", "score", "method")
 
 
+def q_kg_links_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental linking ≡ full recompute (the continuous-ingest
+    contract for the linking stage, operators/linking.py
+    link_surfaces_incremental): conversations split ~3:1 into a 'known'
+    corpus (linked first — the maintained table) and a new ingest batch
+    whose Zipfian vocabulary mostly overlaps it; only the anti-joined
+    residual is re-linked and the union must equal the whole-corpus
+    derivation — the kg_links SQL oracle verbatim."""
+    from transner_spark.operators.linking import (
+        link_surfaces,
+        link_surfaces_incremental,
+        node_surfaces,
+    )
+
+    t = _triples(spark, sf_dir)
+    is_new = F.pmod(F.abs(F.xxhash64("conv_id")), F.lit(4)) == F.lit(0)
+    known = link_surfaces(spark, node_surfaces(t.where(~is_new)))
+    return link_surfaces_incremental(
+        spark, known, node_surfaces(t.where(is_new))
+    ).select("norm_key", "entity_key", "score", "method")
+
+
+def q_kg_links_alias_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alias-dictionary APPEND maintenance ≡ full recompute
+    (operators/linking.relink_for_alias_delta): link against the
+    dictionary missing a ~1/5 slice, append the slice as the delta,
+    re-link only the gram-affected surfaces against the full dictionary
+    — must equal the whole-corpus kg_links derivation verbatim (the
+    same SQL oracle). Closes the dictionary side of the two-speed
+    refresh story (canon side: kg_edges_canon_refresh)."""
+    from transner_spark.operators.linking import (
+        _alias_dim_source,
+        link_surfaces,
+        node_surfaces,
+        relink_for_alias_delta,
+    )
+
+    surfaces = node_surfaces(_triples(spark, sf_dir))
+    full_dim = _alias_dim_source(spark)
+    is_delta = F.pmod(F.abs(F.xxhash64("alias")), F.lit(5)) == F.lit(0)
+    base = link_surfaces(spark, surfaces, alias_dim=full_dim.where(~is_delta))
+    return relink_for_alias_delta(
+        spark, base, full_dim.where(is_delta)
+    ).select("norm_key", "entity_key", "score", "method")
+
+
 def q_kg_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     from transner_spark.operators.canonicalize import canonicalize
 
@@ -331,6 +377,41 @@ def q_graph_neighbors_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from transner_spark.operators.graph import graph_neighbors_topk
 
     return graph_neighbors_topk(_edges(spark, sf_dir))
+
+
+def q_eval_edges_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north-rule acceptance metric (P/R over emitted triples/edges,
+    BASELINE.json "triple P/R >= 0.95 vs reference") as a DISTRIBUTED
+    operator: per-predicate precision/recall/F1 of the canonicalized
+    edge set scored against the raw (identity-canon) edge set. The two
+    sides are deliberately non-identical so every PRF branch — match,
+    emitted-only, reference-only — carries real counts; in production
+    the reference side is the reference extractor's triple table.
+    Oracle: both edge sets re-derived by kg_edges_sql (the reference
+    side through an EMPTY canon), then the same set algebra
+    (oracles.edges_prf_sql)."""
+    from transner_spark.operators.evaluate import set_prf
+    from transner_spark.operators.materialize import materialize_edges
+
+    empty_canon = spark.createDataFrame([], "node_id string, canon_id string")
+    raw = materialize_edges(_triples(spark, sf_dir), empty_canon)
+    return set_prf(
+        _edges(spark, sf_dir), raw, ["subj_id", "pred", "obj_id"], "pred"
+    )
+
+
+def q_kg_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-level entity co-occurrence with PMI weighting — the
+    distributional edge-enrichment step over the extracted KG. The
+    self-join key is the turn-bounded conv_id (guarded in-plan), never
+    an entity; lift is exact IEEE arithmetic, pmi double-round-snapped
+    (oracles.entity_cooccurrence_sql)."""
+    from transner_spark.operators.canonicalize import canonicalize
+    from transner_spark.operators.evaluate import entity_cooccurrence
+
+    return entity_cooccurrence(
+        _triples(spark, sf_dir), canonicalize(_links(spark, sf_dir))
+    )
 
 
 def q_preprocess_proc_text(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1625,6 +1706,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_profile": q_skew_profile,
         "ann_recall": q_ann_recall,
         "dedup_minhash_incremental": q_dedup_minhash_incremental,
+        "eval_edges_prf": q_eval_edges_prf,
+        "kg_cooccurrence": q_kg_cooccurrence,
+        "kg_links_incremental": q_kg_links_incremental,
+        "kg_links_alias_refresh": q_kg_links_alias_refresh,
         # -- verified in r01/r02 but pushed past the window in r03 --
         "mention_overlap_pairs": q_mention_overlap_pairs,
         "pipeline_lineage": q_pipeline_lineage,
@@ -1652,15 +1737,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "region_containment": q_region_containment,
         # -- training-data pipeline ops --
         "text_stats": q_text_stats,
-        "lang_id": q_lang_id,
-        "doc_fingerprint": q_doc_fingerprint,
         "corpus_filter": q_corpus_filter,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_clusters": q_dedup_clusters,
         "dedup_simhash": q_dedup_simhash,
-        "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "dedup_embedding_cosine_lsh": q_dedup_embedding_cosine_lsh,
-        "ann_bruteforce": q_ann_bruteforce,
         "kmeans_cells": q_kmeans_cells,
         # ---- position 50 ends here; every gate below has green driver
         # rows in at least two of r01-r03 (triples_structural and
@@ -1668,9 +1749,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # which stays in-window; kmeans_cells stays IN — its only green
         # driver row is r03, r02 was rows-only — while ann_lsh/ann_ivf
         # rotate out on 3/2 green rows plus the in-window ann_recall
-        # consolidation that re-derives both methods) ----
+        # consolidation that re-derives both methods, and
+        # dedup_embedding_cosine + ann_bruteforce rotate out on 3 green
+        # rows each to make room for the round-4 eval_edges_prf and
+        # kg_cooccurrence gates — their scale twins cosine_lsh and
+        # ann_recall stay in-window — and doc_fingerprint rotates out on
+        # 3 green rows for kg_links_incremental, lang_id likewise for
+        # kg_links_alias_refresh) ----
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "ann_bruteforce": q_ann_bruteforce,
+        "doc_fingerprint": q_doc_fingerprint,
+        "lang_id": q_lang_id,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "triples_structural": q_triples_structural,
         "triples_relational": q_triples_relational,
@@ -1837,6 +1928,25 @@ SELECT 'changes_b1_b3' AS probe, * FROM ({_changes_sql})
     # graph analytics: logic fully re-derived in SQL over the edges
     # golden (upstream-golden stage isolation, like kg_links/edges)
     out.update(graph_oracles(f"read_parquet('{g('edges')}')"))
+    # round 4: the north-rule P/R metric + PMI co-occurrence, both
+    # fully re-derived from the triples/canonical goldens (same
+    # upstream-golden stage isolation as the graph gates)
+    from transner_spark.oracles import edges_prf_sql, entity_cooccurrence_sql
+
+    out["eval_edges_prf"] = edges_prf_sql(
+        f"read_parquet('{g('triples')}')",
+        f"read_parquet('{g('canonical')}')",
+        cache,
+    )
+    out["kg_cooccurrence"] = entity_cooccurrence_sql(
+        f"read_parquet('{g('triples')}')",
+        f"read_parquet('{g('canonical')}')",
+    )
+    # incremental linking's oracle IS the whole-corpus derivation —
+    # the same incremental ≡ full-recompute shape as
+    # kg_edges_incremental and dedup_minhash_incremental
+    out["kg_links_incremental"] = out["kg_links"]
+    out["kg_links_alias_refresh"] = out["kg_links"]
 
     out.update({
         # FULLY independent since round 3 (was a golden replay):

@@ -173,6 +173,20 @@ def main() -> None:
         "reresolve_edges",
         reresolve_edges(materialize_edges(t, canon), canon),
     )
+
+    from transner_spark.operators.evaluate import entity_cooccurrence, set_prf
+
+    empty_canon = spark.createDataFrame([], "node_id string, canon_id string")
+    audit(
+        "eval_edges_prf",
+        set_prf(
+            materialize_edges(t, canon),
+            materialize_edges(t, empty_canon),
+            ["subj_id", "pred", "obj_id"],
+            "pred",
+        ),
+    )
+    audit("kg_cooccurrence", entity_cooccurrence(t, canon))
     from transner_spark.operators.materialize import edges_diff
 
     audit(

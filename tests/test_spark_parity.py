@@ -397,3 +397,29 @@ def test_entity_profiles_incremental_identity(spark):
     assert snap(profiles_from_partials(merge_profile_partials(merged))) == snap(
         entity_profiles(t, canon)
     )
+
+
+def test_links_incremental_equals_full(spark, annotated):
+    """Continuous-ingest contract for the linking stage
+    (operators/linking.link_surfaces_incremental): link a 'known' 3/4
+    of the conversations, ingest the rest as a new batch, and the
+    union must equal the whole-corpus recompute EXACTLY (per-surface
+    purity against the static alias dim). Also pins the asymptote: the
+    re-linked residual is only the batch's NEW vocabulary."""
+    from transner_spark.operators.linking import link_surfaces_incremental
+
+    t = explode_triples(annotated)
+    is_new = F.pmod(F.abs(F.xxhash64("conv_id")), F.lit(4)) == F.lit(0)
+    old_s = node_surfaces(t.where(~is_new))
+    new_s = node_surfaces(t.where(is_new))
+    known = link_surfaces(spark, old_s)
+    got = link_surfaces_incremental(spark, known, new_s).toPandas()
+    full = link_surfaces(spark, node_surfaces(t)).toPandas()
+    assert_pdf_equal(got, full, ["norm_key"])
+    # the split is non-trivial and the batch overlaps known vocabulary
+    n_old, n_new = old_s.count(), new_s.count()
+    assert n_old > 0 and n_new > 0
+    n_fresh = new_s.join(
+        known.select("norm_key"), "norm_key", "left_anti"
+    ).count()
+    assert n_fresh == len(full) - n_old  # only new vocabulary re-linked

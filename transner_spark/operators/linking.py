@@ -94,28 +94,35 @@ def _alias_dim_source(spark: SparkSession) -> DataFrame:
     return spark.read.parquet(ensure_alias_dim_parquet(repo))
 
 
-def exact_alias_dim(spark: SparkSession) -> DataFrame:
+def exact_alias_dim(
+    spark: SparkSession, alias_dim: DataFrame | None = None
+) -> DataFrame:
     """norm_alias → min entity_key (duplicate normalized aliases resolve
-    to the lexicographically smallest entity_key, as kernels/linking)."""
+    to the lexicographically smallest entity_key, as kernels/linking).
+    ``alias_dim`` overrides the canonical dictionary parquet (the
+    dictionary is PLUGGABLE — e.g. a pre-refresh base for the alias-delta
+    maintenance path); overrides bypass the per-session dim cache."""
 
-    def build() -> DataFrame:
-        return (
-            _alias_dim_source(spark)
-            .groupBy(F.col("norm").alias("norm_alias"))
-            .agg(F.min("entity_key").alias("entity_key"))
+    def build(src: DataFrame) -> DataFrame:
+        return src.groupBy(F.col("norm").alias("norm_alias")).agg(
+            F.min("entity_key").alias("entity_key")
         )
 
-    return _dim_cached(spark, "exact", build)
+    if alias_dim is not None:
+        return build(alias_dim)
+    return _dim_cached(spark, "exact", lambda: build(_alias_dim_source(spark)))
 
 
-def alias_gram_dim(spark: SparkSession, n: int) -> DataFrame:
+def alias_gram_dim(
+    spark: SparkSession, n: int, alias_dim: DataFrame | None = None
+) -> DataFrame:
     """Inverted gram index over the alias dictionary (exploded,
     broadcast). Grams come from with_grams — the Catalyst twin of
     kernels/linking.char_ngrams (identical distinct gram sets, pinned by
-    the parity tests)."""
+    the parity tests). ``alias_dim`` as in exact_alias_dim."""
 
-    def build() -> DataFrame:
-        return with_grams(_alias_dim_source(spark), "norm", n).select(
+    def build(src: DataFrame) -> DataFrame:
+        return with_grams(src, "norm", n).select(
             "alias_id",
             "entity_key",
             "alias",
@@ -123,7 +130,11 @@ def alias_gram_dim(spark: SparkSession, n: int) -> DataFrame:
             F.explode("grams").alias("gram"),
         )
 
-    return _dim_cached(spark, f"gram{n}", build)
+    if alias_dim is not None:
+        return build(alias_dim)
+    return _dim_cached(
+        spark, f"gram{n}", lambda: build(_alias_dim_source(spark))
+    )
 
 
 def with_grams(df: DataFrame, src_col: str, n: int) -> DataFrame:
@@ -151,11 +162,16 @@ def link_surfaces(
     spark: SparkSession,
     surfaces: DataFrame,
     cfg: PipelineConfig | None = None,
+    alias_dim: DataFrame | None = None,
 ) -> DataFrame:
-    """surfaces(norm_key) → links(norm_key, entity_key, score, method)."""
+    """surfaces(norm_key) → links(norm_key, entity_key, score, method).
+    ``alias_dim`` overrides the canonical dictionary (see
+    exact_alias_dim) — the plug point the alias-delta maintenance path
+    (``relink_for_alias_delta``) uses to link against a base/updated
+    dictionary."""
     cfg = cfg or PipelineConfig()
 
-    exact_dim = exact_alias_dim(spark)
+    exact_dim = exact_alias_dim(spark, alias_dim)
     exact = surfaces.join(
         F.broadcast(exact_dim),
         surfaces["norm_key"] == exact_dim["norm_alias"],
@@ -215,7 +231,7 @@ def link_surfaces(
         F.explode("grams").alias("gram"),
     )
     pair_scores = (
-        mention_grams.join(F.broadcast(alias_gram_dim(spark, n)), "gram")
+        mention_grams.join(F.broadcast(alias_gram_dim(spark, n, alias_dim)), "gram")
         .groupBy("norm_key", "alias_id", "entity_key", "alias", "m_n", "a_n")
         .agg(F.count(F.lit(1)).alias("inter"))
         .withColumn(
@@ -301,3 +317,112 @@ def link_surfaces_lsh(
         .where(F.col("rn") == 1)
         .select("norm_key", "entity_key", "score", F.lit("lsh").alias("method"))
     )
+
+
+def link_surfaces_incremental(
+    spark: SparkSession,
+    known_links: DataFrame,
+    new_surfaces: DataFrame,
+    cfg: PipelineConfig | None = None,
+) -> DataFrame:
+    """Continuous-ingest twin of ``link_surfaces``: given the previously
+    materialized link table and a new batch's surfaces, link ONLY the
+    surfaces the table has never seen and union the rest through.
+
+    Why this is the right asymptote: linking operates on DISTINCT
+    normalized surfaces, and the surface distribution is Zipfian — a
+    steady-state ingest batch contributes almost no new vocabulary, so
+    the anti-join residual (the only rows that pay the gram-index pass)
+    is a sliver of the batch and utterly dwarfed by the maintained
+    table. Per-batch cost is O(new vocabulary), never O(corpus
+    vocabulary) — the same incremental contract as
+    ``merge_edge_increments`` (weights) and ``entity_profile_partials``
+    (serving view), closing the last pipeline stage without an
+    incremental twin.
+
+    Correctness: each surface links independently against the STATIC
+    alias dimension (no cross-surface interaction anywhere in
+    ``link_surfaces``), so incremental ≡ full recompute exactly — the
+    kg_links_incremental gate pins the union against the whole-corpus
+    SQL derivation. If the alias DIM itself changes, that is the
+    two-speed refresh path (re-link affected surfaces, then
+    ``reresolve_edges`` — operators/materialize.py), not this.
+
+    Plan shape: one left-anti join on norm_key (the maintained table's
+    natural key) + the normal dim-sized linking pass over the residual;
+    the known side streams through untouched.
+    """
+    fresh = (
+        new_surfaces.select("norm_key")
+        .distinct()
+        .join(known_links.select("norm_key"), "norm_key", "left_anti")
+    )
+    return known_links.unionByName(link_surfaces(spark, fresh, cfg))
+
+
+def _affected_surfaces(
+    known_links: DataFrame,
+    alias_delta: DataFrame,
+    cfg: PipelineConfig | None = None,
+) -> DataFrame:
+    """The surfaces whose link result CAN involve a newly appended
+    alias: exactly those sharing at least one character n-gram with a
+    delta alias's norm. This is sound and complete for appends —
+
+    - a fuzzy candidacy needs Jaccard > 0, i.e. >= 1 shared gram;
+    - an exact match is norm equality, which implies an identical
+      padded gram set (with_grams emits the whole padded string as the
+      single gram for norms shorter than n, so equal norms always share
+      a gram);
+
+    so any surface with NO gram overlap has a bit-identical candidate
+    set and winner under the base and the appended dictionary. The
+    delta gram set is dictionary-delta-sized and broadcast; the
+    surface side is the maintained vocabulary, one Catalyst gram pass,
+    no Python."""
+    cfg = cfg or PipelineConfig()
+    n = cfg.link_ngram
+    delta_grams = (
+        with_grams(alias_delta.select("norm").distinct(), "norm", n)
+        .select(F.explode("grams").alias("gram"))
+        .distinct()
+    )
+    surf_grams = with_grams(
+        known_links.select("norm_key").distinct(), "norm_key", n
+    ).select("norm_key", F.explode("grams").alias("gram"))
+    return (
+        surf_grams.join(F.broadcast(delta_grams), "gram")
+        .select("norm_key")
+        .distinct()
+    )
+
+
+def relink_for_alias_delta(
+    spark: SparkSession,
+    known_links: DataFrame,
+    alias_delta: DataFrame,
+    cfg: PipelineConfig | None = None,
+    alias_dim: DataFrame | None = None,
+) -> DataFrame:
+    """Dictionary-append maintenance — the alias-dim side of the
+    two-speed refresh story (the canon side is
+    operators/materialize.reresolve_edges): when new aliases are
+    APPENDED to the broadcast dictionary, re-link ONLY the surfaces
+    whose result can involve them (``_affected_surfaces`` — gram
+    overlap, a sound superset) against the UPDATED dictionary
+    (``alias_dim``; None = the canonical parquet, i.e. the delta is
+    already merged into it), and stream every other link row through
+    untouched. Per-refresh cost is O(affected vocabulary), never
+    O(corpus vocabulary) — the kg_links_alias_refresh gate pins
+    base-link → append → re-link ≡ full recompute against the
+    whole-corpus SQL derivation.
+
+    Appends only: deleting or re-pointing an existing alias can
+    invalidate links to surfaces with no gram overlap against the
+    CHANGED row's replacement winner only through that row itself, so
+    removals need alias-provenance on the link table (store the winning
+    alias_id) — out of scope here, fail-safe is a full re-link."""
+    affected = _affected_surfaces(known_links, alias_delta, cfg)
+    relinked = link_surfaces(spark, affected, cfg, alias_dim=alias_dim)
+    kept = known_links.join(affected, "norm_key", "left_anti")
+    return kept.unionByName(relinked)

@@ -1490,3 +1490,122 @@ FROM (
 WHERE rank <= {topk_k}
 """,
     }
+
+
+def edges_prf_sql(
+    triples_src: str, canonical_src: str, transcripts_cache: str
+) -> str:
+    """Independent SQL derivation of the eval_edges_prf gate
+    (operators/evaluate.set_prf over the canonicalized vs raw edge
+    sets): both edge tables re-derived by kg_edges_sql — the emitted
+    side through the canon map, the reference side through an EMPTY
+    canon (every node is its own id) — then per-pred set
+    precision/recall/F1 with the same 0-conventions and expression
+    order as the operator (IEEE arithmetic on counts is bit-identical
+    across engines; round 6 on publish)."""
+    empty_canon = (
+        "(SELECT CAST(NULL AS VARCHAR) AS node_id,"
+        " CAST(NULL AS VARCHAR) AS canon_id WHERE 1 = 0)"
+    )
+    emitted = kg_edges_sql(triples_src, canonical_src, transcripts_cache)
+    reference = kg_edges_sql(triples_src, empty_canon, transcripts_cache)
+    return f"""
+WITH emitted AS ({emitted}),
+ref AS ({reference}),
+e AS (SELECT DISTINCT subj_id, pred, obj_id FROM emitted),
+r AS (SELECT DISTINCT subj_id, pred, obj_id FROM ref),
+em AS (SELECT pred, count(*) AS n_emitted FROM e GROUP BY pred),
+rf AS (SELECT pred, count(*) AS n_reference FROM r GROUP BY pred),
+mt AS (
+  SELECT pred, count(*) AS n_match
+  FROM e JOIN r USING (subj_id, pred, obj_id)
+  GROUP BY pred
+),
+j AS (
+  SELECT p.pred,
+         coalesce(em.n_emitted, 0) AS n_emitted,
+         coalesce(rf.n_reference, 0) AS n_reference,
+         coalesce(mt.n_match, 0) AS n_match
+  FROM (SELECT pred FROM em UNION SELECT pred FROM rf) p
+  LEFT JOIN em USING (pred)
+  LEFT JOIN rf USING (pred)
+  LEFT JOIN mt USING (pred)
+),
+pr AS (
+  SELECT pred, n_emitted, n_reference, n_match,
+         CASE WHEN n_emitted > 0
+              THEN CAST(n_match AS DOUBLE) / CAST(n_emitted AS DOUBLE)
+              ELSE 0.0 END AS p,
+         CASE WHEN n_reference > 0
+              THEN CAST(n_match AS DOUBLE) / CAST(n_reference AS DOUBLE)
+              ELSE 0.0 END AS r
+  FROM j
+)
+SELECT pred,
+       CAST(n_emitted AS BIGINT) AS n_emitted,
+       CAST(n_reference AS BIGINT) AS n_reference,
+       CAST(n_match AS BIGINT) AS n_match,
+       round(p, 6) AS "precision",
+       round(r, 6) AS recall,
+       round(CASE WHEN p + r > 0 THEN 2.0 * p * r / (p + r)
+                  ELSE 0.0 END, 6) AS f1
+FROM pr
+"""
+
+
+def entity_cooccurrence_sql(
+    triples_src: str,
+    canonical_src: str,
+    min_pair_count: int | None = None,
+) -> str:
+    """Independent SQL derivation of the kg_cooccurrence gate
+    (operators/evaluate.entity_cooccurrence): canon-resolved DISTINCT
+    (conv_id, node) membership (the same structural/surface node CASE
+    kg_edges_sql applies), a self-join on conv_id for unordered pairs,
+    marginal conversation counts, and lift/PMI in the operator's exact
+    expression order — lift is pure IEEE arithmetic (round 6), pmi
+    takes the pagerank double-round (9 -> 6) snap because ln() may
+    differ by an ulp across engines."""
+    from transner_spark.operators.evaluate import COOC_MIN_PAIR_COUNT
+
+    if min_pair_count is None:
+        min_pair_count = COOC_MIN_PAIR_COUNT
+    structural = "('AGENT', 'SPEAKER', 'TOOL')"
+    lift = (
+        "(CAST(n_pair AS DOUBLE) * (SELECT n_convs FROM nn))"
+        " / (CAST(ma.n_node AS DOUBLE) * CAST(mb.n_node AS DOUBLE))"
+    )
+    return f"""
+WITH tn AS (
+  SELECT conv_id,
+         CASE WHEN subj_type IN {structural} THEN subj_norm
+              ELSE 'surface:' || subj_norm END AS node
+  FROM {triples_src}
+  UNION ALL
+  SELECT conv_id,
+         CASE WHEN obj_type IN {structural} THEN obj_norm
+              ELSE 'surface:' || obj_norm END
+  FROM {triples_src}
+),
+ents AS (
+  SELECT DISTINCT conv_id, coalesce(c.canon_id, tn.node) AS node
+  FROM tn LEFT JOIN {canonical_src} c ON c.node_id = tn.node
+),
+nn AS (SELECT CAST(count(DISTINCT conv_id) AS DOUBLE) AS n_convs FROM ents),
+marg AS (SELECT node, count(*) AS n_node FROM ents GROUP BY node),
+pairs AS (
+  SELECT a.node AS node_a, b.node AS node_b, count(*) AS n_pair
+  FROM ents a JOIN ents b ON a.conv_id = b.conv_id AND a.node < b.node
+  GROUP BY a.node, b.node
+  HAVING count(*) >= {min_pair_count}
+)
+SELECT node_a, node_b,
+       CAST(n_pair AS BIGINT) AS n_pair,
+       CAST(ma.n_node AS BIGINT) AS n_a,
+       CAST(mb.n_node AS BIGINT) AS n_b,
+       round({lift}, 6) AS lift,
+       round(round(ln({lift}), 9), 6) AS pmi
+FROM pairs
+JOIN marg ma ON ma.node = pairs.node_a
+JOIN marg mb ON mb.node = pairs.node_b
+"""
