@@ -19,10 +19,6 @@ KEYS = ["subj_id", "pred", "obj_id"]
 SCHEMA = "subj_id string, pred string, obj_id string"
 
 
-def _rows(df):
-    return {tuple(r) for r in df.collect()}
-
-
 def test_set_prf_exact_per_group(spark):
     # p1: 2 emitted, 3 reference, 2 match -> P=1, R=2/3
     # p2: 2 emitted, 1 reference, 1 match -> P=1/2, R=1
@@ -66,6 +62,31 @@ def test_set_prf_exact_per_group(spark):
     assert (p4["n_emitted"], p4["precision"], p4["recall"], p4["f1"]) == (
         0, 0.0, 0.0, 0.0,
     )
+
+
+def test_set_prf_null_keys_are_set_members(spark):
+    # NULL key/group values are first-class set members: identical
+    # NULL-bearing tuples MATCH (null-safe join) and the NULL group
+    # reports as exactly ONE row, not two half-empty ones
+    emitted = spark.createDataFrame(
+        [("a", None, "b"), (None, "p1", "b")], SCHEMA
+    )
+    reference = spark.createDataFrame(
+        [("a", None, "b"), ("x", "p1", "y")], SCHEMA
+    )
+    rows = set_prf(emitted, reference, KEYS, "pred").collect()
+    got = {r["pred"]: r.asDict() for r in rows}
+    assert len(rows) == len(got) == 2  # one row per group incl. NULL
+    null_g = got[None]
+    assert (null_g["n_emitted"], null_g["n_reference"], null_g["n_match"]) == (
+        1, 1, 1,
+    )
+    assert (null_g["precision"], null_g["recall"], null_g["f1"]) == (
+        1.0, 1.0, 1.0,
+    )
+    p1 = got["p1"]
+    assert (p1["n_emitted"], p1["n_reference"], p1["n_match"]) == (1, 1, 0)
+    assert (p1["precision"], p1["recall"], p1["f1"]) == (0.0, 0.0, 0.0)
 
 
 def test_set_prf_identical_sets_is_all_ones(spark):

@@ -35,7 +35,7 @@ engines land on the same 9-dec grid point before the 6-dec publish.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 COOC_MAX_CONV_NODES = 1_000
@@ -60,6 +60,14 @@ def set_prf(
     precision=0 when nothing was emitted, recall=0 when the reference
     is empty, f1=0 when p+r=0.
 
+    NULLs are first-class set members: distinct/groupBy already treat
+    a NULL key or group value as one element, so the match join and the
+    group assembly use null-safe equality (``eqNullSafe`` / SQL
+    ``IS NOT DISTINCT FROM``) — two sides both containing the tuple
+    (NULL, p, b) MATCH, and a NULL group reports as exactly one output
+    row (a null-UNsafe join here would undercount matches and emit two
+    half-empty NULL-group rows, silently understating P/R).
+
     Scale shape: the two distincts and the match join all shuffle on
     the full key tuple (uniform by construction — it IS the set
     element), and the three per-group counts are map-side combinable;
@@ -67,20 +75,30 @@ def set_prf(
     touches more than (keys) columns, so the upstream scans prune to
     the key columns.
     """
-    e = emitted.select(*keys).distinct()
-    r = reference.select(*keys).distinct()
-    em = e.groupBy(by).agg(F.count(F.lit(1)).alias("n_emitted"))
-    rf = r.groupBy(by).agg(F.count(F.lit(1)).alias("n_reference"))
+    e = emitted.select(*keys).distinct().alias("_e")
+    r = reference.select(*keys).distinct().alias("_r")
+    em = e.groupBy(by).agg(F.count(F.lit(1)).alias("n_emitted")).alias("_em")
+    rf = r.groupBy(by).agg(F.count(F.lit(1)).alias("n_reference")).alias("_rf")
     mt = (
-        e.join(r, list(keys), "inner")
-        .groupBy(by)
+        e.join(
+            r,
+            [F.col(f"_e.{k}").eqNullSafe(F.col(f"_r.{k}")) for k in keys],
+            "inner",
+        )
+        .groupBy(F.col(f"_e.{by}").alias(by))
         .agg(F.count(F.lit(1)).alias("n_match"))
+        .alias("_mt")
     )
+    # mt's groups are a subset of em's (matches come from e), so after
+    # the null-safe full join of em/rf a LEFT join suffices for mt
     out = (
-        em.join(rf, [by], "full")
-        .join(mt, [by], "full")
+        em.join(
+            rf, F.col(f"_em.{by}").eqNullSafe(F.col(f"_rf.{by}")), "full"
+        )
+        .withColumn("_by", F.coalesce(F.col(f"_em.{by}"), F.col(f"_rf.{by}")))
+        .join(mt, F.col("_by").eqNullSafe(F.col(f"_mt.{by}")), "left")
         .select(
-            by,
+            F.col("_by").alias(by),
             F.coalesce("n_emitted", F.lit(0)).alias("n_emitted"),
             F.coalesce("n_reference", F.lit(0)).alias("n_reference"),
             F.coalesce("n_match", F.lit(0)).alias("n_match"),
@@ -163,6 +181,10 @@ def entity_cooccurrence(
         op="entity_cooccurrence",
         twin="a per-conversation node cap upstream",
     )
+    # four consumers (N, marginals, both self-join sides): barrier so
+    # the membership derivation + guard run once, not up to 4x per
+    # action (the link_surfaces exact-residual localCheckpoint pattern)
+    ents = ents.localCheckpoint()
     n_convs = ents.select(
         F.countDistinct("conv_id").cast("double").alias("n_convs")
     )

@@ -324,6 +324,7 @@ def link_surfaces_incremental(
     known_links: DataFrame,
     new_surfaces: DataFrame,
     cfg: PipelineConfig | None = None,
+    alias_dim: DataFrame | None = None,
 ) -> DataFrame:
     """Continuous-ingest twin of ``link_surfaces``: given the previously
     materialized link table and a new batch's surfaces, link ONLY the
@@ -342,7 +343,11 @@ def link_surfaces_incremental(
 
     Correctness: each surface links independently against the STATIC
     alias dimension (no cross-surface interaction anywhere in
-    ``link_surfaces``), so incremental ≡ full recompute exactly — the
+    ``link_surfaces``), so incremental ≡ full recompute exactly —
+    ``alias_dim`` MUST be the same dictionary ``known_links`` was
+    built with (pass it through when the table was built with an
+    override; a dictionary change is ``relink_for_alias_delta``'s
+    job, not this one's) — the
     kg_links_incremental gate pins the union against the whole-corpus
     SQL derivation. If the alias DIM itself changes, that is the
     two-speed refresh path (re-link affected surfaces, then
@@ -357,7 +362,9 @@ def link_surfaces_incremental(
         .distinct()
         .join(known_links.select("norm_key"), "norm_key", "left_anti")
     )
-    return known_links.unionByName(link_surfaces(spark, fresh, cfg))
+    return known_links.unionByName(
+        link_surfaces(spark, fresh, cfg, alias_dim=alias_dim)
+    )
 
 
 def _affected_surfaces(
@@ -422,7 +429,10 @@ def relink_for_alias_delta(
     CHANGED row's replacement winner only through that row itself, so
     removals need alias-provenance on the link table (store the winning
     alias_id) — out of scope here, fail-safe is a full re-link."""
-    affected = _affected_surfaces(known_links, alias_delta, cfg)
+    # two consumers (the re-link pass and the kept anti-join): barrier
+    # so the corpus-vocabulary gram pass runs once, not per action
+    # (the link_surfaces exact-residual localCheckpoint pattern)
+    affected = _affected_surfaces(known_links, alias_delta, cfg).localCheckpoint()
     relinked = link_surfaces(spark, affected, cfg, alias_dim=alias_dim)
     kept = known_links.join(affected, "norm_key", "left_anti")
     return kept.unionByName(relinked)

@@ -1502,7 +1502,9 @@ def edges_prf_sql(
     canon (every node is its own id) — then per-pred set
     precision/recall/F1 with the same 0-conventions and expression
     order as the operator (IEEE arithmetic on counts is bit-identical
-    across engines; round 6 on publish)."""
+    across engines; round 6 on publish). Joins are null-safe
+    (IS NOT DISTINCT FROM) mirroring the operator's eqNullSafe — NULL
+    keys/groups are first-class set members on both engines."""
     empty_canon = (
         "(SELECT CAST(NULL AS VARCHAR) AS node_id,"
         " CAST(NULL AS VARCHAR) AS canon_id WHERE 1 = 0)"
@@ -1517,9 +1519,12 @@ r AS (SELECT DISTINCT subj_id, pred, obj_id FROM ref),
 em AS (SELECT pred, count(*) AS n_emitted FROM e GROUP BY pred),
 rf AS (SELECT pred, count(*) AS n_reference FROM r GROUP BY pred),
 mt AS (
-  SELECT pred, count(*) AS n_match
-  FROM e JOIN r USING (subj_id, pred, obj_id)
-  GROUP BY pred
+  SELECT e.pred AS pred, count(*) AS n_match
+  FROM e JOIN r
+    ON e.subj_id IS NOT DISTINCT FROM r.subj_id
+   AND e.pred IS NOT DISTINCT FROM r.pred
+   AND e.obj_id IS NOT DISTINCT FROM r.obj_id
+  GROUP BY e.pred
 ),
 j AS (
   SELECT p.pred,
@@ -1527,9 +1532,9 @@ j AS (
          coalesce(rf.n_reference, 0) AS n_reference,
          coalesce(mt.n_match, 0) AS n_match
   FROM (SELECT pred FROM em UNION SELECT pred FROM rf) p
-  LEFT JOIN em USING (pred)
-  LEFT JOIN rf USING (pred)
-  LEFT JOIN mt USING (pred)
+  LEFT JOIN em ON p.pred IS NOT DISTINCT FROM em.pred
+  LEFT JOIN rf ON p.pred IS NOT DISTINCT FROM rf.pred
+  LEFT JOIN mt ON p.pred IS NOT DISTINCT FROM mt.pred
 ),
 pr AS (
   SELECT pred, n_emitted, n_reference, n_match,
