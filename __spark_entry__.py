@@ -379,6 +379,26 @@ def q_graph_neighbors_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph_neighbors_topk(_edges(spark, sf_dir))
 
 
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts + clustering coefficient via
+    degree-ordered orientation (each triangle counted at its unique
+    pivot; orientation bounds the wedge fan-out, so the hot entity —
+    which orients INWARD — never pays the quadratic step)."""
+    from transner_spark.operators.graph import graph_triangles
+
+    return graph_triangles(_edges(spark, sf_dir))
+
+
+def q_graph_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-neighbor Jaccard similarity — structural merge candidates,
+    the relational complement of surface-string linking (hub-guard
+    parameter exercised in pytest; gate runs unguarded, the
+    graph_two_hop posture)."""
+    from transner_spark.operators.graph import graph_similarity
+
+    return graph_similarity(_edges(spark, sf_dir))
+
+
 def q_eval_edges_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The north-rule acceptance metric (P/R over emitted triples/edges,
     BASELINE.json "triple P/R >= 0.95 vs reference") as a DISTRIBUTED
@@ -1710,6 +1730,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_cooccurrence": q_kg_cooccurrence,
         "kg_links_incremental": q_kg_links_incremental,
         "kg_links_alias_refresh": q_kg_links_alias_refresh,
+        "graph_triangles": q_graph_triangles,
+        "graph_similarity": q_graph_similarity,
         # -- verified in r01/r02 but pushed past the window in r03 --
         "mention_overlap_pairs": q_mention_overlap_pairs,
         "pipeline_lineage": q_pipeline_lineage,
@@ -1736,11 +1758,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graf_merge": q_graf_merge,
         "region_containment": q_region_containment,
         # -- training-data pipeline ops --
-        "text_stats": q_text_stats,
         "corpus_filter": q_corpus_filter,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_clusters": q_dedup_clusters,
-        "dedup_simhash": q_dedup_simhash,
         "dedup_embedding_cosine_lsh": q_dedup_embedding_cosine_lsh,
         "kmeans_cells": q_kmeans_cells,
         # ---- position 50 ends here; every gate below has green driver
@@ -1755,9 +1775,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # kg_cooccurrence gates — their scale twins cosine_lsh and
         # ann_recall stay in-window — and doc_fingerprint rotates out on
         # 3 green rows for kg_links_incremental, lang_id likewise for
-        # kg_links_alias_refresh) ----
+        # kg_links_alias_refresh, text_stats + dedup_simhash likewise
+        # for graph_triangles + graph_similarity) ----
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
+        "text_stats": q_text_stats,
+        "dedup_simhash": q_dedup_simhash,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "ann_bruteforce": q_ann_bruteforce,
         "doc_fingerprint": q_doc_fingerprint,

@@ -128,6 +128,8 @@ def main() -> None:
         graph_degrees,
         graph_neighbors_topk,
         graph_pagerank,
+        graph_similarity,
+        graph_triangles,
         graph_two_hop,
     )
     from transner_spark.sources.transcripts import sf_name
@@ -139,6 +141,8 @@ def main() -> None:
     audit("graph_pagerank", graph_pagerank(edges))
     audit("graph_two_hop", graph_two_hop(edges))
     audit("graph_neighbors_topk", graph_neighbors_topk(edges))
+    audit("graph_triangles", graph_triangles(edges))
+    audit("graph_similarity", graph_similarity(edges))
 
     from transner_spark.operators.canonicalize import canonicalize
     from transner_spark.operators.linking import link_surfaces, node_surfaces

@@ -143,3 +143,79 @@ def test_neighbors_topk_exact_and_deterministic(edges_df):
         for r in graph_neighbors_topk(edges_df, k=2).collect()
     )
     assert got == again
+
+
+# undirected view of EDGES (self-loop-free, multiplicities collapsed):
+# a-b, a-c, b-c, a-d, d-e → one triangle {a,b,c}; degrees a:3 b:2 c:2
+# d:2 e:1
+def test_triangles_exact(edges_df):
+    from transner_spark.operators.graph import graph_triangles
+
+    rows = {r["node_id"]: r for r in graph_triangles(edges_df).collect()}
+    assert set(rows) == {"a", "b", "c", "d", "e"}
+    want = {
+        # node: (degree, n_triangles, clustering = 2T / d(d-1))
+        "a": (3, 1, round(2 * 1 / (3 * 2), 6)),
+        "b": (2, 1, 1.0),
+        "c": (2, 1, 1.0),
+        "d": (2, 0, 0.0),
+        "e": (1, 0, 0.0),  # deg < 2: convention 0, no div-by-zero
+    }
+    for n, (deg, t, c) in want.items():
+        r = rows[n]
+        assert (r["degree"], r["n_triangles"], r["clustering"]) == (deg, t, c)
+
+
+def test_triangles_direction_and_multiplicity_blind(spark):
+    from transner_spark.operators.graph import graph_triangles
+
+    # the same triangle written as directed duplicates + a self-loop:
+    # collapses to exactly {x,y,z}, one triangle each, clustering 1
+    edges = spark.createDataFrame(
+        [
+            ("x", "p", "y", 1), ("y", "q", "x", 9),
+            ("y", "p", "z", 1), ("z", "p", "x", 1), ("x", "p", "x", 5),
+        ],
+        "subj_id string, pred string, obj_id string, weight long",
+    )
+    rows = {r["node_id"]: r for r in graph_triangles(edges).collect()}
+    assert {
+        n: (r["degree"], r["n_triangles"], r["clustering"])
+        for n, r in rows.items()
+    } == {"x": (2, 1, 1.0), "y": (2, 1, 1.0), "z": (2, 1, 1.0)}
+
+
+def test_similarity_exact_and_hub_guard(edges_df):
+    from transner_spark.operators.graph import (
+        graph_similarity,
+        similarity_dropped_hubs,
+    )
+
+    # undirected: a-b, a-c, b-c, a-d, d-e; shared-neighbor pairs at
+    # min_common=1: (b,c) via a AND b-c... — check the jaccard math on
+    # (b,c): N(b)={a,c}, N(c)={a,b} → common {a}=1, union 3 → 1/3
+    got = {
+        (r["node_a"], r["node_b"]): r
+        for r in graph_similarity(edges_df, min_common=1).collect()
+    }
+    bc = got[("b", "c")]
+    assert (bc["n_common"], bc["deg_a"], bc["deg_b"]) == (1, 2, 2)
+    assert bc["jaccard"] == round(1 / 3, 6)
+    # (b,d) share a only; (c,d) share a only; (a,e) share d only
+    assert got[("b", "d")]["n_common"] == 1
+    assert got[("a", "e")]["n_common"] == 1
+    # min_common=2 drops every pair here (no pair shares 2 neighbors)
+    assert graph_similarity(edges_df, min_common=2).count() == 0
+    # hub guard: a (deg 3) is the only node above 2; dropping it as
+    # shared-neighbor EVIDENCE kills every pair whose only witness is a
+    # — (b,c), (b,d), (c,d) — while pairs witnessed by non-hubs survive:
+    # (a,b) via c, (a,c) via b, (a,e) via d
+    guarded = {
+        (r["node_a"], r["node_b"])
+        for r in graph_similarity(
+            edges_df, min_common=1, max_neighbor_degree=2
+        ).collect()
+    }
+    assert guarded == {("a", "b"), ("a", "c"), ("a", "e")}
+    dropped = similarity_dropped_hubs(edges_df, 2).collect()
+    assert [(r["nb"], r["nb_degree"]) for r in dropped] == [("a", 3)]

@@ -251,3 +251,180 @@ def graph_neighbors_topk(edges: DataFrame, k: int = NEIGHBORS_TOPK_K) -> DataFra
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+SIMILARITY_MIN_COMMON = 2
+
+
+def _undirected(edges: DataFrame) -> DataFrame:
+    """Distinct undirected link set as ordered pairs (a < b), self-loops
+    and predicate/multiplicity collapsed — the input for the
+    triangle/similarity analytics, which are direction-blind."""
+    return (
+        edges.where(F.col("subj_id") != F.col("obj_id"))
+        .select(
+            F.least("subj_id", "obj_id").alias("a"),
+            F.greatest("subj_id", "obj_id").alias("b"),
+        )
+        .distinct()
+    )
+
+
+def _undirected_degrees(und: DataFrame) -> DataFrame:
+    """(node, deg) over the undirected link set — one union projection +
+    one map-side-combinable aggregation, same shape as graph_degrees."""
+    return (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+
+
+def graph_triangles(edges: DataFrame) -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient over the
+    undirected link graph: (node_id, degree, n_triangles, clustering)
+    with clustering = 2T / (deg * (deg - 1)) for deg >= 2, else 0.
+
+    Algorithm: degree-ordered orientation — every undirected edge is
+    oriented from its (deg, id)-smaller endpoint to the larger, making
+    the edge relation acyclic; each triangle then has EXACTLY one pivot
+    node with both of its triangle edges outgoing, so joining the
+    oriented set with itself on the pivot (dst_1 < dst_2 to fix the
+    wedge order) and closing against the undirected set counts each
+    triangle once, no post-hoc dedup.
+
+    Why this survives 100 TB: orientation IS the skew mitigation — a
+    celebrity node (the generator's hot entity) has huge degree, so
+    almost all its edges orient TOWARD it and its oriented out-degree
+    stays O(sqrt(m)); the quadratic wedge fan-out is paid only on
+    pivots, which are by construction the low-degree endpoint. The
+    wedge join and the closing join both shuffle on bounded keys; no
+    window, no driver action. Clustering is exact-integer arithmetic
+    followed by ONE correctly-rounded IEEE division, so round(6) is
+    engine-stable without the pagerank double-round snap."""
+    und = _undirected(edges).localCheckpoint()  # 3 consumers below
+    deg = _undirected_degrees(und)
+    orient_a_first = F.col("deg_a") <= F.col("deg_b")  # ties: a < b
+    o = (
+        und.join(
+            deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a")),
+            "a",
+        )
+        .join(
+            deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b")),
+            "b",
+        )
+        .select(
+            F.when(orient_a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+            F.when(orient_a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        )
+        .localCheckpoint()  # 2 wedge sides below
+    )
+    wedges = (
+        o.select("src", F.col("dst").alias("v"))
+        .join(o.select("src", F.col("dst").alias("w")), "src")
+        .where(F.col("v") < F.col("w"))
+    )
+    # closing edge looked up in the UNDIRECTED set: v < w always holds
+    # in the wedge, matching und's (a < b) ordering directly
+    tri = wedges.join(
+        und.select(F.col("a").alias("v"), F.col("b").alias("w")), ["v", "w"]
+    )
+    tri_counts = (
+        tri.select(F.col("src").alias("node_id"))
+        .unionByName(tri.select(F.col("v").alias("node_id")))
+        .unionByName(tri.select(F.col("w").alias("node_id")))
+        .groupBy("node_id")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    t = F.coalesce("n_triangles", F.lit(0)).cast("long")
+    d = F.col("deg").cast("double")
+    clustering = F.when(
+        F.col("deg") >= 2,
+        (F.lit(2.0) * t.cast("double")) / (d * (d - F.lit(1.0))),
+    ).otherwise(F.lit(0.0))
+    return (
+        deg.join(tri_counts, deg["node"] == tri_counts["node_id"], "left")
+        .select(
+            F.col("node").alias("node_id"),
+            F.col("deg").cast("long").alias("degree"),
+            t.alias("n_triangles"),
+            F.round(clustering, 6).alias("clustering"),
+        )
+    )
+
+
+def similarity_dropped_hubs(
+    edges: DataFrame, max_neighbor_degree: int
+) -> DataFrame:
+    """Audit twin of graph_similarity's hub guard (the
+    two_hop_dropped_mids pattern): the shared-neighbor nodes the guard
+    excludes, with their degrees."""
+    deg = _undirected_degrees(_undirected(edges))
+    return deg.where(F.col("deg") > max_neighbor_degree).select(
+        F.col("node").alias("nb"), F.col("deg").alias("nb_degree")
+    )
+
+
+def graph_similarity(
+    edges: DataFrame,
+    min_common: int = SIMILARITY_MIN_COMMON,
+    max_neighbor_degree: int | None = None,
+) -> DataFrame:
+    """Structural node similarity by shared neighbors: for every
+    unordered node pair with >= ``min_common`` common neighbors in the
+    undirected link graph, (node_a, node_b, n_common, deg_a, deg_b,
+    jaccard) with jaccard = |N(a) ∩ N(b)| / |N(a) ∪ N(b)|.
+
+    This is the RELATIONAL complement of the surface-string linking
+    stage: two canon entities that connect to the same neighborhood are
+    merge candidates even when their surfaces share no n-gram — the
+    classic structural signal for KG dedup / link prediction.
+
+    Skew/scale: the self-join key is the shared NEIGHBOR, whose fan-out
+    is its degree — quadratic on a celebrity node, exactly two_hop's
+    hub problem, so the same guard applies: ``max_neighbor_degree``
+    drops super-node neighbors from the common-neighbor evidence (audit
+    via ``similarity_dropped_hubs``), AQE skew-join handles the
+    moderate ones. n_common/deg are exact ints and jaccard is ONE IEEE
+    division, so round(6) is engine-stable."""
+    und = _undirected(edges).localCheckpoint()  # adjacency + degrees
+    adj = und.select(
+        F.col("a").alias("node"), F.col("b").alias("nb")
+    ).unionByName(und.select(F.col("b").alias("node"), F.col("a").alias("nb")))
+    deg = _undirected_degrees(und)
+    if max_neighbor_degree is not None:
+        hubs = deg.where(F.col("deg") > max_neighbor_degree).select(
+            F.col("node").alias("nb")
+        )
+        adj = adj.join(F.broadcast(hubs), "nb", "left_anti")
+    pairs = (
+        adj.select(F.col("node").alias("node_a"), "nb")
+        .join(adj.select(F.col("node").alias("node_b"), "nb"), "nb")
+        .where(F.col("node_a") < F.col("node_b"))
+        .groupBy("node_a", "node_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .where(F.col("n_common") >= min_common)
+    )
+    jaccard = F.col("n_common").cast("double") / (
+        F.col("deg_a") + F.col("deg_b") - F.col("n_common")
+    ).cast("double")
+    return (
+        pairs.join(
+            deg.select(F.col("node").alias("node_a"), F.col("deg").alias("deg_a")),
+            "node_a",
+        )
+        .join(
+            deg.select(F.col("node").alias("node_b"), F.col("deg").alias("deg_b")),
+            "node_b",
+        )
+        .select(
+            "node_a",
+            "node_b",
+            F.col("n_common").cast("long").alias("n_common"),
+            F.col("deg_a").cast("long").alias("deg_a"),
+            F.col("deg_b").cast("long").alias("deg_b"),
+            F.round(jaccard, 6).alias("jaccard"),
+        )
+    )

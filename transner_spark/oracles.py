@@ -1411,11 +1411,22 @@ def graph_oracles(
         PAGERANK_ITERATIONS,
     )
 
+    from transner_spark.operators.graph import SIMILARITY_MIN_COMMON
+
     if n_iterations is None:
         n_iterations = PAGERANK_ITERATIONS
     if damping is None:
         damping = PAGERANK_DAMPING
     topk_k = NEIGHBORS_TOPK_K
+    min_common = SIMILARITY_MIN_COMMON
+    # undirected link set shared by the triangle/similarity twins —
+    # ordered pairs (a < b), self-loops and multiplicities collapsed,
+    # mirroring operators/graph._undirected
+    und = (
+        f"(SELECT DISTINCT least(subj_id, obj_id) AS a,"
+        f" greatest(subj_id, obj_id) AS b FROM {edges_src}"
+        f" WHERE subj_id <> obj_id)"
+    )
     ed = f"(SELECT DISTINCT subj_id AS src, obj_id AS dst FROM {edges_src})"
     d = damping
     ctes = [
@@ -1488,6 +1499,71 @@ FROM (
   FROM {edges_src}
 )
 WHERE rank <= {topk_k}
+""",
+        # degree-ordered orientation (ties: a, the id-smaller endpoint)
+        # so each triangle has exactly one pivot; closing edge looked up
+        # undirected (v < w in the wedge matches und's a < b). The
+        # clustering expression order mirrors the operator exactly:
+        # (2.0 * T) / (deg * (deg - 1.0)) — one IEEE division on exact
+        # integers, engine-stable at round(6)
+        "graph_triangles": f"""
+WITH und AS {und},
+deg AS (
+  SELECT node, count(*) AS deg FROM (
+    SELECT a AS node FROM und UNION ALL SELECT b FROM und
+  ) GROUP BY node
+),
+o AS (
+  SELECT CASE WHEN da.deg <= db.deg THEN u.a ELSE u.b END AS src,
+         CASE WHEN da.deg <= db.deg THEN u.b ELSE u.a END AS dst
+  FROM und u JOIN deg da ON da.node = u.a JOIN deg db ON db.node = u.b
+),
+tri AS (
+  SELECT l.src, l.dst AS v, r.dst AS w
+  FROM o l JOIN o r ON l.src = r.src AND l.dst < r.dst
+  JOIN und c ON c.a = l.dst AND c.b = r.dst
+),
+tc AS (
+  SELECT node_id, count(*) AS n_triangles FROM (
+    SELECT src AS node_id FROM tri
+    UNION ALL SELECT v FROM tri
+    UNION ALL SELECT w FROM tri
+  ) GROUP BY node_id
+)
+SELECT deg.node AS node_id,
+       CAST(deg.deg AS BIGINT) AS degree,
+       CAST(coalesce(tc.n_triangles, 0) AS BIGINT) AS n_triangles,
+       round(CASE WHEN deg.deg >= 2
+                  THEN (2.0 * CAST(coalesce(tc.n_triangles, 0) AS DOUBLE))
+                       / (CAST(deg.deg AS DOUBLE)
+                          * (CAST(deg.deg AS DOUBLE) - 1.0))
+                  ELSE 0.0 END, 6) AS clustering
+FROM deg LEFT JOIN tc ON tc.node_id = deg.node
+""",
+        # gate runs unguarded (max_neighbor_degree=None), same posture
+        # as graph_two_hop; jaccard = n_common / (deg_a + deg_b - n_common)
+        "graph_similarity": f"""
+WITH und AS {und},
+adj AS (
+  SELECT a AS node, b AS nb FROM und
+  UNION ALL SELECT b, a FROM und
+),
+deg AS (SELECT node, count(*) AS deg FROM adj GROUP BY node),
+pairs AS (
+  SELECT x.node AS node_a, y.node AS node_b, count(*) AS n_common
+  FROM adj x JOIN adj y ON x.nb = y.nb AND x.node < y.node
+  GROUP BY x.node, y.node
+  HAVING count(*) >= {min_common}
+)
+SELECT p.node_a, p.node_b,
+       CAST(p.n_common AS BIGINT) AS n_common,
+       CAST(da.deg AS BIGINT) AS deg_a,
+       CAST(db.deg AS BIGINT) AS deg_b,
+       round(CAST(p.n_common AS DOUBLE)
+             / CAST(da.deg + db.deg - p.n_common AS DOUBLE), 6) AS jaccard
+FROM pairs p
+JOIN deg da ON da.node = p.node_a
+JOIN deg db ON db.node = p.node_b
 """,
     }
 
