@@ -399,6 +399,49 @@ def q_graph_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph_similarity(_edges(spark, sf_dir))
 
 
+def q_kg_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The post-maintenance invariant sweep (kg_integrity_report) run
+    over a DELIBERATELY corrupted edge table so every check carries a
+    nonzero count: md5-hex slices of the edge key get (0) swapped
+    timestamps, (1) zeroed weights, (2) a subj_id pointed at a
+    REWRITTEN canon domain node — the stale-canon hazard — and (3)
+    verbatim duplicate rows. The corruption is in-plan and
+    deterministic (Spark md5(binary) == DuckDB md5(varchar), the
+    stream_edges_log_travel idiom); the oracle re-derives slices,
+    corruption, and all four checks in SQL over the edges+canonical
+    goldens."""
+    from transner_spark.operators.canonicalize import canonicalize
+    from transner_spark.operators.evaluate import kg_integrity_report
+
+    canon = canonicalize(_links(spark, sf_dir))
+    e = _edges(spark, sf_dir)
+    min_rewrite = (
+        canon.where(F.col("canon_id") != F.col("node_id"))
+        .agg(F.min("node_id").alias("_rw_node"))
+    )
+    hx = F.substring(
+        F.md5(F.concat_ws("|", "subj_id", "pred", "obj_id").cast("binary")), 1, 1
+    )
+    c = F.col("_hx")
+    corrupted = (
+        e.crossJoin(F.broadcast(min_rewrite))
+        .withColumn("_hx", hx)
+        .select(
+            F.when(c == "2", F.col("_rw_node")).otherwise(F.col("subj_id")).alias("subj_id"),
+            F.col("pred"),
+            F.col("obj_id"),
+            F.when(c == "1", F.lit(0)).otherwise(F.col("weight")).cast("long").alias("weight"),
+            F.when(c == "0", F.col("last_ts")).otherwise(F.col("first_ts")).alias("first_ts"),
+            F.when(c == "0", F.col("first_ts")).otherwise(F.col("last_ts")).alias("last_ts"),
+            "_hx",
+        )
+    )
+    bad = corrupted.drop("_hx").unionByName(
+        corrupted.where(c == "3").drop("_hx")
+    )
+    return kg_integrity_report(bad, canon)
+
+
 def q_eval_edges_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The north-rule acceptance metric (P/R over emitted triples/edges,
     BASELINE.json "triple P/R >= 0.95 vs reference") as a DISTRIBUTED
@@ -1732,6 +1775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_links_alias_refresh": q_kg_links_alias_refresh,
         "graph_triangles": q_graph_triangles,
         "graph_similarity": q_graph_similarity,
+        "kg_integrity": q_kg_integrity,
         # -- verified in r01/r02 but pushed past the window in r03 --
         "mention_overlap_pairs": q_mention_overlap_pairs,
         "pipeline_lineage": q_pipeline_lineage,
@@ -1759,7 +1803,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "region_containment": q_region_containment,
         # -- training-data pipeline ops --
         "corpus_filter": q_corpus_filter,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_clusters": q_dedup_clusters,
         "dedup_embedding_cosine_lsh": q_dedup_embedding_cosine_lsh,
         "kmeans_cells": q_kmeans_cells,
@@ -1776,11 +1819,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ann_recall stay in-window — and doc_fingerprint rotates out on
         # 3 green rows for kg_links_incremental, lang_id likewise for
         # kg_links_alias_refresh, text_stats + dedup_simhash likewise
-        # for graph_triangles + graph_similarity) ----
+        # for graph_triangles + graph_similarity, dedup_minhash_lsh
+        # (3 green rows; its incremental twin stays in-window) likewise
+        # for kg_integrity) ----
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "text_stats": q_text_stats,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "ann_bruteforce": q_ann_bruteforce,
         "doc_fingerprint": q_doc_fingerprint,
@@ -1951,6 +1997,11 @@ SELECT 'changes_b1_b3' AS probe, * FROM ({_changes_sql})
     # graph analytics: logic fully re-derived in SQL over the edges
     # golden (upstream-golden stage isolation, like kg_links/edges)
     out.update(graph_oracles(f"read_parquet('{g('edges')}')"))
+    from transner_spark.oracles import kg_integrity_sql
+
+    out["kg_integrity"] = kg_integrity_sql(
+        f"read_parquet('{g('edges')}')", f"read_parquet('{g('canonical')}')"
+    )
     # round 4: the north-rule P/R metric + PMI co-occurrence, both
     # fully re-derived from the triples/canonical goldens (same
     # upstream-golden stage isolation as the graph gates)

@@ -191,6 +191,9 @@ def main() -> None:
         ),
     )
     audit("kg_cooccurrence", entity_cooccurrence(t, canon))
+    from transner_spark.operators.evaluate import kg_integrity_report
+
+    audit("kg_integrity", kg_integrity_report(materialize_edges(t, canon), canon))
     from transner_spark.operators.materialize import edges_diff
 
     audit(

@@ -181,3 +181,49 @@ def test_entity_cooccurrence_min_pair_filter(spark, cooc_triples, empty_canon):
     assert [(r["node_a"], r["node_b"], r["n_pair"]) for r in got] == [
         ("surface:x", "surface:y", 2)
     ]
+
+
+def test_kg_integrity_report(spark):
+    from datetime import datetime
+
+    from transner_spark.operators.evaluate import kg_integrity_report
+
+    t1, t2 = datetime(2026, 1, 1), datetime(2026, 1, 2)
+    canon = spark.createDataFrame(
+        # y is REWRITTEN to E1; E1 itself is an identity row (legal)
+        [("y", "E1"), ("E1", "E1")],
+        "node_id string, canon_id string",
+    )
+    healthy = spark.createDataFrame(
+        # E1 as an endpoint is fine (identity row), self-loop is legal
+        [("a", "p", "E1", 2, t1, t2), ("b", "p", "b", 1, t1, t1)],
+        "subj_id string, pred string, obj_id string, weight long,"
+        " first_ts timestamp, last_ts timestamp",
+    )
+    got = {r["check"]: r["n_violations"] for r in kg_integrity_report(healthy, canon).collect()}
+    assert got == {
+        "unresolved_node": 0,
+        "ts_disorder": 0,
+        "nonpositive_weight": 0,
+        "duplicate_edge_key": 0,
+    }
+    # one violation of each kind: y unresolved (canon says rewrite),
+    # swapped ts, zero weight, and a duplicated key (counted as 1 KEY)
+    bad = spark.createDataFrame(
+        [
+            ("y", "p", "a", 1, t1, t2),      # unresolved subj
+            ("a", "p", "b", 1, t2, t1),      # ts disorder
+            ("a", "q", "b", 0, t1, t2),      # nonpositive weight
+            ("d", "p", "e", 1, t1, t2),      # dup key, row 1
+            ("d", "p", "e", 3, t1, t2),      # dup key, row 2
+        ],
+        "subj_id string, pred string, obj_id string, weight long,"
+        " first_ts timestamp, last_ts timestamp",
+    )
+    got = {r["check"]: r["n_violations"] for r in kg_integrity_report(bad, canon).collect()}
+    assert got == {
+        "unresolved_node": 1,
+        "ts_disorder": 1,
+        "nonpositive_weight": 1,
+        "duplicate_edge_key": 1,
+    }

@@ -226,3 +226,95 @@ def entity_cooccurrence(
         # double-round snap: ln() may differ by an ulp across engines
         F.round(F.round(F.log(lift), 9), 6).alias("pmi"),
     )
+
+
+INTEGRITY_CHECKS = (
+    "unresolved_node",
+    "ts_disorder",
+    "nonpositive_weight",
+    "duplicate_edge_key",
+)
+
+
+def kg_integrity_report(edges: DataFrame, canonical: DataFrame) -> DataFrame:
+    """KG data-quality report: one row per invariant with its violation
+    count over the edge table — (check, n_violations). The checks are
+    the edge table's production contract:
+
+    - ``unresolved_node``: an endpoint id that the canon map says
+      should have been REWRITTEN — it appears in canonical.node_id
+      with ``canon_id <> node_id`` (identity rows are the cluster
+      representatives and are legal endpoints). This is the
+      stale-canon hazard the two-speed maintenance story creates when
+      increments are merged under an old map and the re-resolution
+      step is skipped (operators/materialize.reresolve_edges);
+    - ``ts_disorder``: first_ts > last_ts (violates the min/max
+      aggregate's own invariant);
+    - ``nonpositive_weight``: weight < 1 (weight is a count);
+    - ``duplicate_edge_key``: (subj_id, pred, obj_id) appearing more
+      than once — the table's primary key (counts KEYS in violation,
+      not rows).
+
+    Note self-loops are NOT flagged: subj = obj is a legal edge in this
+    pipeline (reflexive triples survive the rollup by design).
+
+    Healthy output is all-zeros; the operator exists to be run after
+    every maintenance verb (incremental merge, canon refresh, log
+    compaction) as a cheap invariant sweep.
+
+    Scale shape: ONE pass over edges — broadcast semi-flags against
+    the dim-sized rewrite domain + three map-side-combinable
+    conditional sums (one partial row per partition reaches the final
+    agg), plus one keyed aggregation on the table's natural key for
+    the duplicate check. No windows, no driver collect."""
+    rewrites = (
+        canonical.where(F.col("canon_id") != F.col("node_id"))
+        .select("node_id")
+        .distinct()
+    )
+    flagged = (
+        edges.join(
+            F.broadcast(
+                rewrites.withColumnRenamed("node_id", "subj_id")
+            ).withColumn("_subj_unresolved", F.lit(1)),
+            "subj_id",
+            "left",
+        )
+        .join(
+            F.broadcast(
+                rewrites.withColumnRenamed("node_id", "obj_id")
+            ).withColumn("_obj_unresolved", F.lit(1)),
+            "obj_id",
+            "left",
+        )
+    )
+    one_pass = flagged.agg(
+        F.sum(
+            F.when(
+                F.coalesce("_subj_unresolved", F.lit(0))
+                + F.coalesce("_obj_unresolved", F.lit(0))
+                > 0,
+                1,
+            ).otherwise(0)
+        ).alias("unresolved_node"),
+        F.sum(
+            F.when(F.col("first_ts") > F.col("last_ts"), 1).otherwise(0)
+        ).alias("ts_disorder"),
+        F.sum(F.when(F.col("weight") < 1, 1).otherwise(0)).alias(
+            "nonpositive_weight"
+        ),
+    )
+    dup_keys = (
+        edges.groupBy("subj_id", "pred", "obj_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 1)
+        .agg(F.count(F.lit(1)).alias("duplicate_edge_key"))
+    )
+    wide = one_pass.crossJoin(dup_keys)  # two 1-row frames
+    stack = ", ".join(f"'{c}', {c}" for c in INTEGRITY_CHECKS)
+    return wide.selectExpr(
+        f"stack({len(INTEGRITY_CHECKS)}, {stack}) AS (check, n_violations)"
+    ).select(
+        "check",
+        F.coalesce("n_violations", F.lit(0)).cast("long").alias("n_violations"),
+    )

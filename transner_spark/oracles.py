@@ -1568,6 +1568,68 @@ JOIN deg db ON db.node = p.node_b
     }
 
 
+def kg_integrity_sql(edges_src: str, canonical_src: str) -> str:
+    """Independent SQL derivation of the kg_integrity gate
+    (operators/evaluate.kg_integrity_report over the deliberately
+    corrupted edge table q_kg_integrity builds): identical md5-hex
+    slicing (DuckDB md5(varchar) == Spark md5(binary utf8)), identical
+    corruption, then the four invariant counts re-derived — the
+    unresolved check against the REWRITE domain (canon_id <> node_id),
+    duplicate keys counted as keys not rows."""
+    return f"""
+WITH canon AS (SELECT * FROM {canonical_src}),
+rw AS (SELECT DISTINCT node_id FROM canon WHERE canon_id <> node_id),
+mn AS (SELECT min(node_id) AS rw_node FROM rw),
+e AS (
+  SELECT subj_id, pred, obj_id, weight, first_ts, last_ts,
+         substr(md5(subj_id || '|' || pred || '|' || obj_id), 1, 1) AS hx
+  FROM {edges_src}
+),
+corrupted AS (
+  SELECT CASE WHEN hx = '2' THEN (SELECT rw_node FROM mn)
+              ELSE subj_id END AS subj_id,
+         pred,
+         obj_id,
+         CAST(CASE WHEN hx = '1' THEN 0 ELSE weight END AS BIGINT) AS weight,
+         CASE WHEN hx = '0' THEN last_ts ELSE first_ts END AS first_ts,
+         CASE WHEN hx = '0' THEN first_ts ELSE last_ts END AS last_ts,
+         hx
+  FROM e
+),
+bad AS (
+  SELECT subj_id, pred, obj_id, weight, first_ts, last_ts FROM corrupted
+  UNION ALL
+  SELECT subj_id, pred, obj_id, weight, first_ts, last_ts
+  FROM corrupted WHERE hx = '3'
+),
+one_pass AS (
+  SELECT
+    sum(CASE WHEN subj_id IN (SELECT node_id FROM rw)
+              OR obj_id IN (SELECT node_id FROM rw)
+             THEN 1 ELSE 0 END) AS unresolved_node,
+    sum(CASE WHEN first_ts > last_ts THEN 1 ELSE 0 END) AS ts_disorder,
+    sum(CASE WHEN weight < 1 THEN 1 ELSE 0 END) AS nonpositive_weight
+  FROM bad
+),
+dups AS (
+  SELECT count(*) AS duplicate_edge_key FROM (
+    SELECT 1 FROM bad GROUP BY subj_id, pred, obj_id HAVING count(*) > 1
+  )
+)
+SELECT 'unresolved_node' AS "check",
+       CAST(coalesce(unresolved_node, 0) AS BIGINT) AS n_violations
+FROM one_pass
+UNION ALL
+SELECT 'ts_disorder', CAST(coalesce(ts_disorder, 0) AS BIGINT) FROM one_pass
+UNION ALL
+SELECT 'nonpositive_weight', CAST(coalesce(nonpositive_weight, 0) AS BIGINT)
+FROM one_pass
+UNION ALL
+SELECT 'duplicate_edge_key', CAST(coalesce(duplicate_edge_key, 0) AS BIGINT)
+FROM dups
+"""
+
+
 def edges_prf_sql(
     triples_src: str, canonical_src: str, transcripts_cache: str
 ) -> str:
