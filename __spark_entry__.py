@@ -415,9 +415,24 @@ def q_kg_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     canon = canonicalize(_links(spark, sf_dir))
     e = _edges(spark, sf_dir)
+    # fail LOUD (in-plan) if the rewrite domain is ever empty — a NULL
+    # _rw_node would silently turn the unresolved_node check vacuous
+    # while the gate stayed green (the lsh_buckets raise_error posture)
     min_rewrite = (
         canon.where(F.col("canon_id") != F.col("node_id"))
-        .agg(F.min("node_id").alias("_rw_node"))
+        .agg(F.min("node_id").alias("_mn"))
+        .select(
+            F.when(F.col("_mn").isNotNull(), F.col("_mn"))
+            .otherwise(
+                F.raise_error(
+                    F.lit(
+                        "kg_integrity: canon rewrite domain is empty — "
+                        "the stale-canon corruption slice cannot be built"
+                    )
+                )
+            )
+            .alias("_rw_node")
+        )
     )
     hx = F.substring(
         F.md5(F.concat_ws("|", "subj_id", "pred", "obj_id").cast("binary")), 1, 1
@@ -435,6 +450,7 @@ def q_kg_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(c == "0", F.col("first_ts")).otherwise(F.col("last_ts")).alias("last_ts"),
             "_hx",
         )
+        .localCheckpoint()  # 2 union consumers below
     )
     bad = corrupted.drop("_hx").unionByName(
         corrupted.where(c == "3").drop("_hx")

@@ -56,6 +56,7 @@ def main() -> None:
     from transner_spark.operators.annotate import annotate_turns, explode_triples
     from transner_spark.operators.canonicalize import canonicalize
     from transner_spark.operators.graph import (
+        _oriented,
         _undirected,
         _undirected_degrees,
         graph_similarity,
@@ -81,12 +82,8 @@ def main() -> None:
     und = _undirected(edges).localCheckpoint()
     deg = _undirected_degrees(und)
     max_deg = deg.agg(F.max("deg")).first()[0]
-    orient_a_first = F.col("deg_a") <= F.col("deg_b")
-    o = (
-        und.join(deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a")), "a")
-        .join(deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b")), "b")
-        .select(F.when(orient_a_first, F.col("a")).otherwise(F.col("b")).alias("src"))
-    )
+    # the OPERATOR's own orientation (shared helper), not a re-derivation
+    o = _oriented(und, deg)
     max_out = o.groupBy("src").count().agg(F.max("count")).first()[0]
 
     def timed(build):

@@ -211,11 +211,17 @@ def test_similarity_exact_and_hub_guard(edges_df):
     # — (b,c), (b,d), (c,d) — while pairs witnessed by non-hubs survive:
     # (a,b) via c, (a,c) via b, (a,e) via d
     guarded = {
-        (r["node_a"], r["node_b"])
+        (r["node_a"], r["node_b"]): r
         for r in graph_similarity(
             edges_df, min_common=1, max_neighbor_degree=2
         ).collect()
     }
-    assert guarded == {("a", "b"), ("a", "c"), ("a", "e")}
+    assert set(guarded) == {("a", "b"), ("a", "c"), ("a", "e")}
+    # guarded values are the exact Jaccard of the PRUNED neighborhoods
+    # (one graph definition — never guarded numerator over raw degrees):
+    # N'(a)={b,c,d}, N'(b)={c} → common {c}, jaccard 1/(3+1-1)
+    ab = guarded[("a", "b")]
+    assert (ab["n_common"], ab["deg_a"], ab["deg_b"]) == (1, 3, 1)
+    assert ab["jaccard"] == round(1 / 3, 6)
     dropped = similarity_dropped_hubs(edges_df, 2).collect()
     assert [(r["nb"], r["nb_degree"]) for r in dropped] == [("a", 3)]

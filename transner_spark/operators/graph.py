@@ -281,6 +281,38 @@ def _undirected_degrees(und: DataFrame) -> DataFrame:
     )
 
 
+def _oriented(und: DataFrame, deg: DataFrame) -> DataFrame:
+    """Degree-ordered orientation of the undirected link set: each edge
+    as (src, dst) with src the (deg, id)-smaller endpoint (ties resolve
+    to ``a``, the id-smaller one, since und keeps a < b). The single
+    definition shared by graph_triangles and the bench evidence script —
+    the orientation rule IS the scale claim, so it must not fork."""
+    orient_a_first = F.col("deg_a") <= F.col("deg_b")  # ties: a < b
+    return (
+        und.join(
+            deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a")),
+            "a",
+        )
+        .join(
+            deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b")),
+            "b",
+        )
+        .select(
+            F.when(orient_a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+            F.when(orient_a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        )
+    )
+
+
+def _hub_nodes(deg: DataFrame, max_degree: int) -> DataFrame:
+    """(node, deg) rows above the degree bound — the ONE definition of
+    'hub' shared by graph_similarity's guard and its
+    similarity_dropped_hubs audit twin (always computed over the
+    UNguarded degree table, so the hub set itself cannot drift when the
+    guard reshapes downstream degrees)."""
+    return deg.where(F.col("deg") > max_degree)
+
+
 def graph_triangles(edges: DataFrame) -> DataFrame:
     """Per-node triangle counts + local clustering coefficient over the
     undirected link graph: (node_id, degree, n_triangles, clustering)
@@ -305,22 +337,7 @@ def graph_triangles(edges: DataFrame) -> DataFrame:
     engine-stable without the pagerank double-round snap."""
     und = _undirected(edges).localCheckpoint()  # 3 consumers below
     deg = _undirected_degrees(und)
-    orient_a_first = F.col("deg_a") <= F.col("deg_b")  # ties: a < b
-    o = (
-        und.join(
-            deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a")),
-            "a",
-        )
-        .join(
-            deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b")),
-            "b",
-        )
-        .select(
-            F.when(orient_a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
-            F.when(orient_a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
-        )
-        .localCheckpoint()  # 2 wedge sides below
-    )
+    o = _oriented(und, deg).localCheckpoint()  # 2 wedge sides below
     wedges = (
         o.select("src", F.col("dst").alias("v"))
         .join(o.select("src", F.col("dst").alias("w")), "src")
@@ -361,10 +378,9 @@ def similarity_dropped_hubs(
     """Audit twin of graph_similarity's hub guard (the
     two_hop_dropped_mids pattern): the shared-neighbor nodes the guard
     excludes, with their degrees."""
-    deg = _undirected_degrees(_undirected(edges))
-    return deg.where(F.col("deg") > max_neighbor_degree).select(
-        F.col("node").alias("nb"), F.col("deg").alias("nb_degree")
-    )
+    return _hub_nodes(
+        _undirected_degrees(_undirected(edges)), max_neighbor_degree
+    ).select(F.col("node").alias("nb"), F.col("deg").alias("nb_degree"))
 
 
 def graph_similarity(
@@ -385,20 +401,28 @@ def graph_similarity(
     Skew/scale: the self-join key is the shared NEIGHBOR, whose fan-out
     is its degree — quadratic on a celebrity node, exactly two_hop's
     hub problem, so the same guard applies: ``max_neighbor_degree``
-    drops super-node neighbors from the common-neighbor evidence (audit
-    via ``similarity_dropped_hubs``), AQE skew-join handles the
-    moderate ones. n_common/deg are exact ints and jaccard is ONE IEEE
-    division, so round(6) is engine-stable."""
+    drops super-node neighbors (selected on the UNguarded degree —
+    ``_hub_nodes``, the same definition ``similarity_dropped_hubs``
+    audits) from the graph entirely, and EVERY quantity — n_common,
+    deg_a, deg_b, jaccard — is then computed over that hub-pruned
+    graph, so guarded jaccard is the exact Jaccard of the pruned
+    neighborhoods N'(x) = N(x) \\ hubs (never a mixed-definition
+    ratio). AQE skew-join handles the moderate hubs that stay.
+    n_common/deg are exact ints and jaccard is ONE IEEE division, so
+    round(6) is engine-stable."""
     und = _undirected(edges).localCheckpoint()  # adjacency + degrees
     adj = und.select(
         F.col("a").alias("node"), F.col("b").alias("nb")
     ).unionByName(und.select(F.col("b").alias("node"), F.col("a").alias("nb")))
-    deg = _undirected_degrees(und)
     if max_neighbor_degree is not None:
-        hubs = deg.where(F.col("deg") > max_neighbor_degree).select(
-            F.col("node").alias("nb")
-        )
+        hubs = _hub_nodes(
+            _undirected_degrees(und), max_neighbor_degree
+        ).select(F.col("node").alias("nb"))
         adj = adj.join(F.broadcast(hubs), "nb", "left_anti")
+    adj = adj.localCheckpoint()  # 2 pair sides + the degree agg below
+    # degrees FROM the (possibly hub-pruned) adjacency: |N'(x)| — keeps
+    # the jaccard numerator and denominators on one graph definition
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
     pairs = (
         adj.select(F.col("node").alias("node_a"), "nb")
         .join(adj.select(F.col("node").alias("node_b"), "nb"), "nb")
