@@ -458,6 +458,17 @@ def q_kg_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kg_integrity_report(bad, canon)
 
 
+def q_kg_export_ntriples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The KG interchange sink: every edge as a W3C N-Triples line plus
+    a reified weight literal (operators/export.edges_to_ntriples) — a
+    narrow Catalyst map with an explicit percent-escape chain, so the
+    serialization (and the escaping rule itself) is value-checked
+    against a DuckDB re-derivation (oracles.ntriples_sql)."""
+    from transner_spark.operators.export import edges_to_ntriples
+
+    return edges_to_ntriples(_edges(spark, sf_dir), include_weights=True)
+
+
 def q_eval_edges_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The north-rule acceptance metric (P/R over emitted triples/edges,
     BASELINE.json "triple P/R >= 0.95 vs reference") as a DISTRIBUTED
@@ -1792,6 +1803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_triangles": q_graph_triangles,
         "graph_similarity": q_graph_similarity,
         "kg_integrity": q_kg_integrity,
+        "kg_export_ntriples": q_kg_export_ntriples,
         # -- verified in r01/r02 but pushed past the window in r03 --
         "mention_overlap_pairs": q_mention_overlap_pairs,
         "pipeline_lineage": q_pipeline_lineage,
@@ -1818,7 +1830,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graf_merge": q_graf_merge,
         "region_containment": q_region_containment,
         # -- training-data pipeline ops --
-        "corpus_filter": q_corpus_filter,
         "dedup_clusters": q_dedup_clusters,
         "dedup_embedding_cosine_lsh": q_dedup_embedding_cosine_lsh,
         "kmeans_cells": q_kmeans_cells,
@@ -1837,7 +1848,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # kg_links_alias_refresh, text_stats + dedup_simhash likewise
         # for graph_triangles + graph_similarity, dedup_minhash_lsh
         # (3 green rows; its incremental twin stays in-window) likewise
-        # for kg_integrity) ----
+        # for kg_integrity, corpus_filter (green r02+r03) likewise for
+        # kg_export_ntriples) ----
+        "corpus_filter": q_corpus_filter,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "text_stats": q_text_stats,
@@ -2013,11 +2026,12 @@ SELECT 'changes_b1_b3' AS probe, * FROM ({_changes_sql})
     # graph analytics: logic fully re-derived in SQL over the edges
     # golden (upstream-golden stage isolation, like kg_links/edges)
     out.update(graph_oracles(f"read_parquet('{g('edges')}')"))
-    from transner_spark.oracles import kg_integrity_sql
+    from transner_spark.oracles import kg_integrity_sql, ntriples_sql
 
     out["kg_integrity"] = kg_integrity_sql(
         f"read_parquet('{g('edges')}')", f"read_parquet('{g('canonical')}')"
     )
+    out["kg_export_ntriples"] = ntriples_sql(f"read_parquet('{g('edges')}')")
     # round 4: the north-rule P/R metric + PMI co-occurrence, both
     # fully re-derived from the triples/canonical goldens (same
     # upstream-golden stage isolation as the graph gates)

@@ -194,6 +194,12 @@ def main() -> None:
     from transner_spark.operators.evaluate import kg_integrity_report
 
     audit("kg_integrity", kg_integrity_report(materialize_edges(t, canon), canon))
+    from transner_spark.operators.export import edges_to_ntriples
+
+    audit(
+        "kg_export_ntriples",
+        edges_to_ntriples(materialize_edges(t, canon), include_weights=True),
+    )
     from transner_spark.operators.materialize import edges_diff
 
     audit(

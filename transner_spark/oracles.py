@@ -1568,6 +1568,35 @@ JOIN deg db ON db.node = p.node_b
     }
 
 
+def ntriples_sql(edges_src: str) -> str:
+    """Independent SQL derivation of the kg_export_ntriples gate
+    (operators/export.edges_to_ntriples with include_weights=True):
+    the identical 4-step percent-escape chain (%25 first) and the same
+    concatenation templates, re-built in DuckDB string functions so the
+    escaping rule itself is value-checked."""
+    esc = (
+        "replace(replace(replace(replace({c}, '%', '%25'),"
+        " ' ', '%20'), '<', '%3C'), '>', '%3E')"
+    )
+    return f"""
+WITH esc AS (
+  SELECT {esc.format(c="subj_id")} AS s,
+         {esc.format(c="pred")} AS p,
+         {esc.format(c="obj_id")} AS o,
+         weight
+  FROM {edges_src}
+)
+SELECT '<urn:kg:node/' || s || '> <urn:kg:pred/' || p
+       || '> <urn:kg:node/' || o || '> .' AS line
+FROM esc
+UNION ALL
+SELECT '<urn:kg:edge/' || s || '/' || p || '/' || o
+       || '> <urn:kg:pred/weight> "' || CAST(weight AS VARCHAR)
+       || '"^^<http://www.w3.org/2001/XMLSchema#integer> .'
+FROM esc
+"""
+
+
 def kg_integrity_sql(edges_src: str, canonical_src: str) -> str:
     """Independent SQL derivation of the kg_integrity gate
     (operators/evaluate.kg_integrity_report over the deliberately
