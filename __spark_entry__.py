@@ -399,6 +399,16 @@ def q_graph_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph_similarity(_edges(spark, sf_dir))
 
 
+def q_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components + sizes of the undirected entity graph
+    (iterative min-label CC with fail-loud convergence, reused from the
+    canonicalization stage; oracle = recursive-CTE CC, the
+    dedup_clusters precedent)."""
+    from transner_spark.operators.graph import graph_components
+
+    return graph_components(_edges(spark, sf_dir))
+
+
 def q_kg_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The post-maintenance invariant sweep (kg_integrity_report) run
     over a DELIBERATELY corrupted edge table so every check carries a
@@ -1804,6 +1814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_similarity": q_graph_similarity,
         "kg_integrity": q_kg_integrity,
         "kg_export_ntriples": q_kg_export_ntriples,
+        "graph_components": q_graph_components,
         # -- verified in r01/r02 but pushed past the window in r03 --
         "mention_overlap_pairs": q_mention_overlap_pairs,
         "pipeline_lineage": q_pipeline_lineage,
@@ -1828,7 +1839,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mentions_uri": q_mentions_uri,
         "turn_ordering": q_turn_ordering,
         "graf_merge": q_graf_merge,
-        "region_containment": q_region_containment,
         # -- training-data pipeline ops --
         "dedup_clusters": q_dedup_clusters,
         "dedup_embedding_cosine_lsh": q_dedup_embedding_cosine_lsh,
@@ -1849,7 +1859,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # for graph_triangles + graph_similarity, dedup_minhash_lsh
         # (3 green rows; its incremental twin stays in-window) likewise
         # for kg_integrity, corpus_filter (green r02+r03) likewise for
-        # kg_export_ntriples) ----
+        # kg_export_ntriples, region_containment (green r01+r02+r03)
+        # likewise for graph_components) ----
+        "region_containment": q_region_containment,
         "corpus_filter": q_corpus_filter,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,

@@ -143,6 +143,9 @@ def main() -> None:
     audit("graph_neighbors_topk", graph_neighbors_topk(edges))
     audit("graph_triangles", graph_triangles(edges))
     audit("graph_similarity", graph_similarity(edges))
+    from transner_spark.operators.graph import graph_components
+
+    audit("graph_components", graph_components(edges))
 
     from transner_spark.operators.canonicalize import canonicalize
     from transner_spark.operators.linking import link_surfaces, node_surfaces

@@ -225,3 +225,22 @@ def test_similarity_exact_and_hub_guard(edges_df):
     assert ab["jaccard"] == round(1 / 3, 6)
     dropped = similarity_dropped_hubs(edges_df, 2).collect()
     assert [(r["nb"], r["nb_degree"]) for r in dropped] == [("a", 3)]
+
+
+def test_components_exact(edges_df, spark):
+    from transner_spark.operators.graph import graph_components
+
+    # EDGES graph is one undirected component {a,b,c,d,e};
+    # add a disjoint island {x, y} to prove separation and sizes
+    extra = spark.createDataFrame(
+        [("x", "p1", "y", 1)],
+        "subj_id string, pred string, obj_id string, weight long",
+    )
+    rows = {
+        r["node_id"]: (r["component_id"], r["component_size"])
+        for r in graph_components(edges_df.unionByName(extra)).collect()
+    }
+    assert {n for n, (c, s) in rows.items() if c == "a"} == {"a", "b", "c", "d", "e"}
+    assert {n for n, (c, s) in rows.items() if c == "x"} == {"x", "y"}
+    assert all(s == 5 for n, (c, s) in rows.items() if c == "a")
+    assert all(s == 2 for n, (c, s) in rows.items() if c == "x")

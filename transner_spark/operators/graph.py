@@ -452,3 +452,33 @@ def graph_similarity(
             F.round(jaccard, 6).alias("jaccard"),
         )
     )
+
+
+def graph_components(edges: DataFrame, max_iterations: int = 25) -> DataFrame:
+    """Connected components of the undirected entity graph:
+    (node_id, component_id, component_size), component_id = the min
+    node id in the component — the standard KG-curation projection
+    (is the graph one giant component? how many islands? which?).
+
+    Reuses the canonicalization stage's iterative min-label CC
+    (operators/canonicalize.connected_components: per-round
+    neighbor-label propagation + min agg, localCheckpoint lineage
+    truncation, fail-loud on non-convergence) over the triangle/
+    similarity operators' undirected link set, then one component-keyed
+    count for sizes. Isolated self-loop-only nodes are out of domain by
+    _undirected's definition, matching the SQL oracle exactly."""
+    from transner_spark.operators.canonicalize import connected_components
+
+    und = _undirected(edges)
+    cc = connected_components(
+        und.select(F.col("a").alias("src"), F.col("b").alias("dst")),
+        max_iterations=max_iterations,
+    )
+    sizes = cc.groupBy("canon_id").agg(
+        F.count(F.lit(1)).alias("component_size")
+    )
+    return cc.join(sizes, "canon_id").select(
+        "node_id",
+        F.col("canon_id").alias("component_id"),
+        F.col("component_size").cast("long").alias("component_size"),
+    )

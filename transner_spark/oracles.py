@@ -1540,6 +1540,28 @@ SELECT deg.node AS node_id,
                   ELSE 0.0 END, 6) AS clustering
 FROM deg LEFT JOIN tc ON tc.node_id = deg.node
 """,
+        # recursive-CTE min-label CC (the dedup_clusters oracle pattern)
+        # over the same undirected link set; sizes via a window over the
+        # component labels
+        "graph_components": f"""
+WITH RECURSIVE und AS {und},
+sym AS (
+  SELECT a AS src, b AS dst FROM und
+  UNION
+  SELECT b, a FROM und
+),
+cc AS (
+  SELECT src AS node_id, src AS label FROM sym
+  UNION
+  SELECT e.dst AS node_id, c.label
+  FROM cc c JOIN sym e ON e.src = c.node_id
+),
+lab AS (SELECT node_id, min(label) AS component_id FROM cc GROUP BY node_id)
+SELECT node_id, component_id,
+       CAST(count(*) OVER (PARTITION BY component_id) AS BIGINT)
+         AS component_size
+FROM lab
+""",
         # gate runs unguarded (max_neighbor_degree=None), same posture
         # as graph_two_hop; jaccard = n_common / (deg_a + deg_b - n_common)
         "graph_similarity": f"""
