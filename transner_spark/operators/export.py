@@ -9,14 +9,19 @@ shuffle — serialization is a narrow map over the edge table, so at
 100 TB it parallelizes perfectly and pipelines straight into
 ``df.write.text(...)`` for a distributed multi-file export.
 
-IRI escaping: node/predicate ids here are controlled vocabulary
-(``city:x``, ``surface:foo bar``, canon ids) whose only IRI-illegal
-characters in practice are space, percent, and angle brackets; those
-four are escaped explicitly (%25 FIRST, then %20/%3C/%3E — order
-matters, and the identical replace chain runs in the DuckDB oracle so
-the escaping rule itself is value-checked). Anything beyond this
-controlled charset is a data bug the kg_integrity sweep would surface,
-not an escaping concern.
+IRI escaping: every character N-Triples forbids inside an IRIREF is
+percent-escaped — space, the angle brackets, double quote, backslash,
+pipe, caret, backtick, braces — plus ``%`` itself (escaped FIRST so
+later escapes don't double-escape) and ``/`` (IRI-legal, but it is this
+module's path delimiter inside the reified edge IRI, so leaving it raw
+would let distinct (s, p, o) components collide into one IRI). The
+identical ordered replace chain runs in the DuckDB oracle, so the
+escaping rule itself is value-checked. Remaining illegal bytes can only
+be C0/C1 controls; those fail LOUD via an in-plan ``raise_error`` guard
+(never silently emitted, never silently dropped) — Spark-side only,
+which is safe for the gate because on valid data the guard is inert and
+on invalid data the gate errors rather than hash-matching garbage.
+Unicode letters beyond ASCII are legal in IRIs and pass through.
 """
 
 from __future__ import annotations
@@ -26,14 +31,38 @@ from pyspark.sql import functions as F
 
 NT_BASE = "urn:kg:"
 
+# ordered: '%' MUST be first; '/' escaped to keep the edge-IRI
+# delimiter collision-free (see module docstring)
+_ESCAPES = (
+    ("%", "%25"),
+    (" ", "%20"),
+    ("/", "%2F"),
+    ("<", "%3C"),
+    (">", "%3E"),
+    ('"', "%22"),
+    ("\\", "%5C"),
+    ("|", "%7C"),
+    ("^", "%5E"),
+    ("`", "%60"),
+    ("{", "%7B"),
+    ("}", "%7D"),
+)
+
 
 def _iri_escape(col: F.Column) -> F.Column:
-    # %25 first so later escapes aren't double-escaped
-    out = F.replace(col, F.lit("%"), F.lit("%25"))
-    out = F.replace(out, F.lit(" "), F.lit("%20"))
-    out = F.replace(out, F.lit("<"), F.lit("%3C"))
-    out = F.replace(out, F.lit(">"), F.lit("%3E"))
-    return out
+    out = col
+    for raw, esc in _ESCAPES:
+        out = F.replace(out, F.lit(raw), F.lit(esc))
+    # fail loud on anything still IRI-illegal (C0/C1 control bytes):
+    # a conformant parser would reject the line, so refuse to emit it
+    return F.when(
+        out.rlike("[\\x00-\\x1f\\x7f]"),
+        F.raise_error(
+            F.concat(
+                F.lit("edges_to_ntriples: control character in id: "), out
+            )
+        ),
+    ).otherwise(out)
 
 
 def edges_to_ntriples(
@@ -45,8 +74,10 @@ def edges_to_ntriples(
     ``<{base}node/S> <{base}pred/P> <{base}node/O> .``
     With ``include_weights``, one additional line per edge reifying the
     rollup weight as an xsd:integer statement on a deterministic edge
-    IRI (``<{base}edge/S/P/O> <{base}pred/weight> "W"^^xsd:integer .``)
-    so the count survives a round-trip through any RDF store.
+    IRI (``<{base}edge/S/P/O> <{base}pred/weight> "W"^^xsd:integer .``;
+    unambiguous because ``/`` inside S/P/O is escaped) — emitted from
+    the SAME single scan via an explode, never a second read of the
+    edge table.
 
     Returns a single-column frame (``line`` string) — feed it to
     ``df.write.text(path)`` for the actual sink write (one file per
@@ -58,13 +89,14 @@ def edges_to_ntriples(
         F.lit(f"<{base}node/"), s, F.lit(f"> <{base}pred/"), p,
         F.lit(f"> <{base}node/"), o, F.lit("> ."),
     )
-    lines = edges.select(stmt.alias("line"))
     if not include_weights:
-        return lines
+        return edges.select(stmt.alias("line"))
     wstmt = F.concat(
         F.lit(f"<{base}edge/"), s, F.lit("/"), p, F.lit("/"), o,
         F.lit(f"> <{base}pred/weight> \""),
         F.col("weight").cast("string"),
         F.lit("\"^^<http://www.w3.org/2001/XMLSchema#integer> ."),
     )
-    return lines.unionByName(edges.select(wstmt.alias("line")))
+    return edges.select(
+        F.explode(F.array(stmt, wstmt)).alias("line")
+    )

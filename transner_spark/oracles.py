@@ -1593,18 +1593,27 @@ JOIN deg db ON db.node = p.node_b
 def ntriples_sql(edges_src: str) -> str:
     """Independent SQL derivation of the kg_export_ntriples gate
     (operators/export.edges_to_ntriples with include_weights=True):
-    the identical 4-step percent-escape chain (%25 first) and the same
-    concatenation templates, re-built in DuckDB string functions so the
-    escaping rule itself is value-checked."""
-    esc = (
-        "replace(replace(replace(replace({c}, '%', '%25'),"
-        " ' ', '%20'), '<', '%3C'), '>', '%3E')"
-    )
+    the identical ORDERED percent-escape chain (%25 first; '/' escaped
+    so the reified edge IRI's delimiter is collision-free; full
+    N-Triples-illegal printable set) and the same concatenation
+    templates, re-built in DuckDB string functions so the escaping rule
+    itself is value-checked. The operator's control-char raise_error
+    guard is Spark-side only: inert on valid data (values match), and
+    on invalid data the gate ERRORS instead of hash-matching garbage."""
+    from transner_spark.operators.export import _ESCAPES
+
+    def esc(col: str) -> str:
+        out = col
+        for raw, escd in _ESCAPES:
+            raw_sql = raw.replace("'", "''")
+            out = f"replace({out}, '{raw_sql}', '{escd}')"
+        return out
+
     return f"""
 WITH esc AS (
-  SELECT {esc.format(c="subj_id")} AS s,
-         {esc.format(c="pred")} AS p,
-         {esc.format(c="obj_id")} AS o,
+  SELECT {esc("subj_id")} AS s,
+         {esc("pred")} AS p,
+         {esc("obj_id")} AS o,
          weight
   FROM {edges_src}
 )
