@@ -409,6 +409,15 @@ def q_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph_components(_edges(spark, sf_dir))
 
 
+def q_graph_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration synchronous label-propagation communities
+    (deterministic count-desc/label-asc tiebreak; oracle = one unrolled
+    counts/argmax CTE pair per round, the pagerank posture)."""
+    from transner_spark.operators.graph import graph_communities
+
+    return graph_communities(_edges(spark, sf_dir))
+
+
 def q_kg_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The post-maintenance invariant sweep (kg_integrity_report) run
     over a DELIBERATELY corrupted edge table so every check carries a
@@ -1815,6 +1824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_integrity": q_kg_integrity,
         "kg_export_ntriples": q_kg_export_ntriples,
         "graph_components": q_graph_components,
+        "graph_communities": q_graph_communities,
         # -- verified in r01/r02 but pushed past the window in r03 --
         "mention_overlap_pairs": q_mention_overlap_pairs,
         "pipeline_lineage": q_pipeline_lineage,
@@ -1840,7 +1850,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "turn_ordering": q_turn_ordering,
         "graf_merge": q_graf_merge,
         # -- training-data pipeline ops --
-        "dedup_clusters": q_dedup_clusters,
         "dedup_embedding_cosine_lsh": q_dedup_embedding_cosine_lsh,
         "kmeans_cells": q_kmeans_cells,
         # ---- position 50 ends here; every gate below has green driver
@@ -1860,7 +1869,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (3 green rows; its incremental twin stays in-window) likewise
         # for kg_integrity, corpus_filter (green r02+r03) likewise for
         # kg_export_ntriples, region_containment (green r01+r02+r03)
-        # likewise for graph_components) ----
+        # likewise for graph_components, dedup_clusters (green r02+r03;
+        # its CC core is exercised in-window by graph_components and
+        # kg_canonical) likewise for graph_communities) ----
+        "dedup_clusters": q_dedup_clusters,
         "region_containment": q_region_containment,
         "corpus_filter": q_corpus_filter,
         "ann_lsh": q_ann_lsh,

@@ -146,6 +146,9 @@ def main() -> None:
     from transner_spark.operators.graph import graph_components
 
     audit("graph_components", graph_components(edges))
+    from transner_spark.operators.graph import graph_communities
+
+    audit("graph_communities", graph_communities(edges))
 
     from transner_spark.operators.canonicalize import canonicalize
     from transner_spark.operators.linking import link_surfaces, node_surfaces

@@ -244,3 +244,30 @@ def test_components_exact(edges_df, spark):
     assert {n for n, (c, s) in rows.items() if c == "x"} == {"x", "y"}
     assert all(s == 5 for n, (c, s) in rows.items() if c == "a")
     assert all(s == 2 for n, (c, s) in rows.items() if c == "x")
+
+
+def test_communities_two_cliques(spark):
+    from transner_spark.operators.graph import graph_communities
+
+    # two triangles joined by one bridge edge: LPA(3, min-tiebreak)
+    # separates the triangles (1 bridge vote < 2 in-clique votes). The
+    # PARTITION is the contract — the label VALUE of the b-side is a3,
+    # an id leaked across the bridge in round 1 before in-clique
+    # majorities form; labels are opaque community ids, not members
+    tri = [("a1", "a2"), ("a2", "a3"), ("a1", "a3"),
+           ("b1", "b2"), ("b2", "b3"), ("b1", "b3"), ("a3", "b1")]
+    edges = spark.createDataFrame(
+        [(s, "p", o, 1) for s, o in tri],
+        "subj_id string, pred string, obj_id string, weight long",
+    )
+    rows = {
+        r["node_id"]: (r["community_id"], r["community_size"])
+        for r in graph_communities(edges).collect()
+    }
+    parts = {}
+    for n, (c, s) in rows.items():
+        parts.setdefault(c, set()).add(n)
+        assert s == 3
+    assert sorted(parts.values(), key=min) == [
+        {"a1", "a2", "a3"}, {"b1", "b2", "b3"}
+    ]

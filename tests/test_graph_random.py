@@ -81,3 +81,34 @@ def test_similarity_matches_bruteforce(spark, seed, bound):
         ).collect()
     }
     assert got == want
+
+
+def _lpa_py(adj, n_iter):
+    labels = {n: n for n in adj}
+    for _ in range(n_iter):
+        new = {}
+        for n in adj:
+            counts = {}
+            for nb in adj[n]:
+                lb = labels[nb]
+                counts[lb] = counts.get(lb, 0) + 1
+            new[n] = min(counts, key=lambda lb: (-counts[lb], lb))
+        labels = new
+    return labels
+
+
+@pytest.mark.parametrize("seed", [7, 41])
+def test_communities_match_bruteforce(spark, seed):
+    from transner_spark.operators.graph import LPA_ITERATIONS, graph_communities
+
+    rows = _random_edges(seed, n_nodes=13, n_edges=55)
+    _, adj = _undirected_py(rows)
+    want_labels = _lpa_py(adj, LPA_ITERATIONS)
+    sizes = {}
+    for lb in want_labels.values():
+        sizes[lb] = sizes.get(lb, 0) + 1
+    got = {
+        r["node_id"]: (r["community_id"], r["community_size"])
+        for r in graph_communities(spark.createDataFrame(rows, SCHEMA)).collect()
+    }
+    assert got == {n: (lb, sizes[lb]) for n, lb in want_labels.items()}

@@ -482,3 +482,62 @@ def graph_components(edges: DataFrame, max_iterations: int = 25) -> DataFrame:
         F.col("canon_id").alias("component_id"),
         F.col("component_size").cast("long").alias("component_size"),
     )
+
+
+LPA_ITERATIONS = 3
+
+
+def graph_communities(
+    edges: DataFrame, n_iterations: int = LPA_ITERATIONS
+) -> DataFrame:
+    """Community detection by FIXED-iteration synchronous label
+    propagation over the undirected link graph:
+    (node_id, community_id, community_size).
+
+    Semantics (matched exactly by the unrolled DuckDB oracle, the
+    graph_pagerank / kmeans_cells posture): every node starts labeled
+    with its own id; each round, a node adopts the most frequent label
+    among its NEIGHBORS, ties broken by the smaller label — a total,
+    deterministic tiebreak, so a fixed iteration count gives a fixed
+    answer (free-running async LPA is run-order-dependent and could
+    never be value-gated). Communities are the dense-substructure
+    complement of graph_components' pure connectivity.
+
+    Scale shape per iteration: one shuffle join (labels onto the
+    adjacency) + one (node, label) count agg + a rank window
+    PARTITIONED by node (per-node frames, never a global sort) —
+    the same bounded pattern as graph_neighbors_topk; localCheckpoint
+    truncates the iterative lineage each round. Hot nodes are group
+    keys with map-side partials, never a fan-out side."""
+    und = _undirected(edges).localCheckpoint()
+    adj = und.select(
+        F.col("a").alias("node"), F.col("b").alias("nb")
+    ).unionByName(
+        und.select(F.col("b").alias("node"), F.col("a").alias("nb"))
+    ).localCheckpoint()
+    labels = adj.select(F.col("node").alias("node_id")).distinct().select(
+        "node_id", F.col("node_id").alias("label")
+    )
+    rank_w = Window.partitionBy("node").orderBy(
+        F.col("c").desc(), F.col("label").asc()
+    )
+    for _ in range(n_iterations):
+        neighbor_labels = adj.join(
+            labels.withColumnRenamed("node_id", "nb"), "nb"
+        ).select("node", "label")
+        labels = (
+            neighbor_labels.groupBy("node", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .withColumn("_rn", F.row_number().over(rank_w))
+            .where(F.col("_rn") == 1)
+            .select(F.col("node").alias("node_id"), "label")
+            .localCheckpoint()  # truncate iterative lineage
+        )
+    sizes = labels.groupBy("label").agg(
+        F.count(F.lit(1)).alias("community_size")
+    )
+    return labels.join(sizes, "label").select(
+        "node_id",
+        F.col("label").alias("community_id"),
+        F.col("community_size").cast("long").alias("community_size"),
+    )

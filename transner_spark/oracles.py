@@ -1411,7 +1411,10 @@ def graph_oracles(
         PAGERANK_ITERATIONS,
     )
 
-    from transner_spark.operators.graph import SIMILARITY_MIN_COMMON
+    from transner_spark.operators.graph import (
+        LPA_ITERATIONS,
+        SIMILARITY_MIN_COMMON,
+    )
 
     if n_iterations is None:
         n_iterations = PAGERANK_ITERATIONS
@@ -1540,6 +1543,37 @@ SELECT deg.node AS node_id,
                   ELSE 0.0 END, 6) AS clustering
 FROM deg LEFT JOIN tc ON tc.node_id = deg.node
 """,
+        # fixed-iteration synchronous label propagation, unrolled one
+        # (counts, argmax) CTE pair per round (the pagerank unroll
+        # posture); argmax tiebreak = (count desc, label asc), the
+        # operator's exact rank window
+        "graph_communities": (
+            "WITH und AS " + und + ",\n"
+            "adj AS (SELECT a AS node, b AS nb FROM und"
+            " UNION ALL SELECT b, a FROM und),\n"
+            "lp0 AS (SELECT DISTINCT node, node AS label FROM adj),\n"
+            + ",\n".join(
+                f"""c{i} AS (
+  SELECT a.node, l.label, count(*) AS c
+  FROM adj a JOIN lp{i - 1} l ON l.node = a.nb
+  GROUP BY a.node, l.label),
+lp{i} AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           row_number() OVER (
+             PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+    FROM c{i})
+  WHERE rn = 1)"""
+                for i in range(1, LPA_ITERATIONS + 1)
+            )
+            + f""",
+sz AS (SELECT label, count(*) AS community_size
+       FROM lp{LPA_ITERATIONS} GROUP BY label)
+SELECT l.node AS node_id, l.label AS community_id,
+       CAST(sz.community_size AS BIGINT) AS community_size
+FROM lp{LPA_ITERATIONS} l JOIN sz ON sz.label = l.label
+"""
+        ),
         # recursive-CTE min-label CC (the dedup_clusters oracle pattern)
         # over the same undirected link set; sizes via a window over the
         # component labels
