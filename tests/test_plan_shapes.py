@@ -160,6 +160,27 @@ def test_neighbors_topk_window_is_partitioned(spark):
     assert "SinglePartition" not in p
 
 
+def test_communities_rank_window_is_partitioned(spark):
+    """Same pin for graph_communities' per-round argmax window: it must
+    be PARTITIONED by node (per-node frames), never a global sort. The
+    pin targets _lpa_round directly — the operator localCheckpoints each
+    round, which truncates lineage and hides the window from the final
+    plan; the helper IS the round's definition (one shared copy)."""
+    from transner_spark.operators.graph import _adjacency, _lpa_round, _undirected
+
+    edges = spark.createDataFrame(
+        [(1, "p", 2, 3), (1, "p", 3, 2), (2, "p", 3, 1)],
+        ["subj_id", "pred", "obj_id", "weight"],
+    )
+    adj = _adjacency(_undirected(edges))
+    labels = adj.select(F.col("node").alias("node_id")).distinct().select(
+        "node_id", F.col("node_id").alias("label")
+    )
+    p = _plan(_lpa_round(adj, labels))
+    assert "hashpartitioning(node" in p
+    assert "SinglePartition" not in p
+
+
 def test_bucketed_reattach_after_catalog_loss(spark, tmp_path):
     """A resumed run / fresh session has the serving FILES but no
     catalog entry (the bucket spec is session metadata):

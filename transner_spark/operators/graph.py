@@ -304,6 +304,16 @@ def _oriented(und: DataFrame, deg: DataFrame) -> DataFrame:
     )
 
 
+def _adjacency(und: DataFrame) -> DataFrame:
+    """Both-direction (node, nb) expansion of the ordered undirected
+    link set — the ONE adjacency definition shared by graph_similarity
+    and graph_communities, so self-loop/multiplicity semantics (already
+    collapsed by _undirected) cannot fork between the two operators."""
+    return und.select(
+        F.col("a").alias("node"), F.col("b").alias("nb")
+    ).unionByName(und.select(F.col("b").alias("node"), F.col("a").alias("nb")))
+
+
 def _hub_nodes(deg: DataFrame, max_degree: int) -> DataFrame:
     """(node, deg) rows above the degree bound — the ONE definition of
     'hub' shared by graph_similarity's guard and its
@@ -411,9 +421,7 @@ def graph_similarity(
     n_common/deg are exact ints and jaccard is ONE IEEE division, so
     round(6) is engine-stable."""
     und = _undirected(edges).localCheckpoint()  # adjacency + degrees
-    adj = und.select(
-        F.col("a").alias("node"), F.col("b").alias("nb")
-    ).unionByName(und.select(F.col("b").alias("node"), F.col("a").alias("nb")))
+    adj = _adjacency(und)
     if max_neighbor_degree is not None:
         hubs = _hub_nodes(
             _undirected_degrees(und), max_neighbor_degree
@@ -487,6 +495,29 @@ def graph_components(edges: DataFrame, max_iterations: int = 25) -> DataFrame:
 LPA_ITERATIONS = 3
 
 
+def _lpa_round(adj: DataFrame, labels: DataFrame) -> DataFrame:
+    """One synchronous LPA round: join current labels onto the adjacency,
+    count labels per node, argmax with the total (count desc, label asc)
+    tiebreak via a rank window PARTITIONED by node (per-node frames,
+    never a global sort — pinned by tests/test_plan_shapes.py, since the
+    per-round localCheckpoint hides this plan from the operator's final
+    explain). Exposed as a helper so the plan pin and the operator share
+    one definition of the round."""
+    rank_w = Window.partitionBy("node").orderBy(
+        F.col("c").desc(), F.col("label").asc()
+    )
+    neighbor_labels = adj.join(
+        labels.withColumnRenamed("node_id", "nb"), "nb"
+    ).select("node", "label")
+    return (
+        neighbor_labels.groupBy("node", "label")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("_rn", F.row_number().over(rank_w))
+        .where(F.col("_rn") == 1)
+        .select(F.col("node").alias("node_id"), "label")
+    )
+
+
 def graph_communities(
     edges: DataFrame, n_iterations: int = LPA_ITERATIONS
 ) -> DataFrame:
@@ -510,29 +541,13 @@ def graph_communities(
     truncates the iterative lineage each round. Hot nodes are group
     keys with map-side partials, never a fan-out side."""
     und = _undirected(edges).localCheckpoint()
-    adj = und.select(
-        F.col("a").alias("node"), F.col("b").alias("nb")
-    ).unionByName(
-        und.select(F.col("b").alias("node"), F.col("a").alias("nb"))
-    ).localCheckpoint()
+    adj = _adjacency(und).localCheckpoint()
     labels = adj.select(F.col("node").alias("node_id")).distinct().select(
         "node_id", F.col("node_id").alias("label")
     )
-    rank_w = Window.partitionBy("node").orderBy(
-        F.col("c").desc(), F.col("label").asc()
-    )
     for _ in range(n_iterations):
-        neighbor_labels = adj.join(
-            labels.withColumnRenamed("node_id", "nb"), "nb"
-        ).select("node", "label")
-        labels = (
-            neighbor_labels.groupBy("node", "label")
-            .agg(F.count(F.lit(1)).alias("c"))
-            .withColumn("_rn", F.row_number().over(rank_w))
-            .where(F.col("_rn") == 1)
-            .select(F.col("node").alias("node_id"), "label")
-            .localCheckpoint()  # truncate iterative lineage
-        )
+        # truncate iterative lineage each round
+        labels = _lpa_round(adj, labels).localCheckpoint()
     sizes = labels.groupBy("label").agg(
         F.count(F.lit(1)).alias("community_size")
     )

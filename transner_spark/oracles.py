@@ -1394,6 +1394,7 @@ def graph_oracles(
     edges_src: str,
     n_iterations: int | None = None,
     damping: float | None = None,
+    lpa_iterations: int | None = None,
 ) -> dict[str, str]:
     """Oracles for the graph-analytics operators (operators/graph.py)
     over a FROM-able edges source (the edges golden parquet in the gate —
@@ -1420,6 +1421,8 @@ def graph_oracles(
         n_iterations = PAGERANK_ITERATIONS
     if damping is None:
         damping = PAGERANK_DAMPING
+    if lpa_iterations is None:
+        lpa_iterations = LPA_ITERATIONS
     topk_k = NEIGHBORS_TOPK_K
     min_common = SIMILARITY_MIN_COMMON
     # undirected link set shared by the triangle/similarity twins —
@@ -1564,14 +1567,14 @@ lp{i} AS (
              PARTITION BY node ORDER BY c DESC, label ASC) AS rn
     FROM c{i})
   WHERE rn = 1)"""
-                for i in range(1, LPA_ITERATIONS + 1)
+                for i in range(1, lpa_iterations + 1)
             )
             + f""",
 sz AS (SELECT label, count(*) AS community_size
-       FROM lp{LPA_ITERATIONS} GROUP BY label)
+       FROM lp{lpa_iterations} GROUP BY label)
 SELECT l.node AS node_id, l.label AS community_id,
        CAST(sz.community_size AS BIGINT) AS community_size
-FROM lp{LPA_ITERATIONS} l JOIN sz ON sz.label = l.label
+FROM lp{lpa_iterations} l JOIN sz ON sz.label = l.label
 """
         ),
         # recursive-CTE min-label CC (the dedup_clusters oracle pattern)
