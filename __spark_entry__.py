@@ -399,6 +399,28 @@ def q_graph_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph_similarity(_edges(spark, sf_dir))
 
 
+def q_kg_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic filtered negative sampling for KG-embedding
+    training: per positive triple, hash-addressed corrupted objects via
+    a bucketed 0..N-1 entity index (no data-scaled global window),
+    minus accidental positives (operators/negatives.py; oracle =
+    identical two-level index + hash in DuckDB)."""
+    from transner_spark.operators.negatives import negative_samples
+
+    return negative_samples(_edges(spark, sf_dir))
+
+
+def q_graph_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded BFS from the top-degree seed entities: (seed_id, node_id,
+    dist) with dist the shortest undirected hop distance ≤ KHOP_MAX_HOPS
+    (frontier expansion + visited anti-join per round; oracle = one
+    unrolled walk-extension CTE per hop with a min-over-union finish)."""
+    from transner_spark.operators.graph import graph_khop, khop_seeds
+
+    edges = _edges(spark, sf_dir)
+    return graph_khop(edges, khop_seeds(edges))
+
+
 def q_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components + sizes of the undirected entity graph
     (iterative min-label CC with fail-loud convergence, reused from the
@@ -1825,6 +1847,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_export_ntriples": q_kg_export_ntriples,
         "graph_components": q_graph_components,
         "graph_communities": q_graph_communities,
+        "graph_khop": q_graph_khop,
+        "kg_negative_samples": q_kg_negative_samples,
         # -- verified in r01/r02 but pushed past the window in r03 --
         "mention_overlap_pairs": q_mention_overlap_pairs,
         "pipeline_lineage": q_pipeline_lineage,
@@ -1847,10 +1871,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mentions_regex": q_mentions_regex,
         "mentions_religion": q_mentions_religion,
         "mentions_uri": q_mentions_uri,
-        "turn_ordering": q_turn_ordering,
         "graf_merge": q_graf_merge,
         # -- training-data pipeline ops --
-        "dedup_embedding_cosine_lsh": q_dedup_embedding_cosine_lsh,
         "kmeans_cells": q_kmeans_cells,
         # ---- position 50 ends here; every gate below has green driver
         # rows in at least two of r01-r03 (triples_structural and
@@ -1871,7 +1893,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # kg_export_ntriples, region_containment (green r01+r02+r03)
         # likewise for graph_components, dedup_clusters (green r02+r03;
         # its CC core is exercised in-window by graph_components and
-        # kg_canonical) likewise for graph_communities) ----
+        # kg_canonical) likewise for graph_communities, and
+        # turn_ordering (green r01+r02+r03) likewise for graph_khop,
+        # and dedup_embedding_cosine_lsh (green r01+r02+r03) likewise
+        # for kg_negative_samples ----
+        "turn_ordering": q_turn_ordering,
+        "dedup_embedding_cosine_lsh": q_dedup_embedding_cosine_lsh,
         "dedup_clusters": q_dedup_clusters,
         "region_containment": q_region_containment,
         "corpus_filter": q_corpus_filter,
@@ -2050,6 +2077,11 @@ SELECT 'changes_b1_b3' AS probe, * FROM ({_changes_sql})
     # graph analytics: logic fully re-derived in SQL over the edges
     # golden (upstream-golden stage isolation, like kg_links/edges)
     out.update(graph_oracles(f"read_parquet('{g('edges')}')"))
+    from transner_spark.oracles import negative_samples_oracle
+
+    out["kg_negative_samples"] = negative_samples_oracle(
+        f"read_parquet('{g('edges')}')"
+    )
     from transner_spark.oracles import kg_integrity_sql, ntriples_sql
 
     out["kg_integrity"] = kg_integrity_sql(

@@ -149,6 +149,12 @@ def main() -> None:
     from transner_spark.operators.graph import graph_communities
 
     audit("graph_communities", graph_communities(edges))
+    from transner_spark.operators.graph import graph_khop, khop_seeds
+
+    audit("graph_khop", graph_khop(edges, khop_seeds(edges)))
+    from transner_spark.operators.negatives import negative_samples
+
+    audit("kg_negative_samples", negative_samples(edges))
 
     from transner_spark.operators.canonicalize import canonicalize
     from transner_spark.operators.linking import link_surfaces, node_surfaces

@@ -271,3 +271,79 @@ def test_communities_two_cliques(spark):
     assert sorted(parts.values(), key=min) == [
         {"a1", "a2", "a3"}, {"b1", "b2", "b3"}
     ]
+
+
+def _bfs_reference(links, seeds, max_hops):
+    """Pure-python BFS twin of graph_khop over the undirected distinct
+    link set: shortest hop distance from each seed, cut at max_hops."""
+    adj = {}
+    for u, v in links:
+        if u == v:
+            continue
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    out = {}
+    for s in seeds:
+        dist = {s: 0}
+        frontier = {s}
+        for d in range(1, max_hops + 1):
+            frontier = {
+                nb for f in frontier for nb in adj.get(f, ()) if nb not in dist
+            }
+            for nb in frontier:
+                dist[nb] = d
+        for n, d in dist.items():
+            out[(s, n)] = d
+    return out
+
+
+def test_khop_exact(edges_df, spark):
+    from transner_spark.operators.graph import graph_khop
+
+    seeds = spark.createDataFrame([("a",), ("e",)], "node_id string")
+    rows = {
+        (r["seed_id"], r["node_id"]): r["dist"]
+        for r in graph_khop(edges_df, seeds, max_hops=2).collect()
+    }
+    links = {(s, o) for s, _, o, _ in EDGES}
+    assert rows == _bfs_reference(links, ["a", "e"], 2)
+    # e is a leaf: only d at hop 1, then a at hop 2
+    assert rows[("e", "d")] == 1 and rows[("e", "a")] == 2
+    # dist 0 self rows present for every seed
+    assert rows[("a", "a")] == 0 and rows[("e", "e")] == 0
+
+
+def test_khop_seeds_deterministic_and_khop_randomized(spark):
+    import random
+
+    from transner_spark.operators.graph import (
+        graph_khop,
+        khop_seeds,
+    )
+
+    rng = random.Random(20260819)
+    nodes = [f"n{i}" for i in range(30)]
+    links = {
+        tuple(rng.sample(nodes, 2))
+        for _ in range(60)
+    }
+    edges = spark.createDataFrame(
+        [(s, "p", o, 1) for s, o in links],
+        "subj_id string, pred string, obj_id string, weight long",
+    )
+    seeds_df = khop_seeds(edges, 3)
+    got_seeds = sorted(r["node_id"] for r in seeds_df.collect())
+    # reference top-3 by (undirected degree desc, id asc)
+    deg = {}
+    und = {(min(s, o), max(s, o)) for s, o in links if s != o}
+    for u, v in und:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    ref_seeds = sorted(deg, key=lambda n: (-deg[n], n))[:3]
+    assert got_seeds == sorted(ref_seeds)
+
+    rows = {
+        (r["seed_id"], r["node_id"]): r["dist"]
+        for r in graph_khop(edges, seeds_df, max_hops=3).collect()
+    }
+    assert rows == _bfs_reference(links, ref_seeds, 3)

@@ -1,0 +1,107 @@
+"""Negative sampling (operators/negatives.py): exactness of the
+bucketed entity index, a pure-python twin of the whole sampler, and the
+filtered-corruption invariants."""
+
+from __future__ import annotations
+
+import hashlib
+
+from transner_spark.operators.negatives import (
+    NEG_BUCKETS,
+    entity_index,
+    negative_samples,
+)
+
+EDGES = [
+    ("a", "p1", "b", 3),
+    ("a", "p2", "b", 2),
+    ("a", "p1", "c", 1),
+    ("b", "p1", "c", 5),
+    ("c", "p1", "a", 1),
+    ("d", "p1", "a", 4),
+    ("d", "p1", "e", 1),
+]
+
+
+def _h60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _index_reference(entities, n_buckets):
+    """Python twin of entity_index: bucket by h60, rank by id within
+    bucket, offsets by bucket order."""
+    buckets = {}
+    for e in entities:
+        buckets.setdefault(_h60(f"nsb:{e}") % n_buckets, []).append(e)
+    idx, off = {}, 0
+    for b in sorted(buckets):
+        for rank, e in enumerate(sorted(buckets[b])):
+            idx[e] = off + rank
+        off += len(buckets[b])
+    return idx
+
+
+def _negatives_reference(pos, n_samples, n_buckets):
+    entities = sorted({s for s, _, _ in pos} | {o for _, _, o in pos})
+    idx = _index_reference(entities, n_buckets)
+    by_gidx = {g: e for e, g in idx.items()}
+    pos_set = set(pos)
+    out = set()
+    for s, p, o in pos_set:
+        for i in range(n_samples):
+            g = _h60(f"neg:{i}:{s}|{p}|{o}") % len(entities)
+            neg = by_gidx[g]
+            if neg != o and (s, p, neg) not in pos_set:
+                out.add((s, p, neg, i))
+    return out
+
+
+def _edges_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "subj_id string, pred string, obj_id string, weight long"
+    )
+
+
+def test_entity_index_gapless_and_matches_reference(spark):
+    df = _edges_df(spark, EDGES)
+    got = {r["id"]: r["gidx"] for r in entity_index(df).collect()}
+    ref = _index_reference(["a", "b", "c", "d", "e"], NEG_BUCKETS)
+    assert got == ref
+    assert sorted(got.values()) == list(range(5))  # gapless 0..N-1
+
+
+def test_negative_samples_match_reference_and_invariants(spark):
+    df = _edges_df(spark, EDGES)
+    rows = negative_samples(df, n_samples=3).collect()
+    got = {(r["subj_id"], r["pred"], r["obj_id"], r["sample_id"]) for r in rows}
+    pos = {(s, p, o) for s, p, o, _ in (e for e in EDGES)}
+    ref = _negatives_reference(pos, 3, NEG_BUCKETS)
+    assert got == ref
+    # filtered: no emitted negative is a positive, none self-corrupts
+    assert all((s, p, o) not in pos for s, p, o, _ in got)
+    assert len(rows) == len(got)  # no duplicate (edge, sample) rows
+
+
+def test_negative_samples_randomized_differential(spark):
+    import random
+
+    rng = random.Random(20260819)
+    ents = [f"e{i}" for i in range(40)]
+    preds = ["p1", "p2", "p3"]
+    pos = {
+        (rng.choice(ents), rng.choice(preds), rng.choice(ents))
+        for _ in range(120)
+    }
+    df = _edges_df(spark, [(s, p, o, 1) for s, p, o in pos])
+    got = {
+        (r["subj_id"], r["pred"], r["obj_id"], r["sample_id"])
+        for r in negative_samples(df, n_samples=2).collect()
+    }
+    assert got == _negatives_reference(pos, 2, NEG_BUCKETS)
+
+
+def test_negative_samples_deterministic(spark):
+    df = _edges_df(spark, EDGES)
+    a = sorted(map(tuple, negative_samples(df).collect()))
+    b = sorted(map(tuple, negative_samples(df).collect()))
+    assert a == b and len(a) > 0

@@ -556,3 +556,66 @@ def graph_communities(
         F.col("label").alias("community_id"),
         F.col("community_size").cast("long").alias("community_size"),
     )
+
+
+KHOP_MAX_HOPS = 3
+KHOP_SEEDS = 3
+
+
+def khop_seeds(edges: DataFrame, n: int = KHOP_SEEDS) -> DataFrame:
+    """(node_id) — the n highest-degree nodes of the undirected entity
+    graph, ties broken by node id asc (a total order, so the seed set is
+    deterministic and value-gateable). Top-k over the dim-sized degree
+    table is a TakeOrderedAndProject — per-partition top-k merged on the
+    driver, never a full global sort — the standard Spark top-k shape."""
+    deg = _undirected_degrees(_undirected(edges))
+    return (
+        deg.orderBy(F.col("deg").desc(), F.col("node").asc())
+        .limit(n)
+        .select(F.col("node").alias("node_id"))
+    )
+
+
+def graph_khop(
+    edges: DataFrame, seeds: DataFrame, max_hops: int = KHOP_MAX_HOPS
+) -> DataFrame:
+    """Bounded BFS: (seed_id, node_id, dist) with dist the shortest
+    undirected hop distance from each seed, cut off at ``max_hops`` —
+    "everything within k hops of these entities", the workhorse
+    neighborhood query over a materialized KG (subgraph extraction,
+    blast-radius analysis, context gathering for RAG over the graph).
+
+    Frontier BFS, one round per hop: expand ONLY the previous round's
+    frontier through the adjacency (one shuffle join), dedup, anti-join
+    against the visited set (BFS invariant: first touch = shortest
+    distance, so minimality needs no min-agg), localCheckpoint to
+    truncate the iterative lineage. Per-round cost is |frontier| x
+    avg-degree and the visited anti-join — never |V|^2; a hub SEED is
+    fine (its fan-out is one frontier's width, handled by AQE skew
+    splitting), unlike two_hop where hubs sit in the join middle.
+    dist is an exact int, so the gate hash is engine-stable."""
+    und = _undirected(edges).localCheckpoint()
+    adj = _adjacency(und).localCheckpoint()
+    visited = seeds.select(
+        F.col("node_id").alias("seed_id"),
+        F.col("node_id"),
+        F.lit(0).cast("int").alias("dist"),
+    ).localCheckpoint()
+    frontier = visited
+    for d in range(1, max_hops + 1):
+        frontier = (
+            frontier.join(
+                adj.withColumnRenamed("node", "node_id"), "node_id"
+            )
+            .select("seed_id", F.col("nb").alias("node_id"))
+            .distinct()
+            .join(
+                visited.select("seed_id", "node_id"),
+                ["seed_id", "node_id"],
+                "left_anti",
+            )
+            .withColumn("dist", F.lit(d).cast("int"))
+            .localCheckpoint()  # truncate iterative lineage
+        )
+        visited = visited.unionByName(frontier)
+    return visited

@@ -1395,6 +1395,8 @@ def graph_oracles(
     n_iterations: int | None = None,
     damping: float | None = None,
     lpa_iterations: int | None = None,
+    khop_max_hops: int | None = None,
+    khop_seeds: int | None = None,
 ) -> dict[str, str]:
     """Oracles for the graph-analytics operators (operators/graph.py)
     over a FROM-able edges source (the edges golden parquet in the gate —
@@ -1413,6 +1415,8 @@ def graph_oracles(
     )
 
     from transner_spark.operators.graph import (
+        KHOP_MAX_HOPS,
+        KHOP_SEEDS,
         LPA_ITERATIONS,
         SIMILARITY_MIN_COMMON,
     )
@@ -1423,6 +1427,10 @@ def graph_oracles(
         damping = PAGERANK_DAMPING
     if lpa_iterations is None:
         lpa_iterations = LPA_ITERATIONS
+    if khop_max_hops is None:
+        khop_max_hops = KHOP_MAX_HOPS
+    if khop_seeds is None:
+        khop_seeds = KHOP_SEEDS
     topk_k = NEIGHBORS_TOPK_K
     min_common = SIMILARITY_MIN_COMMON
     # undirected link set shared by the triangle/similarity twins —
@@ -1575,6 +1583,33 @@ sz AS (SELECT label, count(*) AS community_size
 SELECT l.node AS node_id, l.label AS community_id,
        CAST(sz.community_size AS BIGINT) AS community_size
 FROM lp{lpa_iterations} l JOIN sz ON sz.label = l.label
+"""
+        ),
+        # bounded BFS, unrolled one walk-extension CTE per hop: a node's
+        # shortest distance <= k is the min hop at which ANY walk from
+        # the seed reaches it (walks subsume paths), so min-over-union
+        # of the per-hop frontiers equals the operator's first-touch BFS
+        "graph_khop": (
+            "WITH und AS " + und + ",\n"
+            "adj AS (SELECT a AS node, b AS nb FROM und"
+            " UNION ALL SELECT b, a FROM und),\n"
+            "deg AS (SELECT node, count(*) AS deg FROM adj GROUP BY node),\n"
+            f"seeds AS (SELECT node FROM deg"
+            f" ORDER BY deg DESC, node ASC LIMIT {khop_seeds}),\n"
+            "h0 AS (SELECT node AS seed_id, node AS node_id, 0 AS dist"
+            " FROM seeds),\n"
+            + ",\n".join(
+                f"h{i} AS (SELECT h.seed_id, a.nb AS node_id, {i} AS dist"
+                f" FROM h{i - 1} h JOIN adj a ON a.node = h.node_id)"
+                for i in range(1, khop_max_hops + 1)
+            )
+            + ",\nallh AS ("
+            + " UNION ALL ".join(
+                f"SELECT * FROM h{i}" for i in range(khop_max_hops + 1)
+            )
+            + """)
+SELECT seed_id, node_id, CAST(min(dist) AS INT) AS dist
+FROM allh GROUP BY seed_id, node_id
 """
         ),
         # recursive-CTE min-label CC (the dedup_clusters oracle pattern)
@@ -1848,4 +1883,62 @@ SELECT node_a, node_b,
 FROM pairs
 JOIN marg ma ON ma.node = pairs.node_a
 JOIN marg mb ON mb.node = pairs.node_b
+"""
+
+
+def negative_samples_oracle(
+    edges_src: str,
+    n_samples: int | None = None,
+    n_buckets: int | None = None,
+) -> str:
+    """DuckDB re-derivation of operators/negatives.negative_samples:
+    the same two-level entity index (h60 bucket + within-bucket rank +
+    constant-size offset running sum), the same per-(edge, sample)
+    target hash, the same filtered-corruption predicate. Defaults come
+    from the operator's constants so a tuning change cannot silently
+    desynchronize oracle and operator."""
+    from transner_spark.operators.negatives import NEG_BUCKETS, NEG_SAMPLES
+
+    if n_samples is None:
+        n_samples = NEG_SAMPLES
+    if n_buckets is None:
+        n_buckets = NEG_BUCKETS
+    tgt = _h60(
+        "('neg:' || CAST(s.sample_id AS VARCHAR) || ':' || p.subj_id"
+        " || '|' || p.pred || '|' || p.obj_id)"
+    )
+    return f"""
+WITH pos AS (SELECT DISTINCT subj_id, pred, obj_id FROM {edges_src}),
+ents AS (SELECT DISTINCT id FROM
+         (SELECT subj_id AS id FROM pos UNION SELECT obj_id FROM pos)),
+eb AS (SELECT id, {_h60("('nsb:' || id)")} % {n_buckets} AS b FROM ents),
+ranked AS (SELECT id, b,
+                  row_number() OVER (PARTITION BY b ORDER BY id) AS rn
+           FROM eb),
+bc AS (SELECT b, count(*) AS c FROM eb GROUP BY b),
+offs AS (SELECT b,
+                COALESCE(SUM(c) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED
+                  PRECEDING AND 1 PRECEDING), 0) AS off
+         FROM bc),
+idx AS (SELECT r.id, CAST(o.off + r.rn - 1 AS BIGINT) AS gidx
+        FROM ranked r JOIN offs o USING (b)),
+tot AS (SELECT count(*) AS n_ents FROM ents),
+cand AS (
+  SELECT p.subj_id, p.pred, p.obj_id,
+         CAST(s.sample_id AS INT) AS sample_id,
+         {tgt} % tot.n_ents AS gidx
+  FROM pos p
+  CROSS JOIN (SELECT unnest(range({n_samples})) AS sample_id) s
+  CROSS JOIN tot
+),
+neg AS (
+  SELECT c.subj_id, c.pred, i.id AS neg_obj, c.sample_id
+  FROM cand c JOIN idx i ON i.gidx = c.gidx
+  WHERE i.id <> c.obj_id
+)
+SELECT n.subj_id, n.pred, n.neg_obj AS obj_id, n.sample_id
+FROM neg n
+WHERE NOT EXISTS (SELECT 1 FROM pos p
+                  WHERE p.subj_id = n.subj_id AND p.pred = n.pred
+                    AND p.obj_id = n.neg_obj)
 """
