@@ -415,10 +415,9 @@ def q_graph_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
     dist) with dist the shortest undirected hop distance ≤ KHOP_MAX_HOPS
     (frontier expansion + visited anti-join per round; oracle = one
     unrolled walk-extension CTE per hop with a min-over-union finish)."""
-    from transner_spark.operators.graph import graph_khop, khop_seeds
+    from transner_spark.operators.graph import graph_khop
 
-    edges = _edges(spark, sf_dir)
-    return graph_khop(edges, khop_seeds(edges))
+    return graph_khop(_edges(spark, sf_dir))
 
 
 def q_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -149,9 +149,9 @@ def main() -> None:
     from transner_spark.operators.graph import graph_communities
 
     audit("graph_communities", graph_communities(edges))
-    from transner_spark.operators.graph import graph_khop, khop_seeds
+    from transner_spark.operators.graph import graph_khop
 
-    audit("graph_khop", graph_khop(edges, khop_seeds(edges)))
+    audit("graph_khop", graph_khop(edges))
     from transner_spark.operators.negatives import negative_samples
 
     audit("kg_negative_samples", negative_samples(edges))

@@ -79,7 +79,10 @@ def test_negative_samples_match_reference_and_invariants(spark):
     assert got == ref
     # filtered: no emitted negative is a positive, none self-corrupts
     assert all((s, p, o) not in pos for s, p, o, _ in got)
-    assert len(rows) == len(got)  # no duplicate (edge, sample) rows
+    # NOTE: duplicate output rows ARE possible in general (two positives
+    # sharing (subj, pred) whose corruption hashes collide mod N), so row
+    # multiplicity is deliberately not asserted — the set equality above
+    # is the invariant, matching the oracle's semantics.
 
 
 def test_negative_samples_randomized_differential(spark):
@@ -98,6 +101,25 @@ def test_negative_samples_randomized_differential(spark):
         for r in negative_samples(df, n_samples=2).collect()
     }
     assert got == _negatives_reference(pos, 2, NEG_BUCKETS)
+
+
+def test_negative_samples_rejects_degenerate_knobs(spark):
+    """n_samples=0 would make Spark's sequence(0, -1) DESCEND to
+    [0, -1] while the oracle's range(0) is empty — both sides fail loud
+    instead of silently desynchronizing."""
+    import pytest
+
+    from transner_spark.oracles import negative_samples_oracle
+
+    df = _edges_df(spark, EDGES)
+    with pytest.raises(ValueError, match="n_samples"):
+        negative_samples(df, n_samples=0)
+    with pytest.raises(ValueError, match="n_buckets"):
+        entity_index(df, n_buckets=0)
+    with pytest.raises(ValueError, match="n_samples"):
+        negative_samples_oracle("edges", n_samples=0)
+    with pytest.raises(ValueError, match="n_buckets"):
+        negative_samples_oracle("edges", n_buckets=-1)
 
 
 def test_negative_samples_deterministic(spark):

@@ -562,13 +562,17 @@ KHOP_MAX_HOPS = 3
 KHOP_SEEDS = 3
 
 
-def khop_seeds(edges: DataFrame, n: int = KHOP_SEEDS) -> DataFrame:
+def khop_seeds(
+    edges: DataFrame, n: int = KHOP_SEEDS, und: DataFrame | None = None
+) -> DataFrame:
     """(node_id) — the n highest-degree nodes of the undirected entity
     graph, ties broken by node id asc (a total order, so the seed set is
     deterministic and value-gateable). Top-k over the dim-sized degree
     table is a TakeOrderedAndProject — per-partition top-k merged on the
-    driver, never a full global sort — the standard Spark top-k shape."""
-    deg = _undirected_degrees(_undirected(edges))
+    driver, never a full global sort — the standard Spark top-k shape.
+    Pass ``und`` (a precomputed undirected link set) to avoid repeating
+    the distinct-shuffle when the caller already built one."""
+    deg = _undirected_degrees(_undirected(edges) if und is None else und)
     return (
         deg.orderBy(F.col("deg").desc(), F.col("node").asc())
         .limit(n)
@@ -577,7 +581,10 @@ def khop_seeds(edges: DataFrame, n: int = KHOP_SEEDS) -> DataFrame:
 
 
 def graph_khop(
-    edges: DataFrame, seeds: DataFrame, max_hops: int = KHOP_MAX_HOPS
+    edges: DataFrame,
+    seeds: DataFrame | None = None,
+    max_hops: int = KHOP_MAX_HOPS,
+    n_seeds: int = KHOP_SEEDS,
 ) -> DataFrame:
     """Bounded BFS: (seed_id, node_id, dist) with dist the shortest
     undirected hop distance from each seed, cut off at ``max_hops`` —
@@ -593,8 +600,14 @@ def graph_khop(
     avg-degree and the visited anti-join — never |V|^2; a hub SEED is
     fine (its fan-out is one frontier's width, handled by AQE skew
     splitting), unlike two_hop where hubs sit in the join middle.
-    dist is an exact int, so the gate hash is engine-stable."""
+    dist is an exact int, so the gate hash is engine-stable.
+
+    ``seeds=None`` derives the top-``n_seeds`` degree seeds from the
+    SAME undirected link set the walk uses (one distinct-shuffle, not
+    two — the default gate/audit path)."""
     und = _undirected(edges).localCheckpoint()
+    if seeds is None:
+        seeds = khop_seeds(edges, n_seeds, und=und)
     adj = _adjacency(und).localCheckpoint()
     visited = seeds.select(
         F.col("node_id").alias("seed_id"),

@@ -56,6 +56,8 @@ def entity_index(edges: DataFrame, n_buckets: int = NEG_BUCKETS) -> DataFrame:
     entity vocabulary of the edge table — bucketed rank + constant-size
     offset scan (see module docstring for why this avoids a data-scaled
     global window)."""
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
     ents = (
         edges.select(F.col("subj_id").alias("id"))
         .unionByName(edges.select(F.col("obj_id").alias("id")))
@@ -96,7 +98,18 @@ def negative_samples(
     deterministic entity index, minus corruptions that collide with the
     true object or any existing positive (filtered sampling, so the
     emitted count can be slightly below ``n_samples`` per edge — by
-    construction, never by chance)."""
+    construction, never by chance).
+
+    Distinct SOURCE positives sharing (subj, pred) can hash to the same
+    corrupted object, so the output may contain duplicate rows — that is
+    the sampler's semantics (one draw per positive), mirrored exactly by
+    the oracle; consumers wanting a distinct negative set dedup on read.
+
+    ``n_samples`` must be >= 1: Spark's ``sequence(0, n-1)`` DESCENDS
+    for n=0 (yielding [0, -1] instead of []), which would silently
+    desynchronize operator and oracle — so both fail loud instead."""
+    if n_samples < 1:
+        raise ValueError(f"n_samples must be >= 1, got {n_samples}")
     pos = edges.select("subj_id", "pred", "obj_id").distinct().localCheckpoint()
     idx = entity_index(pos, n_buckets)
     total = idx.agg(F.count(F.lit(1)).cast("long").alias("n_ents"))

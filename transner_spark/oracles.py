@@ -1598,8 +1598,12 @@ FROM lp{lpa_iterations} l JOIN sz ON sz.label = l.label
             f" ORDER BY deg DESC, node ASC LIMIT {khop_seeds}),\n"
             "h0 AS (SELECT node AS seed_id, node AS node_id, 0 AS dist"
             " FROM seeds),\n"
+            # DISTINCT per hop bounds each CTE at |V| rows per seed;
+            # without it h_k enumerates every length-k WALK, which grows
+            # ~deg^k from the deliberately-hub seeds
             + ",\n".join(
-                f"h{i} AS (SELECT h.seed_id, a.nb AS node_id, {i} AS dist"
+                f"h{i} AS (SELECT DISTINCT h.seed_id, a.nb AS node_id,"
+                f" {i} AS dist"
                 f" FROM h{i - 1} h JOIN adj a ON a.node = h.node_id)"
                 for i in range(1, khop_max_hops + 1)
             )
@@ -1903,6 +1907,12 @@ def negative_samples_oracle(
         n_samples = NEG_SAMPLES
     if n_buckets is None:
         n_buckets = NEG_BUCKETS
+    # mirror the operator's loud guards (range(0) here would silently
+    # return zero rows while Spark's sequence(0, -1) descends)
+    if n_samples < 1:
+        raise ValueError(f"n_samples must be >= 1, got {n_samples}")
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
     tgt = _h60(
         "('neg:' || CAST(s.sample_id AS VARCHAR) || ':' || p.subj_id"
         " || '|' || p.pred || '|' || p.obj_id)"
