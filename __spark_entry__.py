@@ -684,6 +684,43 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_fingerprint(spark.read.parquet(os.path.join(sf_dir, "documents.parquet")))
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: per train doc, how many of its distinct
+    word 4-grams appear anywhere in the deterministic ~10% eval split —
+    the GPT-3-style n-gram overlap test (operators/curation.py; eval
+    grams broadcast, ONE doc-keyed agg, no rejoin)."""
+    from transner_spark.operators.curation import decontaminate, eval_split
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    ev = eval_split(docs)
+    return decontaminate(docs.where(~ev), docs.where(ev))
+
+
+def q_sample_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic downsampling (data mixing): keep at most
+    QUOTA_PER_GROUP docs per lang by md5 rank — exact per-group rank via
+    contiguous hex-prefix buckets + constant-size offset join, never a
+    data-scaled per-group window (oracle = the plain global-window
+    formulation, an independent derivation)."""
+    from transner_spark.operators.curation import sample_quota
+
+    return sample_quota(
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    )
+
+
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-document repetition metrics: top/duplicate
+    word-2-gram counts and fractions per doc, via a zero-shuffle sorted
+    run-length fold (oracle derives multiplicities independently with
+    unnest + GROUP BY)."""
+    from transner_spark.operators.curation import doc_repetition
+
+    return doc_repetition(
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    )
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
 
@@ -1848,6 +1885,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_communities": q_graph_communities,
         "graph_khop": q_graph_khop,
         "kg_negative_samples": q_kg_negative_samples,
+        "decontaminate": q_decontaminate,
+        "sample_quota": q_sample_quota,
+        "doc_repetition": q_doc_repetition,
         # -- verified in r01/r02 but pushed past the window in r03 --
         "mention_overlap_pairs": q_mention_overlap_pairs,
         "pipeline_lineage": q_pipeline_lineage,
@@ -1865,11 +1905,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_edges_incremental": q_kg_edges_incremental,
         "kg_edges_asof": q_kg_edges_asof,
         "entity_profiles": q_entity_profiles,
-        "preprocess_proc_text": q_preprocess_proc_text,
         "mentions_ner": q_mentions_ner,
         "mentions_regex": q_mentions_regex,
-        "mentions_religion": q_mentions_religion,
-        "mentions_uri": q_mentions_uri,
         "graf_merge": q_graf_merge,
         # -- training-data pipeline ops --
         "kmeans_cells": q_kmeans_cells,
@@ -1895,9 +1932,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # kg_canonical) likewise for graph_communities, and
         # turn_ordering (green r01+r02+r03) likewise for graph_khop,
         # and dedup_embedding_cosine_lsh (green r01+r02+r03) likewise
-        # for kg_negative_samples ----
+        # for kg_negative_samples, and preprocess_proc_text,
+        # mentions_religion, mentions_uri (green r02+r03 each; their
+        # kernels stay in-window via mentions_ner/mentions_regex and the
+        # kg_* chain) likewise for decontaminate, sample_quota,
+        # doc_repetition ----
         "turn_ordering": q_turn_ordering,
         "dedup_embedding_cosine_lsh": q_dedup_embedding_cosine_lsh,
+        "preprocess_proc_text": q_preprocess_proc_text,
+        "mentions_religion": q_mentions_religion,
+        "mentions_uri": q_mentions_uri,
         "dedup_clusters": q_dedup_clusters,
         "region_containment": q_region_containment,
         "corpus_filter": q_corpus_filter,
@@ -1952,6 +1996,9 @@ def oracle_sql() -> dict[str, str]:
     docs = "/root/testdata/sf0.01/documents.parquet"
     emb = "/root/testdata/sf0.01/embeddings.parquet"
     out = dict(textops_oracles(docs))
+    from transner_spark.oracles import curation_oracles
+
+    out.update(curation_oracles(docs))
     out.update(dedup_oracles(docs, emb))
     # incremental-maintenance gate: the oracle IS the full recompute
     # over the whole docs table (incremental ≡ full — the same oracle

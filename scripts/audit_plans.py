@@ -53,6 +53,17 @@ def main() -> None:
     from transner_spark.sources.transcripts import ensure_transcripts_parquet
 
     audit("text_stats", text_stats(docs))
+    from transner_spark.operators.curation import (
+        decontaminate,
+        doc_repetition,
+        eval_split,
+        sample_quota,
+    )
+
+    ev = eval_split(docs)
+    audit("decontaminate", decontaminate(docs.where(~ev), docs.where(ev)))
+    audit("sample_quota", sample_quota(docs))
+    audit("doc_repetition", doc_repetition(docs))
     audit("dedup_exact", dedup_exact(docs))
     audit("dedup_minhash_lsh", dedup_minhash_lsh(docs))
     audit("dedup_simhash", dedup_simhash(docs))

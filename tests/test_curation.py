@@ -1,0 +1,186 @@
+"""Curation operators (operators/curation.py): handcrafted exactness +
+randomized differentials against pure-python twins."""
+
+from __future__ import annotations
+
+import hashlib
+import random
+from collections import Counter
+
+from transner_spark.operators.curation import (
+    decontaminate,
+    doc_repetition,
+    eval_split,
+    sample_quota,
+)
+
+DOCS = [
+    # (doc_id, text, lang)
+    (1, "alpha beta gamma delta epsilon", "en"),
+    (2, "alpha beta gamma delta zeta", "en"),  # shares 4-gram with 1
+    (3, "one two three four five six", "en"),
+    (4, "uno dos tres cuatro", "es"),  # short: whole-text shingle
+    (5, "", "es"),  # empty text
+    (6, "x y x y x y z", "de"),  # heavy 2-gram repetition
+]
+
+
+def _docs_df(spark, rows=DOCS):
+    return spark.createDataFrame(
+        [(i, t, lg, "src", len(t)) for i, t, lg in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+def _grams(text: str, n: int, distinct: bool) -> list[str]:
+    toks = text.strip().split() if text.strip() else []
+    if len(toks) < n:
+        out = [" ".join(toks)] if distinct else []
+        return out
+    out = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+    if distinct:
+        seen, ded = set(), []
+        for g in out:
+            if g not in seen:
+                seen.add(g)
+                ded.append(g)
+        return ded
+    return out
+
+
+def test_decontaminate_handcrafted(spark):
+    df = _docs_df(spark)
+    train = df.where("doc_id <> 1")
+    ev = df.where("doc_id = 1")
+    rows = {r["doc_id"]: r for r in decontaminate(train, ev, n=4).collect()}
+    assert set(rows) == {2, 3, 4, 5, 6}
+    # doc 2 shares exactly 'alpha beta gamma delta' with the eval doc
+    assert rows[2]["n_hit_grams"] == 1 and rows[2]["contaminated"]
+    assert rows[2]["n_grams"] == 2
+    for d in (3, 4, 5, 6):
+        assert rows[d]["n_hit_grams"] == 0 and not rows[d]["contaminated"]
+    # short doc: one whole-text shingle; empty doc: one '' shingle
+    assert rows[4]["n_grams"] == 1 and rows[5]["n_grams"] == 1
+
+
+def test_decontaminate_randomized(spark):
+    rng = random.Random(20260819)
+    vocab = [f"w{i}" for i in range(12)]
+    rows = [
+        (i, " ".join(rng.choices(vocab, k=rng.randint(0, 15))), "en")
+        for i in range(60)
+    ]
+    df = _docs_df(spark, rows)
+    is_ev = {i for i, _, _ in rows if i % 7 == 0}
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_hit_grams"], r["contaminated"])
+        for r in decontaminate(
+            df.where(~df.doc_id.isin(list(is_ev))),
+            df.where(df.doc_id.isin(list(is_ev))),
+            n=3,
+        ).collect()
+    }
+    ev_grams = {
+        g for i, t, _ in rows if i in is_ev for g in _grams(t, 3, True)
+    }
+    for i, t, _ in rows:
+        if i in is_ev:
+            assert i not in got
+            continue
+        sh = _grams(t, 3, True)
+        hits = sum(1 for g in sh if g in ev_grams)
+        assert got[i] == (len(sh), hits, hits > 0)
+
+
+def test_eval_split_deterministic(spark):
+    df = _docs_df(spark)
+    a = {r["doc_id"] for r in df.where(eval_split(df)).collect()}
+    b = {r["doc_id"] for r in df.where(eval_split(df)).collect()}
+    assert a == b  # pure function of doc_id
+
+
+def _quota_reference(rows, quota):
+    by_grp: dict[str, list] = {}
+    for i, _, lg in rows:
+        key = hashlib.md5(f"sq:{i}".encode()).hexdigest()
+        by_grp.setdefault(lg, []).append((key, i))
+    out = {}
+    for lg, items in by_grp.items():
+        for rk, (_, i) in enumerate(sorted(items), start=1):
+            if rk <= quota:
+                out[i] = (lg, rk)
+    return out
+
+
+def test_sample_quota_exact_rank(spark):
+    rng = random.Random(7)
+    rows = [
+        (i, "t", rng.choice(["en", "de", "fr"])) for i in range(200)
+    ]
+    df = _docs_df(spark, rows)
+    got = {
+        r["doc_id"]: (r["lang"], r["sample_rank"])
+        for r in sample_quota(df, quota=25).collect()
+    }
+    assert got == _quota_reference(rows, 25)
+    # every group capped at the quota, small groups kept whole
+    per = Counter(lg for lg, _ in got.values())
+    assert all(v <= 25 for v in per.values())
+
+
+def test_sample_quota_keeps_small_groups_whole(spark):
+    df = _docs_df(spark)  # en=3, es=2, de=1 docs
+    got = sample_quota(df, quota=10).collect()
+    assert len(got) == len(DOCS)
+    ranks = sorted(
+        (r["lang"], r["sample_rank"]) for r in got
+    )
+    assert ranks == [
+        ("de", 1), ("en", 1), ("en", 2), ("en", 3), ("es", 1), ("es", 2)
+    ]
+
+
+def _repetition_reference(text, n):
+    grams = _grams(text, n, False)
+    c = Counter(grams)
+    ng = len(grams)
+    top = max(c.values()) if c else 0
+    dupocc = sum(v for v in c.values() if v > 1)
+    dupk = sum(1 for v in c.values() if v > 1)
+    return (
+        ng, top, dupocc, dupk,
+        round(top / max(ng, 1), 6), round(dupocc / max(ng, 1), 6),
+    )
+
+
+def test_doc_repetition_handcrafted(spark):
+    rows = {r["doc_id"]: r for r in doc_repetition(_docs_df(spark)).collect()}
+    # doc 6 = 'x y x y x y z': 2-grams [x y, y x, x y, y x, x y, y z]
+    r6 = rows[6]
+    assert (
+        r6["n_ngrams"], r6["top_ngram_count"],
+        r6["dup_ngram_occurrences"], r6["dup_ngram_kinds"],
+    ) == (6, 3, 5, 2)
+    assert r6["top_ngram_frac"] == 0.5
+    # no repeated 2-gram in doc 1; empty doc 5 is all zeros
+    assert rows[1]["dup_ngram_occurrences"] == 0
+    assert rows[5]["n_ngrams"] == 0 and rows[5]["top_ngram_frac"] == 0.0
+
+
+def test_doc_repetition_randomized(spark):
+    rng = random.Random(20260819)
+    vocab = ["a", "b", "c"]
+    rows = [
+        (i, " ".join(rng.choices(vocab, k=rng.randint(0, 20))), "en")
+        for i in range(50)
+    ]
+    got = {
+        r["doc_id"]: (
+            r["n_ngrams"], r["top_ngram_count"],
+            r["dup_ngram_occurrences"], r["dup_ngram_kinds"],
+            r["top_ngram_frac"], r["dup_ngram_frac"],
+        )
+        for r in doc_repetition(_docs_df(spark, rows)).collect()
+    }
+    for i, t, _ in rows:
+        assert got[i] == _repetition_reference(t, 2), (i, t)

@@ -1,0 +1,234 @@
+"""Corpus-curation operators for LLM training-data pipelines, over the
+``documents`` table (doc_id, text, lang, source, n_chars): eval-set
+decontamination, stratified quota sampling, and intra-document
+repetition metrics.
+
+These are the curation steps that sit between dedup (operators/dedup.py)
+and training: drop documents that leak the eval benchmark
+(`decontaminate` — the n-gram-overlap test the GPT-3/PaLM reports
+describe), rebalance over-represented groups deterministically
+(`sample_quota` — data mixing), and score pathological self-repetition
+(`doc_repetition` — the Gopher duplicate-n-gram heuristics).
+
+Scale postures (each has a PLANS.md audit row):
+
+- `decontaminate`: the eval set is benchmark-sized (a dim), so its
+  distinct gram vocabulary BROADCASTS; the 100 TB train side pays one
+  narrow shingle map + explode and ONE hash agg keyed by doc_id — no
+  rejoin (per-doc totals ride the same agg as the hit counts).
+- `sample_quota`: exact per-group rank WITHOUT a data-scaled per-group
+  window (a hot group would otherwise be one giant frame). The md5 sort
+  key is split into 256 CONTIGUOUS hex-prefix buckets; rank within
+  (group, bucket) — bounded frames — plus per-group bucket offsets from
+  a constant-size prefix-sum inequality join (the negatives.entity_index
+  two-level idiom, generalized by group).
+- `doc_repetition`: pure narrow map, zero shuffles — per-doc run-length
+  fold over the SORTED n-gram array (O(n log n) per doc), so at 100 TB
+  the job is scan-bound like the rest of textops. The DuckDB oracle
+  derives the same stats the independent way (unnest + GROUP BY).
+
+All ratios are exact-int numerators/denominators with ONE IEEE division
+rounded at 6 — the engine-stable shape the gate hashing requires.
+
+Cited parity: the reference repo's scope ends at NER; these extend the
+training-data surface (SURVEY §2 training-data ops) like dedup/ANN do.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from transner_spark.functions.hashing import h60
+from transner_spark.operators.dedup import with_shingles
+from transner_spark.operators.textops import ws_tokens
+
+DECON_NGRAM = 4  # word n-gram width for contamination matching
+EVAL_MOD = 10  # deterministic eval split: h60('eval:'||doc_id) % 10 == 0
+
+QUOTA_PER_GROUP = 60
+QUOTA_BUCKETS = 256  # hex-prefix buckets of the md5 sort key
+
+REPETITION_NGRAM = 2
+
+
+def eval_split(docs: DataFrame, mod: int = EVAL_MOD) -> Column:
+    """Boolean eval-membership column: a deterministic ~1/mod hash split
+    of doc_id, so the same document lands on the same side in every run
+    and in the DuckDB oracle."""
+    return (
+        F.pmod(h60(F.concat(F.lit("eval:"), F.col("doc_id").cast("string"))),
+               F.lit(mod))
+        == 0
+    )
+
+
+def decontaminate(
+    train: DataFrame, eval_docs: DataFrame, n: int = DECON_NGRAM
+) -> DataFrame:
+    """(doc_id, n_grams, n_hit_grams, contaminated): for each TRAIN
+    document, how many of its distinct word n-grams appear anywhere in
+    the eval set — n_hit_grams > 0 marks the document as leaking eval
+    content and a curation pass drops or flags it.
+
+    The eval grams are a broadcast dim (benchmarks are small); the train
+    side explodes its distinct shingles and aggregates ONCE per doc_id,
+    counting total and hit grams in the same agg (no rejoin). Short docs
+    contribute their whole text as one shingle (with_shingles), so every
+    document gets a row."""
+    ev = (
+        with_shingles(eval_docs, n)
+        .select(F.explode("shingles").alias("gram"))
+        .distinct()
+        .withColumn("hit", F.lit(1).cast("long"))
+    )
+    ex = with_shingles(train, n).select(
+        "doc_id", F.explode("shingles").alias("gram")
+    )
+    return (
+        ex.join(F.broadcast(ev), "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias(
+                "n_hit_grams"
+            ),
+        )
+        .withColumn("contaminated", F.col("n_hit_grams") > 0)
+    )
+
+
+def sample_quota(
+    docs: DataFrame,
+    group_col: str = "lang",
+    quota: int = QUOTA_PER_GROUP,
+) -> DataFrame:
+    """(doc_id, <group_col>, sample_rank): keep at most ``quota``
+    documents per group, chosen by md5-of-doc_id order — a reproducible
+    uniform subsample for data mixing (downsample the over-represented
+    language/domain, keep small groups whole).
+
+    Exact per-group rank with NO data-scaled per-group window: the md5
+    sort key's first hex byte defines 256 CONTIGUOUS buckets, rank runs
+    within (group, bucket) — frames of ~|group|/256 rows — and the
+    global in-group rank is bucket offset + in-bucket rank, offsets from
+    a prefix-sum inequality join over the (group, bucket) stats table
+    (dim-sized: |groups| x 256 rows, broadcastable). The DuckDB oracle
+    uses the plain global-window formulation — an independent derivation
+    of the same ranks."""
+    key = F.md5(
+        F.concat(F.lit("sq:"), F.col("doc_id").cast("string")).cast("binary")
+    )
+    d = docs.select(
+        "doc_id", F.col(group_col).alias("grp"), key.alias("k")
+    ).withColumn(
+        "b", F.conv(F.substring("k", 1, 2), 16, 10).cast("int")
+    )
+    rn_w = Window.partitionBy("grp", "b").orderBy("k", "doc_id")
+    ranked = d.withColumn("rn", F.row_number().over(rn_w))
+    # bucket count = max in-bucket rank, derived from the RANKED frame so
+    # the bucket-stats branch reuses the window's exchange (ReuseExchange
+    # dedupes the scan+shuffle) instead of re-scanning the corpus
+    bc = ranked.groupBy("grp", "b").agg(F.max("rn").alias("c"))
+    prior = bc.select(
+        F.col("grp").alias("grp_p"), F.col("b").alias("b_p"),
+        F.col("c").alias("c_p"),
+    )
+    offsets = (
+        bc.join(
+            F.broadcast(prior),
+            (F.col("grp_p") == F.col("grp")) & (F.col("b_p") < F.col("b")),
+            "left",
+        )
+        .groupBy("grp", "b")
+        .agg(F.coalesce(F.sum("c_p"), F.lit(0)).alias("off"))
+    )
+    return (
+        ranked.join(F.broadcast(offsets), ["grp", "b"])
+        .withColumn(
+            "sample_rank", (F.col("off") + F.col("rn")).cast("long")
+        )
+        .where(F.col("sample_rank") <= quota)
+        .select("doc_id", F.col("grp").alias(group_col), "sample_rank")
+    )
+
+
+def word_ngrams_all(toks: Column, n: int) -> Column:
+    """ALL word n-grams in document order — multiplicity is the signal
+    here, unlike dedup's distinct shingles; fewer than n tokens yields
+    an empty array (no degenerate whole-text gram)."""
+    def gram(i: Column) -> Column:
+        return F.concat_ws(
+            " ", *[F.element_at(toks, i + k) for k in range(n)]
+        )
+
+    return F.when(
+        F.size(toks) < n, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(F.sequence(F.lit(1), F.size(toks) - (n - 1)), gram)
+    )
+
+
+def _run_fold(sorted_grams: Column) -> Column:
+    """Run-length fold over a SORTED gram array: one linear pass carrying
+    (prev gram, current run, max run, occurrences in runs > 1, count of
+    runs > 1). Equal grams are adjacent after the sort, so a run IS a
+    gram's multiplicity; the boundary cases (first element, final run)
+    resolve in merge/finish respectively."""
+    _Z = F.lit(0).cast("long")
+    init = F.struct(
+        F.lit("").alias("prev"), _Z.alias("run"), _Z.alias("maxr"),
+        _Z.alias("dupocc"), _Z.alias("dupk"),
+    )
+
+    def merge(acc: Column, x: Column) -> Column:
+        same = acc["prev"] == x
+        run_new = F.when(same, acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+        boundary_dup = (~same) & (acc["run"] > 1)
+        return F.struct(
+            x.alias("prev"),
+            run_new.alias("run"),
+            F.greatest(acc["maxr"], run_new).alias("maxr"),
+            (acc["dupocc"] + F.when(boundary_dup, acc["run"]).otherwise(_Z))
+            .alias("dupocc"),
+            (acc["dupk"] + F.when(boundary_dup, F.lit(1).cast("long"))
+             .otherwise(_Z)).alias("dupk"),
+        )
+
+    def finish(acc: Column) -> Column:
+        last_dup = acc["run"] > 1
+        return F.struct(
+            acc["maxr"].alias("top_count"),
+            (acc["dupocc"] + F.when(last_dup, acc["run"]).otherwise(_Z))
+            .alias("dup_occ"),
+            (acc["dupk"] + F.when(last_dup, F.lit(1).cast("long"))
+             .otherwise(_Z)).alias("dup_kinds"),
+        )
+
+    return F.aggregate(sorted_grams, init, merge, finish)
+
+
+def doc_repetition(docs: DataFrame, n: int = REPETITION_NGRAM) -> DataFrame:
+    """(doc_id, n_ngrams, top_ngram_count, dup_ngram_occurrences,
+    dup_ngram_kinds, top_ngram_frac, dup_ngram_frac): Gopher-style
+    repetition heuristics — how much of the document is its own most
+    common word n-gram, and what fraction of n-gram occurrences belong
+    to n-grams that repeat. High fractions flag boilerplate/spam for the
+    curation filter.
+
+    Zero shuffles: the whole computation is a per-row fold over the
+    sorted n-gram array (see _run_fold); fractions are one IEEE division
+    over exact ints, rounded at 6 for engine-stable gate hashes."""
+    grams = word_ngrams_all(ws_tokens(F.col("text")), n)
+    st = _run_fold(F.array_sort(grams))
+    ng = F.size(grams).cast("long")
+    denom = F.greatest(ng, F.lit(1).cast("long"))
+    return docs.select(
+        "doc_id",
+        ng.alias("n_ngrams"),
+        st["top_count"].alias("top_ngram_count"),
+        st["dup_occ"].alias("dup_ngram_occurrences"),
+        st["dup_kinds"].alias("dup_ngram_kinds"),
+        F.round(st["top_count"] / denom, 6).alias("top_ngram_frac"),
+        F.round(st["dup_occ"] / denom, 6).alias("dup_ngram_frac"),
+    )

@@ -1952,3 +1952,94 @@ WHERE NOT EXISTS (SELECT 1 FROM pos p
                   WHERE p.subj_id = n.subj_id AND p.pred = n.pred
                     AND p.obj_id = n.neg_obj)
 """
+
+
+def curation_oracles(
+    docs: str,
+    decon_n: int | None = None,
+    eval_mod: int | None = None,
+    quota: int | None = None,
+    rep_n: int | None = None,
+) -> dict[str, str]:
+    """Oracles for the corpus-curation operators (operators/curation.py).
+    Defaults come from the operator constants so a tuning change cannot
+    silently desynchronize oracle and operator.
+
+    Independence: sample_quota's oracle uses the plain per-group global
+    window (the operator uses the bucketed two-level rank);
+    doc_repetition's oracle derives multiplicities via unnest + GROUP BY
+    (the operator uses a sorted run-length fold)."""
+    from transner_spark.operators.curation import (
+        DECON_NGRAM,
+        EVAL_MOD,
+        QUOTA_PER_GROUP,
+        REPETITION_NGRAM,
+    )
+
+    if decon_n is None:
+        decon_n = DECON_NGRAM
+    if eval_mod is None:
+        eval_mod = EVAL_MOD
+    if quota is None:
+        quota = QUOTA_PER_GROUP
+    if rep_n is None:
+        rep_n = REPETITION_NGRAM
+    is_eval = _h60("('eval:' || CAST(doc_id AS VARCHAR))") + f" % {eval_mod} = 0"
+    n = decon_n
+    rn = rep_n
+    return {
+        "decontaminate": f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS toks, {is_eval} AS is_eval
+  FROM read_parquet('{docs}')
+), s AS (
+  SELECT doc_id, is_eval,
+    CASE WHEN len(toks) < {n} THEN [array_to_string(toks, ' ')]
+         ELSE list_distinct([array_to_string(toks[i:i+{n - 1}], ' ')
+                             for i in range(1, len(toks) - {n - 2})]) END AS sh
+  FROM t
+), ev AS (SELECT DISTINCT unnest(sh) AS gram FROM s WHERE is_eval),
+tr AS (SELECT doc_id, unnest(sh) AS gram FROM s WHERE NOT is_eval)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN gram IN (SELECT gram FROM ev)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_hit_grams,
+       sum(CASE WHEN gram IN (SELECT gram FROM ev) THEN 1 ELSE 0 END) > 0
+           AS contaminated
+FROM tr GROUP BY doc_id
+""",
+        "sample_quota": f"""
+WITH r AS (
+  SELECT doc_id, lang,
+    row_number() OVER (PARTITION BY lang
+      ORDER BY md5('sq:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM read_parquet('{docs}'))
+SELECT doc_id, lang, CAST(rk AS BIGINT) AS sample_rank
+FROM r WHERE rk <= {quota}
+""",
+        "doc_repetition": f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM read_parquet('{docs}')),
+g AS (
+  SELECT doc_id,
+    CASE WHEN len(toks) < {rn} THEN CAST([] AS VARCHAR[])
+         ELSE [array_to_string(toks[i:i+{rn - 1}], ' ')
+               for i in range(1, len(toks) - {rn - 2})] END AS grams
+  FROM t
+), u AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+c AS (SELECT doc_id, gram, count(*) AS c FROM u GROUP BY doc_id, gram),
+a AS (
+  SELECT doc_id, sum(c) AS ng, max(c) AS topc,
+         sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dupocc,
+         sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS dupk
+  FROM c GROUP BY doc_id)
+SELECT t.doc_id,
+  CAST(coalesce(a.ng, 0) AS BIGINT) AS n_ngrams,
+  CAST(coalesce(a.topc, 0) AS BIGINT) AS top_ngram_count,
+  CAST(coalesce(a.dupocc, 0) AS BIGINT) AS dup_ngram_occurrences,
+  CAST(coalesce(a.dupk, 0) AS BIGINT) AS dup_ngram_kinds,
+  round(coalesce(a.topc, 0) / greatest(coalesce(a.ng, 0), 1), 6)
+      AS top_ngram_frac,
+  round(coalesce(a.dupocc, 0) / greatest(coalesce(a.ng, 0), 1), 6)
+      AS dup_ngram_frac
+FROM t LEFT JOIN a USING (doc_id)
+""",
+    }
