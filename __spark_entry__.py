@@ -721,6 +721,19 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing for LLM pretraining: docs hash-sharded
+    and packed into fixed-token-budget bins by a deterministic per-shard
+    applyInPandas scan — metadata-scale (only doc_id/token-count/key
+    move); oracle replays the identical greedy walk as a recursive CTE
+    (operators/curation.py)."""
+    from transner_spark.operators.curation import pack_sequences
+
+    return pack_sequences(
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    )
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
 
@@ -1888,8 +1901,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "sample_quota": q_sample_quota,
         "doc_repetition": q_doc_repetition,
+        "pack_sequences": q_pack_sequences,
         # -- verified in r01/r02 but pushed past the window in r03 --
-        "mention_overlap_pairs": q_mention_overlap_pairs,
         "pipeline_lineage": q_pipeline_lineage,
         "stream_mentions_batch_eq": q_stream_mentions_batch_eq,
         "stream_windowed_counts": q_stream_windowed_counts,
@@ -1930,6 +1943,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # likewise for graph_components, dedup_clusters (green r02+r03;
         # its CC core is exercised in-window by graph_components and
         # kg_canonical) likewise for graph_communities, and
+        # mention_overlap_pairs (green r01+r02; its interval-overlap
+        # kernel stays pytest-pinned) likewise for pack_sequences, and
         # turn_ordering (green r01+r02+r03) likewise for graph_khop,
         # and dedup_embedding_cosine_lsh (green r01+r02+r03) likewise
         # for kg_negative_samples, and preprocess_proc_text,
@@ -1939,6 +1954,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # doc_repetition ----
         "turn_ordering": q_turn_ordering,
         "dedup_embedding_cosine_lsh": q_dedup_embedding_cosine_lsh,
+        "mention_overlap_pairs": q_mention_overlap_pairs,
         "preprocess_proc_text": q_preprocess_proc_text,
         "mentions_religion": q_mentions_religion,
         "mentions_uri": q_mentions_uri,

@@ -57,6 +57,7 @@ def main() -> None:
         decontaminate,
         doc_repetition,
         eval_split,
+        pack_sequences,
         sample_quota,
     )
 
@@ -64,6 +65,7 @@ def main() -> None:
     audit("decontaminate", decontaminate(docs.where(~ev), docs.where(ev)))
     audit("sample_quota", sample_quota(docs))
     audit("doc_repetition", doc_repetition(docs))
+    audit("pack_sequences", pack_sequences(docs))
     audit("dedup_exact", dedup_exact(docs))
     audit("dedup_minhash_lsh", dedup_minhash_lsh(docs))
     audit("dedup_simhash", dedup_simhash(docs))

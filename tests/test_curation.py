@@ -11,6 +11,7 @@ from transner_spark.operators.curation import (
     decontaminate,
     doc_repetition,
     eval_split,
+    pack_sequences,
     sample_quota,
 )
 
@@ -165,6 +166,76 @@ def test_doc_repetition_handcrafted(spark):
     # no repeated 2-gram in doc 1; empty doc 5 is all zeros
     assert rows[1]["dup_ngram_occurrences"] == 0
     assert rows[5]["n_ngrams"] == 0 and rows[5]["top_ngram_frac"] == 0.0
+
+
+def _pack_reference(rows, budget, n_shards):
+    """Python twin of pack_sequences: hash-shard, md5 order, greedy."""
+    shards: dict[int, list] = {}
+    for i, t, _ in rows:
+        h = int(hashlib.md5(f"pk:{i}".encode()).hexdigest()[:15], 16)
+        k = hashlib.md5(f"pk:{i}".encode()).hexdigest()
+        n_tok = len(t.strip().split()) if t.strip() else 0
+        shards.setdefault(h % n_shards, []).append((k, i, n_tok))
+    out = {}
+    for s, items in shards.items():
+        b, acc, p = 0, 0, 0
+        for _, i, t in sorted(items):
+            if acc > 0 and acc + t > budget:
+                b, acc, p = b + 1, 0, 0
+            out[i] = (s, b, p, t)
+            acc += t
+            p += 1
+    return out
+
+
+def test_pack_sequences_greedy_invariants(spark):
+    rng = random.Random(20260819)
+    rows = [
+        (i, " ".join(["w"] * rng.randint(0, 30)), "en") for i in range(120)
+    ]
+    got = {
+        r["doc_id"]: (r["shard"], r["bin"], r["pos"], r["n_tokens"])
+        for r in pack_sequences(
+            _docs_df(spark, rows), budget=40, n_shards=4
+        ).collect()
+    }
+    assert got == _pack_reference(rows, 40, 4)
+    # every bin within budget (no oversize docs in this fixture), and
+    # greedy tightness: consecutive bins couldn't merge
+    bins: dict[tuple, list] = {}
+    for i, (s, b, p, t) in got.items():
+        bins.setdefault((s, b), []).append((p, t))
+    for (s, b), items in bins.items():
+        assert sum(t for _, t in items) <= 40
+        assert sorted(p for p, _ in items) == list(range(len(items)))
+        nxt = bins.get((s, b + 1))
+        if nxt:
+            first_next = min(nxt)[1]
+            assert sum(t for _, t in items) + first_next > 40
+
+
+def test_pack_sequences_oversize_and_empty(spark):
+    # one doc far over budget + empties: oversize gets a bin alone,
+    # zero-token docs pack densely without forcing rollovers
+    rows = [
+        (1, " ".join(["w"] * 100), "en"),
+        (2, "", "en"),
+        (3, "w w", "en"),
+        (4, " ".join(["w"] * 9), "en"),
+    ]
+    got = {
+        r["doc_id"]: (r["shard"], r["bin"], r["pos"], r["n_tokens"])
+        for r in pack_sequences(
+            _docs_df(spark, rows), budget=10, n_shards=1
+        ).collect()
+    }
+    assert got == _pack_reference(rows, 10, 1)
+    assert got[1][3] == 100  # oversize token count carried through
+    # fixture-specific by construction (md5 order is 3,1,2,4, so the
+    # oversize doc arrives with acc > 0 and rolls into a fresh bin; a
+    # zero-token doc arriving FIRST could legally share the bin)
+    over_bin = got[1][1]
+    assert [i for i, (_, b, _, _) in got.items() if b == over_bin] == [1]
 
 
 def test_doc_repetition_randomized(spark):

@@ -26,6 +26,10 @@ Scale postures (each has a PLANS.md audit row):
   fold over the SORTED n-gram array (O(n log n) per doc), so at 100 TB
   the job is scan-bound like the rest of textops. The DuckDB oracle
   derives the same stats the independent way (unnest + GROUP BY).
+- `pack_sequences`: the one op here with a genuine sequential recurrence
+  (greedy bin rollover), so it runs as applyInPandas per hash shard —
+  but over METADATA only (doc_id, token count, order key); the text
+  never moves, and `n_shards` bounds per-executor state.
 
 All ratios are exact-int numerators/denominators with ONE IEEE division
 rounded at 6 — the engine-stable shape the gate hashing requires.
@@ -150,6 +154,66 @@ def sample_quota(
         )
         .where(F.col("sample_rank") <= quota)
         .select("doc_id", F.col("grp").alias(group_col), "sample_rank")
+    )
+
+
+PACK_BUDGET = 128  # token budget per packed training sequence
+PACK_SHARDS = 16
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int = PACK_BUDGET,
+    n_shards: int = PACK_SHARDS,
+) -> DataFrame:
+    """(doc_id, shard, bin, pos, n_tokens): greedy sequential packing of
+    documents into fixed-token-budget training sequences — the batching
+    step before LLM pretraining (concatenate docs until the next one
+    would overflow ``budget``, then start a new sequence). Oversize
+    documents (> budget tokens) occupy a bin alone.
+
+    Packing is METADATA-scale: only (doc_id, token count, order key)
+    move — the text stays in place and rejoins the assignment by doc_id
+    at write time. Documents are hash-sharded (`n_shards` is the knob
+    that bounds per-executor state; scale it with the corpus) and packed
+    per shard by an applyInPandas greedy scan — the sequential recurrence
+    Catalyst can't express (bin boundaries depend on the running
+    remainder, not a cumsum). Order within a shard is (md5 key, doc_id):
+    deterministic, so a re-run emits bit-identical batches and the
+    DuckDB oracle replays the same greedy walk as a recursive CTE.
+
+    The greedy rule per shard, in order: if the accumulated tokens are
+    nonzero and would exceed ``budget`` with this doc, start a new bin;
+    assign (bin, position); accumulate."""
+    key = F.md5(
+        F.concat(F.lit("pk:"), F.col("doc_id").cast("string")).cast("binary")
+    )
+    d = docs.select(
+        "doc_id",
+        F.size(ws_tokens(F.col("text"))).cast("long").alias("n_tokens"),
+        F.pmod(
+            h60(F.concat(F.lit("pk:"), F.col("doc_id").cast("string"))),
+            F.lit(n_shards),
+        ).cast("int").alias("shard"),
+        key.alias("k"),
+    )
+
+    def pack(pdf):
+        pdf = pdf.sort_values(["k", "doc_id"]).reset_index(drop=True)
+        bins, poss = [], []
+        b, acc, p = 0, 0, 0
+        for t in pdf["n_tokens"]:
+            if acc > 0 and acc + t > budget:
+                b, acc, p = b + 1, 0, 0
+            bins.append(b)
+            poss.append(p)
+            acc += int(t)
+            p += 1
+        pdf = pdf.assign(bin=bins, pos=poss)
+        return pdf[["doc_id", "shard", "bin", "pos", "n_tokens"]]
+
+    return d.groupBy("shard").applyInPandas(
+        pack, "doc_id long, shard int, bin long, pos int, n_tokens long"
     )
 
 

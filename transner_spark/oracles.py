@@ -1972,6 +1972,8 @@ def curation_oracles(
     from transner_spark.operators.curation import (
         DECON_NGRAM,
         EVAL_MOD,
+        PACK_BUDGET,
+        PACK_SHARDS,
         QUOTA_PER_GROUP,
         REPETITION_NGRAM,
     )
@@ -1984,6 +1986,7 @@ def curation_oracles(
         quota = QUOTA_PER_GROUP
     if rep_n is None:
         rep_n = REPETITION_NGRAM
+    budget, shards = PACK_BUDGET, PACK_SHARDS
     is_eval = _h60("('eval:' || CAST(doc_id AS VARCHAR))") + f" % {eval_mod} = 0"
     n = decon_n
     rn = rep_n
@@ -2041,5 +2044,35 @@ SELECT t.doc_id,
   round(coalesce(a.dupocc, 0) / greatest(coalesce(a.ng, 0), 1), 6)
       AS dup_ngram_frac
 FROM t LEFT JOIN a USING (doc_id)
+""",
+        # greedy sequential packing replayed as a recursive CTE: one row
+        # per step per shard, the state (bin, pos, acc) carried through
+        # the recursion — the same rule the operator's per-shard pandas
+        # scan applies (rollover only when acc > 0 would overflow)
+        "pack_sequences": f"""
+WITH RECURSIVE t AS (
+  SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+         CAST({_h60("('pk:' || CAST(doc_id AS VARCHAR))")} % {shards} AS INT)
+             AS shard,
+         md5('pk:' || CAST(doc_id AS VARCHAR)) AS k
+  FROM read_parquet('{docs}')
+), o AS (
+  SELECT *, row_number() OVER (PARTITION BY shard ORDER BY k, doc_id) AS rn
+  FROM t
+), p AS (
+  SELECT shard, rn, doc_id, n_tokens,
+         CAST(0 AS BIGINT) AS bin, 0 AS pos, n_tokens AS acc
+  FROM o WHERE rn = 1
+  UNION ALL
+  SELECT o.shard, o.rn, o.doc_id, o.n_tokens,
+    CASE WHEN p.acc > 0 AND p.acc + o.n_tokens > {budget}
+         THEN p.bin + 1 ELSE p.bin END,
+    CASE WHEN p.acc > 0 AND p.acc + o.n_tokens > {budget}
+         THEN 0 ELSE p.pos + 1 END,
+    CASE WHEN p.acc > 0 AND p.acc + o.n_tokens > {budget}
+         THEN o.n_tokens ELSE p.acc + o.n_tokens END
+  FROM p JOIN o ON o.shard = p.shard AND o.rn = p.rn + 1
+)
+SELECT doc_id, shard, bin, pos, n_tokens FROM p
 """,
     }
