@@ -721,6 +721,21 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing for the training corpus: every regex-extracted PII
+    span replaced by its [TYPE] placeholder, deterministic overlap
+    policy, turns without PII pass through verbatim. Spark derives spans
+    from the live annotate pipeline; the oracle splices independently
+    from the mentions golden (recursive-CTE keep-set + lag/string_agg)."""
+    from transner_spark.operators.annotate import explode_mentions
+    from transner_spark.operators.curation import pii_spans, redact_pii
+
+    return redact_pii(
+        _transcripts(spark, sf_dir),
+        pii_spans(explode_mentions(_annotated(spark, sf_dir))),
+    )
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy sequence packing for LLM pretraining: docs hash-sharded
     and packed into fixed-token-budget bins by a deterministic per-shard
@@ -1902,11 +1917,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_quota": q_sample_quota,
         "doc_repetition": q_doc_repetition,
         "pack_sequences": q_pack_sequences,
+        "redact_pii": q_redact_pii,
         # -- verified in r01/r02 but pushed past the window in r03 --
         "pipeline_lineage": q_pipeline_lineage,
         "stream_mentions_batch_eq": q_stream_mentions_batch_eq,
         "stream_windowed_counts": q_stream_windowed_counts,
-        "role_transitions": q_role_transitions,
         "sessionize_events": q_sessionize_events,
         # -- core KG chain + NER parity --
         "kg_mentions": q_kg_mentions,
@@ -1945,6 +1960,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # kg_canonical) likewise for graph_communities, and
         # mention_overlap_pairs (green r01+r02; its interval-overlap
         # kernel stays pytest-pinned) likewise for pack_sequences, and
+        # role_transitions (green r01+r02; its lag-window shape stays
+        # in-window via sessionize_events) likewise for redact_pii, and
         # turn_ordering (green r01+r02+r03) likewise for graph_khop,
         # and dedup_embedding_cosine_lsh (green r01+r02+r03) likewise
         # for kg_negative_samples, and preprocess_proc_text,
@@ -1955,6 +1972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "turn_ordering": q_turn_ordering,
         "dedup_embedding_cosine_lsh": q_dedup_embedding_cosine_lsh,
         "mention_overlap_pairs": q_mention_overlap_pairs,
+        "role_transitions": q_role_transitions,
         "preprocess_proc_text": q_preprocess_proc_text,
         "mentions_religion": q_mentions_religion,
         "mentions_uri": q_mentions_uri,
@@ -2012,9 +2030,10 @@ def oracle_sql() -> dict[str, str]:
     docs = "/root/testdata/sf0.01/documents.parquet"
     emb = "/root/testdata/sf0.01/embeddings.parquet"
     out = dict(textops_oracles(docs))
-    from transner_spark.oracles import curation_oracles
+    from transner_spark.oracles import curation_oracles, redact_pii_oracle
 
     out.update(curation_oracles(docs))
+    out["redact_pii"] = redact_pii_oracle(g("mentions"), cache)
     out.update(dedup_oracles(docs, emb))
     # incremental-maintenance gate: the oracle IS the full recompute
     # over the whole docs table (incremental ≡ full — the same oracle

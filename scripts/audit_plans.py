@@ -75,6 +75,22 @@ def main() -> None:
     audit("region_containment", region_containment(docs))
     tr = spark.read.parquet(ensure_transcripts_parquet(REPO, sf))
     audit("annotate", annotate_turns(tr))
+    from transner_spark.operators.curation import pii_spans, redact_pii
+
+    audit(
+        "redact_pii",
+        redact_pii(
+            tr.select("conv_id", "turn_idx", "text"),
+            pii_spans(
+                spark.read.parquet(
+                    os.path.join(
+                        REPO, "data", "golden", os.path.basename(sf.rstrip("/")),
+                        "mentions.parquet",
+                    )
+                )
+            ),
+        ),
+    )
 
     from transner_spark.operators.dedup import dedup_clusters
     from transner_spark.operators.inline_annotation import (

@@ -168,6 +168,88 @@ def test_doc_repetition_handcrafted(spark):
     assert rows[5]["n_ngrams"] == 0 and rows[5]["top_ngram_frac"] == 0.0
 
 
+def _redact_reference(text, spans):
+    """Python twin of redact_pii for one turn: sort (s, -e, type), keep
+    earliest-then-longest non-overlapping, splice."""
+    out, pos, n = [], 0, 0
+    for s, e, typ in sorted(spans, key=lambda x: (x[0], -x[1], x[2])):
+        if s >= pos:
+            out.append(text[pos:s])
+            out.append(f"[{typ}]")
+            pos = e
+            n += 1
+    out.append(text[pos:])
+    return "".join(out), n
+
+
+def _turns_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, text string"
+    )
+
+
+def _spans_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, s long, e long, type string"
+    )
+
+
+def test_redact_pii_handcrafted_overlaps(spark):
+    from transner_spark.operators.curation import redact_pii
+
+    text = "mail me at bob@x.com or call 0123456789 now"
+    spans = [
+        ("c", 0, 11, 20, "EMAIL_ADDRESS"),
+        # overlapping shorter span starting inside the email: dropped
+        ("c", 0, 15, 20, "URI"),
+        ("c", 0, 29, 39, "EU_PHONE_NUMBER"),
+        # same-start shorter span: longest wins at equal start
+        ("c", 0, 29, 32, "NL_CITIZEN_SERVICE_NUMBER"),
+    ]
+    got = redact_pii(
+        _turns_df(spark, [("c", 0, text), ("c", 1, "clean turn")]),
+        _spans_df(spark, spans),
+    ).collect()
+    rows = {(r["conv_id"], r["turn_idx"]): r for r in got}
+    ref_text, ref_n = _redact_reference(
+        text, [(s, e, t) for _, _, s, e, t in spans]
+    )
+    assert rows[("c", 0)]["redacted_text"] == ref_text
+    assert ref_text == "mail me at [EMAIL_ADDRESS] or call [EU_PHONE_NUMBER] now"
+    assert rows[("c", 0)]["n_redacted"] == ref_n == 2
+    # no spans: verbatim passthrough
+    assert rows[("c", 1)]["redacted_text"] == "clean turn"
+    assert rows[("c", 1)]["n_redacted"] == 0
+
+
+def test_redact_pii_randomized(spark):
+    from transner_spark.operators.curation import redact_pii
+
+    rng = random.Random(20260819)
+    turns, spans, ref = [], [], {}
+    for i in range(40):
+        text = "".join(rng.choice("abcdef ") for _ in range(rng.randint(0, 60)))
+        key = ("c", i)
+        turns.append((*key, text))
+        sp = []
+        for _ in range(rng.randint(0, 5)):
+            if len(text) < 2:
+                continue
+            s = rng.randint(0, len(text) - 1)
+            e = rng.randint(s + 1, len(text))
+            typ = rng.choice(["A", "B"])
+            sp.append((s, e, typ))
+            spans.append((*key, s, e, typ))
+        ref[key] = _redact_reference(text, sp)
+    got = {
+        (r["conv_id"], r["turn_idx"]): (r["redacted_text"], r["n_redacted"])
+        for r in redact_pii(
+            _turns_df(spark, turns), _spans_df(spark, spans)
+        ).collect()
+    }
+    assert got == ref
+
+
 def _pack_reference(rows, budget, n_shards):
     """Python twin of pack_sequences: hash-shard, md5 order, greedy."""
     shards: dict[int, list] = {}

@@ -157,6 +157,89 @@ def sample_quota(
     )
 
 
+def redact_pii(turns: DataFrame, spans: DataFrame) -> DataFrame:
+    """(conv_id, turn_idx, redacted_text, n_redacted): replace every PII
+    span in the turn text with its ``[TYPE]`` placeholder — the scrubbing
+    step a compliant training corpus needs before the text ships to
+    pretraining. ``spans`` is (conv_id, turn_idx, s, e, type) with
+    [s, e) 0-based char offsets (the mentions table's regex subset, via
+    `pii_spans`).
+
+    Overlap policy (deterministic): spans sort by (start asc, end desc,
+    type asc); a span is kept only if it starts at or after the end of
+    the last kept span — earliest-then-longest wins, so the splice is
+    well-defined whatever the extractor emitted.
+
+    Shape at scale: ONE shuffle keyed by (conv_id, turn_idx) to gather a
+    turn's spans (bounded by turn length), then a narrow per-row fold
+    that splices the text left-to-right — no window, no explode of the
+    corpus text. Turns with no spans pass through verbatim via the left
+    join."""
+    sp = spans.groupBy("conv_id", "turn_idx").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("s"),
+                    (-F.col("e")).alias("neg_e"),
+                    F.col("type"),
+                    F.col("e"),
+                )
+            )
+        ).alias("sp")
+    )
+    j = turns.select("conv_id", "turn_idx", "text").join(
+        sp, ["conv_id", "turn_idx"], "left"
+    )
+    empty = F.array().cast(
+        "array<struct<s:bigint,neg_e:bigint,type:string,e:bigint>>"
+    )
+    _zl = F.lit(0).cast("long")
+    init = F.struct(
+        _zl.alias("pos"), F.lit("").alias("acc"), _zl.alias("n")
+    )
+    text = F.col("text")
+
+    def merge(acc: Column, x: Column) -> Column:
+        keep = x["s"] >= acc["pos"]
+        spliced = F.concat(
+            acc["acc"],
+            text.substr(
+                (acc["pos"] + 1).cast("int"),
+                (x["s"] - acc["pos"]).cast("int"),
+            ),
+            F.lit("["), x["type"], F.lit("]"),
+        )
+        return F.struct(
+            F.when(keep, x["e"]).otherwise(acc["pos"]).alias("pos"),
+            F.when(keep, spliced).otherwise(acc["acc"]).alias("acc"),
+            (acc["n"] + F.when(keep, F.lit(1).cast("long")).otherwise(_zl))
+            .alias("n"),
+        )
+
+    st = F.aggregate(F.coalesce(F.col("sp"), empty), init, merge)
+    tail = text.substr(
+        (st["pos"] + 1).cast("int"),
+        (F.length(text) - st["pos"]).cast("int"),
+    )
+    return j.select(
+        "conv_id",
+        F.col("turn_idx").cast("long").alias("turn_idx"),
+        F.concat(st["acc"], tail).alias("redacted_text"),
+        st["n"].alias("n_redacted"),
+    )
+
+
+def pii_spans(mentions: DataFrame) -> DataFrame:
+    """The regex-sourced mention subset as [s, e) redaction spans."""
+    return mentions.where(F.col("source") == "regex").select(
+        "conv_id",
+        "turn_idx",
+        F.col("offset").cast("long").alias("s"),
+        (F.col("offset") + F.length("value")).cast("long").alias("e"),
+        "type",
+    )
+
+
 PACK_BUDGET = 128  # token budget per packed training sequence
 PACK_SHARDS = 16
 

@@ -2076,3 +2076,56 @@ WITH RECURSIVE t AS (
 SELECT doc_id, shard, bin, pos, n_tokens FROM p
 """,
     }
+
+
+def redact_pii_oracle(mentions_src: str, turns_src: str) -> str:
+    """DuckDB re-derivation of operators/curation.redact_pii over the
+    mentions GOLDEN (upstream-golden stage isolation — the regex spans
+    themselves are value-gated by mentions_regex) + the transcripts
+    cache. Independent formulation: the keep-set is a recursive CTE over
+    per-turn ranked spans (the operator uses an in-row fold), and the
+    splice is a lag-window + ordered string_agg (the operator builds the
+    string inside the fold)."""
+    return f"""
+WITH RECURSIVE m AS (
+  SELECT conv_id, turn_idx, "offset" AS s,
+         "offset" + length(value) AS e, type
+  FROM read_parquet('{mentions_src}') WHERE source = 'regex'
+), r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY conv_id, turn_idx ORDER BY s, e DESC, type) AS rk
+  FROM m
+), k AS (
+  SELECT conv_id, turn_idx, s, e, type, rk, TRUE AS keep, e AS pos
+  FROM r WHERE rk = 1
+  UNION ALL
+  SELECT r.conv_id, r.turn_idx, r.s, r.e, r.type, r.rk,
+         r.s >= k.pos AS keep,
+         CASE WHEN r.s >= k.pos THEN r.e ELSE k.pos END AS pos
+  FROM k JOIN r ON r.conv_id = k.conv_id AND r.turn_idx = k.turn_idx
+             AND r.rk = k.rk + 1
+), kept AS (
+  SELECT conv_id, turn_idx, s, e, type,
+         coalesce(lag(e) OVER (
+           PARTITION BY conv_id, turn_idx ORDER BY s), 0) AS prev_e
+  FROM k WHERE keep
+), spliced AS (
+  SELECT t.conv_id, t.turn_idx,
+         string_agg(
+           substr(t.text, CAST(kept.prev_e + 1 AS INT),
+                  CAST(kept.s - kept.prev_e AS INT))
+           || '[' || kept.type || ']', '' ORDER BY kept.s) AS body,
+         max(kept.e) AS last_e,
+         CAST(count(*) AS BIGINT) AS n_redacted
+  FROM kept JOIN read_parquet('{turns_src}') t
+    USING (conv_id, turn_idx)
+  GROUP BY t.conv_id, t.turn_idx
+)
+SELECT t.conv_id, CAST(t.turn_idx AS BIGINT) AS turn_idx,
+       CASE WHEN s.body IS NULL THEN t.text
+            ELSE s.body || substr(t.text, CAST(s.last_e + 1 AS INT))
+       END AS redacted_text,
+       coalesce(s.n_redacted, 0) AS n_redacted
+FROM read_parquet('{turns_src}') t
+LEFT JOIN spliced s USING (conv_id, turn_idx)
+"""
