@@ -169,15 +169,16 @@ def test_doc_repetition_handcrafted(spark):
 
 
 def _redact_reference(text, spans):
-    """Python twin of redact_pii for one turn: sort (s, -e, type), keep
-    earliest-then-longest non-overlapping, splice."""
+    """Python twin of redact_pii for one turn: sort (s, -e, type),
+    earliest-then-longest wins the placeholder, but EVERY span advances
+    the frontier (union of PII ranges is scrubbed)."""
     out, pos, n = [], 0, 0
     for s, e, typ in sorted(spans, key=lambda x: (x[0], -x[1], x[2])):
         if s >= pos:
             out.append(text[pos:s])
             out.append(f"[{typ}]")
-            pos = e
             n += 1
+        pos = max(pos, e)
     out.append(text[pos:])
     return "".join(out), n
 
@@ -220,6 +221,35 @@ def test_redact_pii_handcrafted_overlaps(spark):
     # no spans: verbatim passthrough
     assert rows[("c", 1)]["redacted_text"] == "clean turn"
     assert rows[("c", 1)]["n_redacted"] == 0
+
+
+def test_redact_pii_no_tail_leak(spark):
+    """A partially-overlapping dropped span must not leak its tail: the
+    frontier advances over EVERY span's range."""
+    from transner_spark.operators.curation import redact_pii
+
+    text = "0123456789abcdef"
+    spans = [("c", 0, 5, 10, "A"), ("c", 0, 7, 13, "B")]
+    got = redact_pii(
+        _turns_df(spark, [("c", 0, text)]), _spans_df(spark, spans)
+    ).collect()[0]
+    # chars 10..13 (the dropped B span's tail) are scrubbed, not leaked
+    assert got["redacted_text"] == "01234[A]def"
+    assert got["n_redacted"] == 1
+    ref_text, ref_n = _redact_reference(text, [(5, 10, "A"), (7, 13, "B")])
+    assert (got["redacted_text"], got["n_redacted"]) == (ref_text, ref_n)
+
+
+def test_sample_quota_null_group_kept(spark):
+    """NULL group is a group like any other — the null-safe offset joins
+    must not discard it (the oracle's window ranks it as one partition)."""
+    rows = [(1, "t", None), (2, "t", None), (3, "t", "en")]
+    got = sample_quota(_docs_df(spark, rows), quota=10).collect()
+    assert len(got) == 3
+    null_ranks = sorted(
+        r["sample_rank"] for r in got if r["lang"] is None
+    )
+    assert null_ranks == [1, 2]
 
 
 def test_redact_pii_randomized(spark):

@@ -44,14 +44,17 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from transner_spark.functions.hashing import h60
-from transner_spark.operators.dedup import with_shingles
+from transner_spark.operators.dedup import with_shingles, word_grams
 from transner_spark.operators.textops import ws_tokens
 
 DECON_NGRAM = 4  # word n-gram width for contamination matching
 EVAL_MOD = 10  # deterministic eval split: h60('eval:'||doc_id) % 10 == 0
 
 QUOTA_PER_GROUP = 60
-QUOTA_BUCKETS = 256  # hex-prefix buckets of the md5 sort key
+# md5 hex-prefix width defining the contiguous sort-key buckets: 16^w
+# buckets (2 → 256). THE bucketing knob — the substring below reads it,
+# so widening it for hotter groups actually takes effect.
+QUOTA_BUCKET_HEX = 2
 
 REPETITION_NGRAM = 2
 
@@ -106,6 +109,7 @@ def sample_quota(
     docs: DataFrame,
     group_col: str = "lang",
     quota: int = QUOTA_PER_GROUP,
+    bucket_hex: int = QUOTA_BUCKET_HEX,
 ) -> DataFrame:
     """(doc_id, <group_col>, sample_rank): keep at most ``quota``
     documents per group, chosen by md5-of-doc_id order — a reproducible
@@ -119,14 +123,18 @@ def sample_quota(
     a prefix-sum inequality join over the (group, bucket) stats table
     (dim-sized: |groups| x 256 rows, broadcastable). The DuckDB oracle
     uses the plain global-window formulation — an independent derivation
-    of the same ranks."""
+    of the same ranks.
+
+    A NULL group is a group like any other (the oracle's window treats
+    it as one partition), so the offset joins are null-safe — an
+    equi-join would silently discard every NULL-group document."""
     key = F.md5(
         F.concat(F.lit("sq:"), F.col("doc_id").cast("string")).cast("binary")
     )
     d = docs.select(
         "doc_id", F.col(group_col).alias("grp"), key.alias("k")
     ).withColumn(
-        "b", F.conv(F.substring("k", 1, 2), 16, 10).cast("int")
+        "b", F.conv(F.substring("k", 1, bucket_hex), 16, 10).cast("int")
     )
     rn_w = Window.partitionBy("grp", "b").orderBy("k", "doc_id")
     ranked = d.withColumn("rn", F.row_number().over(rn_w))
@@ -141,14 +149,22 @@ def sample_quota(
     offsets = (
         bc.join(
             F.broadcast(prior),
-            (F.col("grp_p") == F.col("grp")) & (F.col("b_p") < F.col("b")),
+            F.col("grp_p").eqNullSafe(F.col("grp"))
+            & (F.col("b_p") < F.col("b")),
             "left",
         )
         .groupBy("grp", "b")
         .agg(F.coalesce(F.sum("c_p"), F.lit(0)).alias("off"))
+        .select(
+            F.col("grp").alias("o_grp"), F.col("b").alias("o_b"), "off"
+        )
     )
     return (
-        ranked.join(F.broadcast(offsets), ["grp", "b"])
+        ranked.join(
+            F.broadcast(offsets),
+            F.col("grp").eqNullSafe(F.col("o_grp"))
+            & (F.col("b") == F.col("o_b")),
+        )
         .withColumn(
             "sample_rank", (F.col("off") + F.col("rn")).cast("long")
         )
@@ -166,9 +182,13 @@ def redact_pii(turns: DataFrame, spans: DataFrame) -> DataFrame:
     `pii_spans`).
 
     Overlap policy (deterministic): spans sort by (start asc, end desc,
-    type asc); a span is kept only if it starts at or after the end of
-    the last kept span — earliest-then-longest wins, so the splice is
-    well-defined whatever the extractor emitted.
+    type asc); a span EMITS a placeholder only if it starts at or after
+    the current redaction frontier (earliest-then-longest wins the
+    label), but EVERY span — emitted or not — advances the frontier to
+    max(frontier, end), so the union of all PII character ranges is
+    scrubbed: a partially-overlapping dropped span cannot leak its tail
+    into the output (its extra characters collapse into the preceding
+    placeholder).
 
     Shape at scale: ONE shuffle keyed by (conv_id, turn_idx) to gather a
     turn's spans (bounded by turn length), then a narrow per-row fold
@@ -210,7 +230,9 @@ def redact_pii(turns: DataFrame, spans: DataFrame) -> DataFrame:
             F.lit("["), x["type"], F.lit("]"),
         )
         return F.struct(
-            F.when(keep, x["e"]).otherwise(acc["pos"]).alias("pos"),
+            # the frontier always advances over the span's range —
+            # dropped overlapping spans must not leak their tail
+            F.greatest(acc["pos"], x["e"]).alias("pos"),
             F.when(keep, spliced).otherwise(acc["acc"]).alias("acc"),
             (acc["n"] + F.when(keep, F.lit(1).cast("long")).otherwise(_zl))
             .alias("n"),
@@ -300,22 +322,6 @@ def pack_sequences(
     )
 
 
-def word_ngrams_all(toks: Column, n: int) -> Column:
-    """ALL word n-grams in document order — multiplicity is the signal
-    here, unlike dedup's distinct shingles; fewer than n tokens yields
-    an empty array (no degenerate whole-text gram)."""
-    def gram(i: Column) -> Column:
-        return F.concat_ws(
-            " ", *[F.element_at(toks, i + k) for k in range(n)]
-        )
-
-    return F.when(
-        F.size(toks) < n, F.array().cast("array<string>")
-    ).otherwise(
-        F.transform(F.sequence(F.lit(1), F.size(toks) - (n - 1)), gram)
-    )
-
-
 def _run_fold(sorted_grams: Column) -> Column:
     """Run-length fold over a SORTED gram array: one linear pass carrying
     (prev gram, current run, max run, occurrences in runs > 1, count of
@@ -366,7 +372,7 @@ def doc_repetition(docs: DataFrame, n: int = REPETITION_NGRAM) -> DataFrame:
     Zero shuffles: the whole computation is a per-row fold over the
     sorted n-gram array (see _run_fold); fractions are one IEEE division
     over exact ints, rounded at 6 for engine-stable gate hashes."""
-    grams = word_ngrams_all(ws_tokens(F.col("text")), n)
+    grams = word_grams(ws_tokens(F.col("text")), n)
     st = _run_fold(F.array_sort(grams))
     ng = F.size(grams).cast("long")
     denom = F.greatest(ng, F.lit(1).cast("long"))

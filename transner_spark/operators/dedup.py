@@ -80,21 +80,29 @@ from transner_spark.functions.partitioning import fan_out  # noqa: E402
 
 
 # ---------------------------------------------------------------- shingles
-def word_shingles(toks: Column, n: int) -> Column:
-    """Distinct word n-gram shingles; short docs yield one whole-text
-    shingle so every document lands in some bucket."""
+def word_grams(toks: Column, n: int) -> Column:
+    """ALL word n-grams in document order — the ONE gram constructor
+    shared by the dedup shingles and curation's repetition metrics, so
+    the gram spaces cannot diverge. No dedup, no short-doc fallback:
+    fewer than n tokens yields an empty array."""
     def gram(i: Column) -> Column:
         return F.concat_ws(
             " ", *[F.element_at(toks, i + k) for k in range(n)]
         )
 
     return F.when(
-        F.size(toks) < n, F.array(F.concat_ws(" ", toks))
+        F.size(toks) < n, F.array().cast("array<string>")
     ).otherwise(
-        F.array_distinct(
-            F.transform(F.sequence(F.lit(1), F.size(toks) - (n - 1)), gram)
-        )
+        F.transform(F.sequence(F.lit(1), F.size(toks) - (n - 1)), gram)
     )
+
+
+def word_shingles(toks: Column, n: int) -> Column:
+    """Distinct word n-gram shingles; short docs yield one whole-text
+    shingle so every document lands in some bucket."""
+    return F.when(
+        F.size(toks) < n, F.array(F.concat_ws(" ", toks))
+    ).otherwise(F.array_distinct(word_grams(toks, n)))
 
 
 def with_shingles(docs: DataFrame, n: int) -> DataFrame:

@@ -2101,23 +2101,25 @@ WITH RECURSIVE m AS (
   UNION ALL
   SELECT r.conv_id, r.turn_idx, r.s, r.e, r.type, r.rk,
          r.s >= k.pos AS keep,
-         CASE WHEN r.s >= k.pos THEN r.e ELSE k.pos END AS pos
+         greatest(k.pos, r.e) AS pos
   FROM k JOIN r ON r.conv_id = k.conv_id AND r.turn_idx = k.turn_idx
              AND r.rk = k.rk + 1
-), kept AS (
-  SELECT conv_id, turn_idx, s, e, type,
-         coalesce(lag(e) OVER (
-           PARTITION BY conv_id, turn_idx ORDER BY s), 0) AS prev_e
-  FROM k WHERE keep
+), seg AS (
+  -- the redaction frontier BEFORE each span = the previous span's pos
+  -- (over ALL spans, kept or dropped — dropped spans advance it too)
+  SELECT *, coalesce(lag(pos) OVER (
+    PARTITION BY conv_id, turn_idx ORDER BY rk), 0) AS prev_pos
+  FROM k
 ), spliced AS (
   SELECT t.conv_id, t.turn_idx,
          string_agg(
-           substr(t.text, CAST(kept.prev_e + 1 AS INT),
-                  CAST(kept.s - kept.prev_e AS INT))
-           || '[' || kept.type || ']', '' ORDER BY kept.s) AS body,
-         max(kept.e) AS last_e,
-         CAST(count(*) AS BIGINT) AS n_redacted
-  FROM kept JOIN read_parquet('{turns_src}') t
+           CASE WHEN seg.keep THEN
+             substr(t.text, CAST(seg.prev_pos + 1 AS INT),
+                    CAST(seg.s - seg.prev_pos AS INT))
+             || '[' || seg.type || ']' END, '' ORDER BY seg.rk) AS body,
+         max(seg.pos) AS last_e,
+         CAST(count(*) FILTER (seg.keep) AS BIGINT) AS n_redacted
+  FROM seg JOIN read_parquet('{turns_src}') t
     USING (conv_id, turn_idx)
   GROUP BY t.conv_id, t.turn_idx
 )
