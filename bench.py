@@ -342,6 +342,22 @@ def run_trainops_timed(
         + lang_id(docs).count()
         + doc_fingerprint(docs).count(),
     )
+    from transner_spark.operators.curation import (
+        decontaminate,
+        doc_repetition,
+        eval_split,
+        pack_sequences,
+        sample_quota,
+    )
+
+    ev = eval_split(docs)
+    measure(
+        "curation",
+        lambda: decontaminate(docs.where(~ev), docs.where(ev)).count()
+        + sample_quota(docs).count()
+        + doc_repetition(docs).count()
+        + pack_sequences(docs).count(),
+    )
     measure("dedup_minhash", lambda: dedup_minhash_lsh(docs).count())
     measure("dedup_simhash", lambda: dedup_simhash(docs).count())
     measure("ann_lsh", lambda: ann_lsh(spark, emb).count())
