@@ -696,6 +696,18 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(docs.where(~ev), docs.where(ev))
 
 
+def q_sample_to_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing resampler: the corpus re-cut to the 40/15/15/15/15
+    lang mixture at 50% token coverage — exact integer budgets, md5
+    order, two-level cumulative-token scheme with no data-scaled
+    per-group window (oracle = plain per-group window cumsum)."""
+    from transner_spark.operators.curation import sample_to_mixture
+
+    return sample_to_mixture(
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    )
+
+
 def q_sample_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified deterministic downsampling (data mixing): keep at most
     QUOTA_PER_GROUP docs per lang by md5 rank — exact per-group rank via
@@ -1918,11 +1930,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition": q_doc_repetition,
         "pack_sequences": q_pack_sequences,
         "redact_pii": q_redact_pii,
+        "sample_to_mixture": q_sample_to_mixture,
         # -- verified in r01/r02 but pushed past the window in r03 --
         "pipeline_lineage": q_pipeline_lineage,
         "stream_mentions_batch_eq": q_stream_mentions_batch_eq,
         "stream_windowed_counts": q_stream_windowed_counts,
-        "sessionize_events": q_sessionize_events,
         # -- core KG chain + NER parity --
         "kg_mentions": q_kg_mentions,
         "kg_triples": q_kg_triples,
@@ -1961,7 +1973,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # mention_overlap_pairs (green r01+r02; its interval-overlap
         # kernel stays pytest-pinned) likewise for pack_sequences, and
         # role_transitions (green r01+r02; its lag-window shape stays
-        # in-window via sessionize_events) likewise for redact_pii, and
+        # in-window via sessionize_events... then sessionize_events
+        # itself (green r01+r02; same co-partitioned-window family,
+        # running-sum shape in-window via sample_quota/sample_to_mixture)
+        # likewise for sample_to_mixture) likewise for redact_pii, and
         # turn_ordering (green r01+r02+r03) likewise for graph_khop,
         # and dedup_embedding_cosine_lsh (green r01+r02+r03) likewise
         # for kg_negative_samples, and preprocess_proc_text,
@@ -1973,6 +1988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine_lsh": q_dedup_embedding_cosine_lsh,
         "mention_overlap_pairs": q_mention_overlap_pairs,
         "role_transitions": q_role_transitions,
+        "sessionize_events": q_sessionize_events,
         "preprocess_proc_text": q_preprocess_proc_text,
         "mentions_religion": q_mentions_religion,
         "mentions_uri": q_mentions_uri,

@@ -348,6 +348,7 @@ def run_trainops_timed(
         eval_split,
         pack_sequences,
         sample_quota,
+        sample_to_mixture,
     )
 
     ev = eval_split(docs)
@@ -355,6 +356,7 @@ def run_trainops_timed(
         "curation",
         lambda: decontaminate(docs.where(~ev), docs.where(ev)).count()
         + sample_quota(docs).count()
+        + sample_to_mixture(docs).count()
         + doc_repetition(docs).count()
         + pack_sequences(docs).count(),
     )

@@ -59,11 +59,13 @@ def main() -> None:
         eval_split,
         pack_sequences,
         sample_quota,
+        sample_to_mixture,
     )
 
     ev = eval_split(docs)
     audit("decontaminate", decontaminate(docs.where(~ev), docs.where(ev)))
     audit("sample_quota", sample_quota(docs))
+    audit("sample_to_mixture", sample_to_mixture(docs))
     audit("doc_repetition", doc_repetition(docs))
     audit("pack_sequences", pack_sequences(docs))
     audit("dedup_exact", dedup_exact(docs))

@@ -13,6 +13,7 @@ from transner_spark.operators.curation import (
     eval_split,
     pack_sequences,
     sample_quota,
+    sample_to_mixture,
 )
 
 DOCS = [
@@ -166,6 +167,58 @@ def test_doc_repetition_handcrafted(spark):
     # no repeated 2-gram in doc 1; empty doc 5 is all zeros
     assert rows[1]["dup_ngram_occurrences"] == 0
     assert rows[5]["n_ngrams"] == 0 and rows[5]["top_ngram_frac"] == 0.0
+
+
+def _mixture_reference(rows, targets, cov):
+    """Python twin of sample_to_mixture: md5-order per group, keep while
+    cumulative tokens fit the integer-arithmetic group budget."""
+    by_grp: dict[str, list] = {}
+    total = 0
+    for i, t, lg in rows:
+        if lg not in targets:
+            continue
+        k = hashlib.md5(f"sq:{i}".encode()).hexdigest()
+        n_tok = len(t.strip().split()) if t.strip() else 0
+        by_grp.setdefault(lg, []).append((k, i, n_tok))
+        total += n_tok
+    out = {}
+    for lg, items in by_grp.items():
+        budget = total * targets[lg] * cov // 10000
+        cum = 0
+        for _, i, n_tok in sorted(items):
+            cum += n_tok
+            if cum <= budget:
+                out[i] = (lg, n_tok, cum)
+    return out
+
+
+def test_sample_to_mixture_exact(spark):
+    rng = random.Random(11)
+    langs = ["en", "de", "fr", None, "xx"]  # xx + NULL excluded
+    rows = [
+        (i, " ".join(["w"] * rng.randint(0, 20)), rng.choice(langs))
+        for i in range(150)
+    ]
+    targets = {"en": 50, "de": 30, "fr": 20}
+    got = {
+        r["doc_id"]: (r["lang"], r["n_tokens"], r["cum_tokens"])
+        for r in sample_to_mixture(
+            _docs_df(spark, rows), targets=targets, coverage_pct=60
+        ).collect()
+    }
+    ref = _mixture_reference(rows, targets, 60)
+    assert got == ref
+    # excluded groups contribute nothing
+    assert all(lg in targets for lg, _, _ in got.values())
+    # budgets respected: per-group kept tokens <= total * pct * cov
+    total = sum(
+        len(t.split()) for _, t, lg in rows if lg in targets
+    )
+    kept: dict[str, int] = {}
+    for lg, n_tok, _ in got.values():
+        kept[lg] = kept.get(lg, 0) + n_tok
+    for lg, s in kept.items():
+        assert s <= total * targets[lg] * 60 // 10000
 
 
 def _redact_reference(text, spans):

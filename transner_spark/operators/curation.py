@@ -173,6 +173,107 @@ def sample_quota(
     )
 
 
+# Data-mixing targets: integer percents per group (the mixture the
+# training run wants), plus what fraction of the corpus' total tokens
+# the resampled set may use. Integers keep every budget computation
+# exact (engine-stable gate hashes).
+MIXTURE_TARGETS: dict[str, int] = {
+    "en": 40, "de": 15, "es": 15, "fr": 15, "zh": 15,
+}
+MIXTURE_COVERAGE_PCT = 50
+
+
+def sample_to_mixture(
+    docs: DataFrame,
+    targets: dict[str, int] | None = None,
+    coverage_pct: int = MIXTURE_COVERAGE_PCT,
+    group_col: str = "lang",
+    bucket_hex: int = QUOTA_BUCKET_HEX,
+) -> DataFrame:
+    """(doc_id, <group_col>, n_tokens, cum_tokens): resample the corpus
+    to a target group mixture — the data-mixing step that turns "40% en,
+    15% each of de/es/fr/zh, half the tokens overall" into a concrete,
+    reproducible document set. Per group g the token budget is
+    ``total_tokens * pct_g * coverage_pct div 10000`` (exact integer
+    arithmetic; total_tokens = the TARGET UNIVERSE's token sum — groups
+    outside ``targets``, including NULL, are excluded by design and
+    don't count toward the base). Docs are taken in md5-rank order
+    while their cumulative tokens stay within the group budget.
+
+    Same no-giant-window scheme as sample_quota, lifted from rank to
+    CUMULATIVE TOKENS: within-bucket running sums (bounded frames),
+    bucket token totals = max running sum (reuses the window's
+    exchange), per-group offsets from the constant-size null-safe
+    prefix-sum join, and the corpus token total enters the plan as a
+    broadcast 1-row scalar (the pagerank crossJoin posture — no
+    collect). The DuckDB oracle uses the plain per-group window cumsum,
+    an independent derivation."""
+    if targets is None:
+        targets = MIXTURE_TARGETS
+    key = F.md5(
+        F.concat(F.lit("sq:"), F.col("doc_id").cast("string")).cast("binary")
+    )
+    pct = F.lit(None).cast("long")
+    for g, p in sorted(targets.items()):
+        pct = F.when(F.col("grp") == g, F.lit(p).cast("long")).otherwise(pct)
+    d = (
+        docs.select(
+            "doc_id",
+            F.col(group_col).alias("grp"),
+            F.size(ws_tokens(F.col("text"))).cast("long").alias("n_tokens"),
+            key.alias("k"),
+        )
+        .withColumn("pct", pct)
+        .where(F.col("pct").isNotNull())
+        .withColumn(
+            "b", F.conv(F.substring("k", 1, bucket_hex), 16, 10).cast("int")
+        )
+    )
+    w = (
+        Window.partitionBy("grp", "b")
+        .orderBy("k", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = d.withColumn("ct", F.sum("n_tokens").over(w))
+    bc = cum.groupBy("grp", "b").agg(F.max("ct").alias("tok_c"))
+    prior = bc.select(
+        F.col("grp").alias("grp_p"), F.col("b").alias("b_p"),
+        F.col("tok_c").alias("c_p"),
+    )
+    offsets = (
+        bc.join(
+            F.broadcast(prior),
+            F.col("grp_p").eqNullSafe(F.col("grp"))
+            & (F.col("b_p") < F.col("b")),
+            "left",
+        )
+        .groupBy("grp", "b")
+        .agg(F.coalesce(F.sum("c_p"), F.lit(0)).cast("long").alias("off"))
+        .select(
+            F.col("grp").alias("o_grp"), F.col("b").alias("o_b"), "off"
+        )
+    )
+    total = d.agg(F.sum("n_tokens").cast("long").alias("total_tokens"))
+    return (
+        cum.join(
+            F.broadcast(offsets),
+            F.col("grp").eqNullSafe(F.col("o_grp"))
+            & (F.col("b") == F.col("o_b")),
+        )
+        .crossJoin(F.broadcast(total))
+        .withColumn("cum_tokens", (F.col("off") + F.col("ct")).cast("long"))
+        .where(
+            F.col("cum_tokens")
+            <= F.expr(
+                f"total_tokens * pct * {int(coverage_pct)} div 10000"
+            )
+        )
+        .select(
+            "doc_id", F.col("grp").alias(group_col), "n_tokens", "cum_tokens"
+        )
+    )
+
+
 def redact_pii(turns: DataFrame, spans: DataFrame) -> DataFrame:
     """(conv_id, turn_idx, redacted_text, n_redacted): replace every PII
     span in the turn text with its ``[TYPE]`` placeholder — the scrubbing

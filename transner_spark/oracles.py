@@ -1972,6 +1972,8 @@ def curation_oracles(
     from transner_spark.operators.curation import (
         DECON_NGRAM,
         EVAL_MOD,
+        MIXTURE_COVERAGE_PCT,
+        MIXTURE_TARGETS,
         PACK_BUDGET,
         PACK_SHARDS,
         QUOTA_PER_GROUP,
@@ -1990,6 +1992,15 @@ def curation_oracles(
     is_eval = _h60("('eval:' || CAST(doc_id AS VARCHAR))") + f" % {eval_mod} = 0"
     n = decon_n
     rn = rep_n
+    pct_case = (
+        "CASE "
+        + " ".join(
+            f"WHEN lang = '{g}' THEN {p}"
+            for g, p in sorted(MIXTURE_TARGETS.items())
+        )
+        + " END"
+    )
+    cov = MIXTURE_COVERAGE_PCT
     return {
         "decontaminate": f"""
 WITH t AS (
@@ -2009,6 +2020,26 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
        sum(CASE WHEN gram IN (SELECT gram FROM ev) THEN 1 ELSE 0 END) > 0
            AS contaminated
 FROM tr GROUP BY doc_id
+""",
+        # independent formulation: plain per-group window cumsum (the
+        # operator uses the bucketed two-level running sum); // and
+        # Spark's `div` agree on non-negative BIGINTs
+        "sample_to_mixture": f"""
+WITH t AS (
+  SELECT doc_id, lang, CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+         md5('sq:' || CAST(doc_id AS VARCHAR)) AS k,
+         {pct_case} AS pct
+  FROM read_parquet('{docs}')
+), u AS (SELECT * FROM t WHERE pct IS NOT NULL),
+c AS (
+  SELECT *, sum(n_tokens) OVER (
+    PARTITION BY lang ORDER BY k, doc_id
+    ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM u
+), tot AS (SELECT sum(n_tokens) AS total_tokens FROM u)
+SELECT doc_id, lang, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM c CROSS JOIN tot
+WHERE cum_tokens <= total_tokens * pct * {cov} // 10000
 """,
         "sample_quota": f"""
 WITH r AS (
