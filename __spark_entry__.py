@@ -420,6 +420,17 @@ def q_graph_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph_khop(_edges(spark, sf_dir))
 
 
+def q_graph_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic DeepWalk corpus from the top-degree seed entities:
+    (seed_id, walk_no, step, node_id), next hop hash-addressed into the
+    rank-indexed adjacency (operators/walks.py — O(walkers) per step,
+    hub-safe; oracle = one unrolled walk CTE per step with the same h60
+    arithmetic)."""
+    from transner_spark.operators.walks import random_walks
+
+    return random_walks(_edges(spark, sf_dir))
+
+
 def q_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components + sizes of the undirected entity graph
     (iterative min-label CC with fail-loud convergence, reused from the
@@ -1931,12 +1942,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "redact_pii": q_redact_pii,
         "sample_to_mixture": q_sample_to_mixture,
+        "graph_walks": q_graph_walks,
         # -- verified in r01/r02 but pushed past the window in r03 --
         "pipeline_lineage": q_pipeline_lineage,
         "stream_mentions_batch_eq": q_stream_mentions_batch_eq,
         "stream_windowed_counts": q_stream_windowed_counts,
         # -- core KG chain + NER parity --
-        "kg_mentions": q_kg_mentions,
         "kg_triples": q_kg_triples,
         "kg_links": q_kg_links,
         "kg_canonical": q_kg_canonical,
@@ -1983,7 +1994,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # mentions_religion, mentions_uri (green r02+r03 each; their
         # kernels stay in-window via mentions_ner/mentions_regex and the
         # kg_* chain) likewise for decontaminate, sample_quota,
-        # doc_repetition ----
+        # doc_repetition; finally kg_mentions (green r01+r02+r03 — the
+        # most-verified gate in the repo; its NER kernel stays in-window
+        # via mentions_ner's independent SQL oracle and the full chain
+        # via kg_edges_e2e's value-level end-to-end) rotates out for
+        # graph_walks ----
+        "kg_mentions": q_kg_mentions,
         "turn_ordering": q_turn_ordering,
         "dedup_embedding_cosine_lsh": q_dedup_embedding_cosine_lsh,
         "mention_overlap_pairs": q_mention_overlap_pairs,

@@ -183,6 +183,9 @@ def main() -> None:
     from transner_spark.operators.graph import graph_khop
 
     audit("graph_khop", graph_khop(edges))
+    from transner_spark.operators.walks import random_walks
+
+    audit("graph_walks", random_walks(edges))
     from transner_spark.operators.negatives import negative_samples
 
     audit("kg_negative_samples", negative_samples(edges))

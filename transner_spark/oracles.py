@@ -1420,6 +1420,7 @@ def graph_oracles(
         LPA_ITERATIONS,
         SIMILARITY_MIN_COMMON,
     )
+    from transner_spark.operators.walks import RW_SEEDS, RW_STEPS, RW_WALKS
 
     if n_iterations is None:
         n_iterations = PAGERANK_ITERATIONS
@@ -1433,6 +1434,7 @@ def graph_oracles(
         khop_seeds = KHOP_SEEDS
     topk_k = NEIGHBORS_TOPK_K
     min_common = SIMILARITY_MIN_COMMON
+    rw_seeds, rw_steps, rw_walks = RW_SEEDS, RW_STEPS, RW_WALKS
     # undirected link set shared by the triangle/similarity twins —
     # ordered pairs (a < b), self-loops and multiplicities collapsed,
     # mirroring operators/graph._undirected
@@ -1638,6 +1640,42 @@ SELECT node_id, component_id,
          AS component_size
 FROM lab
 """,
+        # deterministic DeepWalk corpus, unrolled one CTE per step (the
+        # khop/pagerank posture): rank-indexed adjacency (row_number
+        # PARTITIONED by node over sorted neighbor ids), next hop =
+        # h60('rw:'||seed||'#'||walk||':'||t) % deg — the operator's
+        # exact hash arithmetic, independently re-derived
+        "graph_walks": (
+            "WITH und AS " + und + ",\n"
+            "adj AS (SELECT a AS node, b AS nb FROM und"
+            " UNION ALL SELECT b, a FROM und),\n"
+            "adjr AS (SELECT node, nb, row_number() OVER ("
+            "PARTITION BY node ORDER BY nb) - 1 AS rn FROM adj),\n"
+            "deg AS (SELECT node, count(*) AS deg FROM adj GROUP BY node),\n"
+            f"seeds AS (SELECT node FROM deg"
+            f" ORDER BY deg DESC, node ASC LIMIT {rw_seeds}),\n"
+            "w0 AS (SELECT s.node AS seed_id, CAST(w.i AS INT) AS walk_no,"
+            " s.node AS node_id FROM seeds s CROSS JOIN"
+            f" (SELECT unnest(range({rw_walks})) AS i) w),\n"
+            + ",\n".join(
+                f"w{t} AS (SELECT c.seed_id, c.walk_no, a.nb AS node_id\n"
+                f"  FROM w{t - 1} c\n"
+                "  JOIN deg d ON d.node = c.node_id\n"
+                "  JOIN adjr a ON a.node = c.node_id AND a.rn = "
+                + _h60(
+                    "('rw:' || c.seed_id || '#'"
+                    f" || CAST(c.walk_no AS VARCHAR) || ':{t}')"
+                )
+                + " % d.deg)"
+                for t in range(1, rw_steps + 1)
+            )
+            + "\n"
+            + " UNION ALL ".join(
+                f"SELECT seed_id, walk_no, CAST({t} AS INT) AS step,"
+                f" node_id FROM w{t}"
+                for t in range(rw_steps + 1)
+            )
+        ),
         # gate runs unguarded (max_neighbor_degree=None), same posture
         # as graph_two_hop; jaccard = n_common / (deg_a + deg_b - n_common)
         "graph_similarity": f"""
