@@ -177,7 +177,7 @@ def _mixture_reference(rows, targets, cov):
     for i, t, lg in rows:
         if lg not in targets:
             continue
-        k = hashlib.md5(f"sq:{i}".encode()).hexdigest()
+        k = hashlib.md5(f"mx:{i}".encode()).hexdigest()
         n_tok = len(t.strip().split()) if t.strip() else 0
         by_grp.setdefault(lg, []).append((k, i, n_tok))
         total += n_tok

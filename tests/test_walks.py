@@ -30,7 +30,7 @@ def _h60(s: str) -> int:
 
 def walks_reference(edge_pairs, seeds, n_walks, n_steps):
     """Pure-python twin: undirected distinct link set, sorted neighbor
-    lists, next hop = h60('rw:'||seed||'#'||w||':'||t) % deg."""
+    lists, next hop = h60('rw:'||w||':'||t||':'||seed) % deg."""
     und = {
         (min(s, o), max(s, o)) for s, o in edge_pairs if s != o
     }
@@ -49,7 +49,7 @@ def walks_reference(edge_pairs, seeds, n_walks, n_steps):
                 nbs = adj.get(cur)
                 if not nbs:
                     break
-                cur = nbs[_h60(f"rw:{seed}#{w}:{t}") % len(nbs)]
+                cur = nbs[_h60(f"rw:{w}:{t}:{seed}") % len(nbs)]
                 out.append((seed, w, t, cur))
     return sorted(out)
 

@@ -105,6 +105,37 @@ def decontaminate(
     )
 
 
+def _bucket_offsets(
+    bc: DataFrame, measure: str, null_safe: bool
+) -> DataFrame:
+    """(o_grp, o_b, off): per-(group, bucket) prefix-sum offsets over a
+    dim-sized (grp, b, <measure>) bucket-stats frame — the broadcast
+    inequality join both samplers (and negatives.entity_index) build
+    their global in-group positions from: off(g, b) = Σ measure over
+    (g, b' < b). |groups| x 256² comparisons, constant in corpus size.
+    ``null_safe=True`` treats a NULL group as a group like any other
+    (sample_quota's contract — an equi-join would discard it, at the
+    cost of forfeiting IsNotNull pushdown); pass False when the caller
+    has already filtered NULL groups out."""
+    prior = bc.select(
+        F.col("grp").alias("grp_p"), F.col("b").alias("b_p"),
+        F.col(measure).alias("c_p"),
+    )
+    same_grp = (
+        F.col("grp_p").eqNullSafe(F.col("grp"))
+        if null_safe
+        else (F.col("grp_p") == F.col("grp"))
+    )
+    return (
+        bc.join(
+            F.broadcast(prior), same_grp & (F.col("b_p") < F.col("b")), "left"
+        )
+        .groupBy("grp", "b")
+        .agg(F.coalesce(F.sum("c_p"), F.lit(0)).cast("long").alias("off"))
+        .select(F.col("grp").alias("o_grp"), F.col("b").alias("o_b"), "off")
+    )
+
+
 def sample_quota(
     docs: DataFrame,
     group_col: str = "lang",
@@ -142,23 +173,7 @@ def sample_quota(
     # the bucket-stats branch reuses the window's exchange (ReuseExchange
     # dedupes the scan+shuffle) instead of re-scanning the corpus
     bc = ranked.groupBy("grp", "b").agg(F.max("rn").alias("c"))
-    prior = bc.select(
-        F.col("grp").alias("grp_p"), F.col("b").alias("b_p"),
-        F.col("c").alias("c_p"),
-    )
-    offsets = (
-        bc.join(
-            F.broadcast(prior),
-            F.col("grp_p").eqNullSafe(F.col("grp"))
-            & (F.col("b_p") < F.col("b")),
-            "left",
-        )
-        .groupBy("grp", "b")
-        .agg(F.coalesce(F.sum("c_p"), F.lit(0)).alias("off"))
-        .select(
-            F.col("grp").alias("o_grp"), F.col("b").alias("o_b"), "off"
-        )
-    )
+    offsets = _bucket_offsets(bc, "c", null_safe=True)
     return (
         ranked.join(
             F.broadcast(offsets),
@@ -203,15 +218,21 @@ def sample_to_mixture(
     Same no-giant-window scheme as sample_quota, lifted from rank to
     CUMULATIVE TOKENS: within-bucket running sums (bounded frames),
     bucket token totals = max running sum (reuses the window's
-    exchange), per-group offsets from the constant-size null-safe
-    prefix-sum join, and the corpus token total enters the plan as a
-    broadcast 1-row scalar (the pagerank crossJoin posture — no
-    collect). The DuckDB oracle uses the plain per-group window cumsum,
-    an independent derivation."""
+    exchange), per-group offsets from the shared constant-size
+    prefix-sum join (plain equi-join here — NULL groups are filtered
+    out by the pct CASE, unlike sample_quota), and the corpus token
+    total derived from the SAME bucket-stats frame (sum of per-bucket
+    maxima), entering the plan as a broadcast 1-row scalar (the
+    pagerank crossJoin posture — no collect, no second corpus scan).
+    The md5 order key uses its own 'mx:' prefix, so the mixture sample
+    is an independent stream from sample_quota's 'sq:' ordering (two
+    mixing strategies over one corpus don't correlate). The DuckDB
+    oracle uses the plain per-group window cumsum, an independent
+    derivation."""
     if targets is None:
         targets = MIXTURE_TARGETS
     key = F.md5(
-        F.concat(F.lit("sq:"), F.col("doc_id").cast("string")).cast("binary")
+        F.concat(F.lit("mx:"), F.col("doc_id").cast("string")).cast("binary")
     )
     pct = F.lit(None).cast("long")
     for g, p in sorted(targets.items()):
@@ -236,28 +257,14 @@ def sample_to_mixture(
     )
     cum = d.withColumn("ct", F.sum("n_tokens").over(w))
     bc = cum.groupBy("grp", "b").agg(F.max("ct").alias("tok_c"))
-    prior = bc.select(
-        F.col("grp").alias("grp_p"), F.col("b").alias("b_p"),
-        F.col("tok_c").alias("c_p"),
-    )
-    offsets = (
-        bc.join(
-            F.broadcast(prior),
-            F.col("grp_p").eqNullSafe(F.col("grp"))
-            & (F.col("b_p") < F.col("b")),
-            "left",
-        )
-        .groupBy("grp", "b")
-        .agg(F.coalesce(F.sum("c_p"), F.lit(0)).cast("long").alias("off"))
-        .select(
-            F.col("grp").alias("o_grp"), F.col("b").alias("o_b"), "off"
-        )
-    )
-    total = d.agg(F.sum("n_tokens").cast("long").alias("total_tokens"))
+    offsets = _bucket_offsets(bc, "tok_c", null_safe=False)
+    # corpus token total = Σ per-bucket max running sums — derived from
+    # the bucket-stats frame (dim-sized), not a second corpus scan
+    total = bc.agg(F.sum("tok_c").cast("long").alias("total_tokens"))
     return (
         cum.join(
             F.broadcast(offsets),
-            F.col("grp").eqNullSafe(F.col("o_grp"))
+            (F.col("grp") == F.col("o_grp"))
             & (F.col("b") == F.col("o_b")),
         )
         .crossJoin(F.broadcast(total))

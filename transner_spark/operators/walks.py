@@ -79,9 +79,11 @@ def random_walks(
     uniform random walks of ``n_steps`` steps from each seed node over
     the undirected entity graph — the DeepWalk corpus. Step 0 is the
     seed itself; step t resolves neighbor
-    ``h60('rw:' || seed || '#' || walk || ':' || t) % deg`` of the
-    current node's sorted neighbor list (the walk's own RNG stream — two
-    walks never share a draw, and revisiting a node at a different step
+    ``h60('rw:' || walk || ':' || t || ':' || seed) % deg`` of the
+    current node's sorted neighbor list (the walk's own RNG stream — the
+    two digit-only fields come FIRST so an entity id containing the
+    delimiters can't make two distinct walks share a stream; two walks
+    never share a draw, and revisiting a node at a different step
     re-draws). A walker whose current node has no edges stops (its walk
     simply ends); seeds drawn from the degree table always have deg >= 1,
     so the default corpus has full-length walks.
@@ -118,11 +120,9 @@ def random_walks(
         draw = h60(
             F.concat(
                 F.lit("rw:"),
-                F.col("seed_id"),
-                F.lit("#"),
                 F.col("walk_no").cast("string"),
-                F.lit(":"),
-                F.lit(str(t)),
+                F.lit(f":{t}:"),
+                F.col("seed_id"),
             )
         )
         walkers = (

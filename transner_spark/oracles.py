@@ -1643,7 +1643,7 @@ FROM lab
         # deterministic DeepWalk corpus, unrolled one CTE per step (the
         # khop/pagerank posture): rank-indexed adjacency (row_number
         # PARTITIONED by node over sorted neighbor ids), next hop =
-        # h60('rw:'||seed||'#'||walk||':'||t) % deg — the operator's
+        # h60('rw:'||walk||':'||t||':'||seed) % deg — the operator's
         # exact hash arithmetic, independently re-derived
         "graph_walks": (
             "WITH und AS " + und + ",\n"
@@ -1663,8 +1663,8 @@ FROM lab
                 "  JOIN deg d ON d.node = c.node_id\n"
                 "  JOIN adjr a ON a.node = c.node_id AND a.rn = "
                 + _h60(
-                    "('rw:' || c.seed_id || '#'"
-                    f" || CAST(c.walk_no AS VARCHAR) || ':{t}')"
+                    "('rw:' || CAST(c.walk_no AS VARCHAR)"
+                    f" || ':{t}:' || c.seed_id)"
                 )
                 + " % d.deg)"
                 for t in range(1, rw_steps + 1)
@@ -2065,7 +2065,7 @@ FROM tr GROUP BY doc_id
         "sample_to_mixture": f"""
 WITH t AS (
   SELECT doc_id, lang, CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
-         md5('sq:' || CAST(doc_id AS VARCHAR)) AS k,
+         md5('mx:' || CAST(doc_id AS VARCHAR)) AS k,
          {pct_case} AS pct
   FROM read_parquet('{docs}')
 ), u AS (SELECT * FROM t WHERE pct IS NOT NULL),
