@@ -759,6 +759,35 @@ def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mention_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-in-context training examples: every typed mention with up to
+    CTX_CHARS chars of left/right context from the original turn text —
+    the NER-fine-tuning/disambiguation example extractor, with an
+    in-plan offset-drift raise_error guard. Spark derives mentions from
+    the live annotate pipeline; the oracle windows independently over
+    the mentions golden (the redact_pii posture)."""
+    from transner_spark.operators.annotate import explode_mentions
+    from transner_spark.operators.curation import mention_contexts
+
+    return mention_contexts(
+        _transcripts(spark, sf_dir),
+        explode_mentions(_annotated(spark, sf_dir)),
+    )
+
+
+def q_train_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic pre-training shuffle: every document's shard id
+    ('sh:' h60 stream mod TRAIN_SHARDS) and in-shard order key ('so:'
+    md5 stream) — write_training_shards materializes it as one sorted
+    file per shard=K/ dir (pytest-pinned); the gate value-checks the
+    assignment both streams derive from."""
+    from transner_spark.operators.curation import train_shards
+
+    return train_shards(
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    )
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy sequence packing for LLM pretraining: docs hash-sharded
     and packed into fixed-token-budget bins by a deterministic per-shard
@@ -1943,14 +1972,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_pii": q_redact_pii,
         "sample_to_mixture": q_sample_to_mixture,
         "graph_walks": q_graph_walks,
+        "mention_contexts": q_mention_contexts,
+        "train_shards": q_train_shards,
         # -- verified in r01/r02 but pushed past the window in r03 --
         "pipeline_lineage": q_pipeline_lineage,
         "stream_mentions_batch_eq": q_stream_mentions_batch_eq,
         "stream_windowed_counts": q_stream_windowed_counts,
         # -- core KG chain + NER parity --
         "kg_triples": q_kg_triples,
-        "kg_links": q_kg_links,
-        "kg_canonical": q_kg_canonical,
         "kg_edges": q_kg_edges,
         "kg_edges_e2e": q_kg_edges_e2e,
         "kg_edges_incremental": q_kg_edges_incremental,
@@ -1998,8 +2027,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # most-verified gate in the repo; its NER kernel stays in-window
         # via mentions_ner's independent SQL oracle and the full chain
         # via kg_edges_e2e's value-level end-to-end) rotates out for
-        # graph_walks ----
+        # graph_walks, and kg_links (green r01+r02+r03; its full linking
+        # SQL chain stays in-window via kg_links_incremental AND
+        # kg_links_alias_refresh, both of which pin against it) rotates
+        # out for mention_contexts, and kg_canonical (green r01+r02+r03;
+        # its closed-form star + CC stay in-window via
+        # kg_edges_canon_refresh — which re-derives canon maps under two
+        # dictionary versions — and kg_edges_e2e's full-chain SQL)
+        # rotates out for train_shards ----
         "kg_mentions": q_kg_mentions,
+        "kg_links": q_kg_links,
+        "kg_canonical": q_kg_canonical,
         "turn_ordering": q_turn_ordering,
         "dedup_embedding_cosine_lsh": q_dedup_embedding_cosine_lsh,
         "mention_overlap_pairs": q_mention_overlap_pairs,
@@ -2066,6 +2104,9 @@ def oracle_sql() -> dict[str, str]:
 
     out.update(curation_oracles(docs))
     out["redact_pii"] = redact_pii_oracle(g("mentions"), cache)
+    from transner_spark.oracles import mention_contexts_oracle
+
+    out["mention_contexts"] = mention_contexts_oracle(g("mentions"), cache)
     out.update(dedup_oracles(docs, emb))
     # incremental-maintenance gate: the oracle IS the full recompute
     # over the whole docs table (incremental ≡ full — the same oracle

@@ -66,6 +66,9 @@ def main() -> None:
     audit("decontaminate", decontaminate(docs.where(~ev), docs.where(ev)))
     audit("sample_quota", sample_quota(docs))
     audit("sample_to_mixture", sample_to_mixture(docs))
+    from transner_spark.operators.curation import train_shards
+
+    audit("train_shards", train_shards(docs))
     audit("doc_repetition", doc_repetition(docs))
     audit("pack_sequences", pack_sequences(docs))
     audit("dedup_exact", dedup_exact(docs))
@@ -89,6 +92,21 @@ def main() -> None:
                         REPO, "data", "golden", os.path.basename(sf.rstrip("/")),
                         "mentions.parquet",
                     )
+                )
+            ),
+        ),
+    )
+
+    from transner_spark.operators.curation import mention_contexts
+
+    audit(
+        "mention_contexts",
+        mention_contexts(
+            tr.select("conv_id", "turn_idx", "text"),
+            spark.read.parquet(
+                os.path.join(
+                    REPO, "data", "golden", os.path.basename(sf.rstrip("/")),
+                    "mentions.parquet",
                 )
             ),
         ),

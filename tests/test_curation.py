@@ -7,6 +7,8 @@ import hashlib
 import random
 from collections import Counter
 
+import pytest
+
 from transner_spark.operators.curation import (
     decontaminate,
     doc_repetition,
@@ -219,6 +221,141 @@ def test_sample_to_mixture_exact(spark):
         kept[lg] = kept.get(lg, 0) + n_tok
     for lg, s in kept.items():
         assert s <= total * targets[lg] * 60 // 10000
+
+
+def _ctx_reference(text, s, value, k):
+    left = text[max(0, s - k) : s]
+    right = text[s + len(value) : s + len(value) + k]
+    return left, value, right
+
+
+def test_mention_contexts_exact(spark):
+    from transner_spark.operators.curation import mention_contexts
+
+    text = "Anna met Bob in Berlin after the long flight from Rome."
+    turns = spark.createDataFrame(
+        [("c1", 0, text)], "conv_id string, turn_idx int, text string"
+    )
+    men = [
+        ("c1", 0, 0, "PERSON", "Anna", 0),
+        ("c1", 0, 1, "PERSON", "Bob", 9),
+        ("c1", 0, 2, "LOCATION", "Berlin", 16),
+        ("c1", 0, 3, "LOCATION", "Rome.", 50),  # runs to the end
+    ]
+    mdf = spark.createDataFrame(
+        men,
+        "conv_id string, turn_idx int, mention_id int, type string,"
+        " value string, offset int",
+    )
+    got = {
+        r["mention_id"]: (r["left_ctx"], r["surface"], r["right_ctx"])
+        for r in mention_contexts(turns, mdf, ctx_chars=10).collect()
+    }
+    for _, _, mid, _, value, s in men:
+        assert got[mid] == _ctx_reference(text, s, value, 10)
+    # start-of-text mention has empty left context; end-of-text empty right
+    assert got[0][0] == "" and got[3][2] == ""
+
+
+def test_mention_contexts_guard_raises_on_drift(spark):
+    from pyspark.errors import SparkRuntimeException
+    from transner_spark.operators.curation import mention_contexts
+
+    turns = spark.createDataFrame(
+        [("c1", 0, "Anna met Bob")], "conv_id string, turn_idx int, text string"
+    )
+    bad = spark.createDataFrame(
+        [("c1", 0, 0, "PERSON", "Anna", 3)],  # wrong offset
+        "conv_id string, turn_idx int, mention_id int, type string,"
+        " value string, offset int",
+    )
+    with pytest.raises(SparkRuntimeException, match="offset/text drift"):
+        mention_contexts(turns, bad).collect()
+
+
+def test_mention_contexts_randomized_vs_twin(spark):
+    from transner_spark.operators.curation import mention_contexts
+
+    rng = random.Random(5)
+    rows_t, rows_m, mid = [], [], 0
+    for c in range(6):
+        words = ["w%d" % rng.randint(0, 9) for _ in range(rng.randint(3, 12))]
+        text = " ".join(words)
+        rows_t.append((f"c{c}", 0, text))
+        pos = 0
+        for w in words:
+            if rng.random() < 0.4:
+                rows_m.append((f"c{c}", 0, mid, "X", w, pos))
+                mid += 1
+            pos += len(w) + 1
+    turns = spark.createDataFrame(
+        rows_t, "conv_id string, turn_idx int, text string"
+    )
+    mdf = spark.createDataFrame(
+        rows_m,
+        "conv_id string, turn_idx int, mention_id int, type string,"
+        " value string, offset int",
+    )
+    texts = {(c, t): x for c, t, x in rows_t}
+    got = {
+        (r["conv_id"], r["mention_id"]): (
+            r["left_ctx"], r["surface"], r["right_ctx"]
+        )
+        for r in mention_contexts(turns, mdf, ctx_chars=7).collect()
+    }
+    assert len(got) == len(rows_m)
+    for c, t, m, _, v, s in rows_m:
+        assert got[(c, m)] == _ctx_reference(texts[(c, t)], s, v, 7)
+
+
+def _shards_reference(doc_ids, n):
+    out = {}
+    for i in doc_ids:
+        shard = int(hashlib.md5(f"sh:{i}".encode()).hexdigest()[:15], 16) % n
+        key = hashlib.md5(f"so:{i}".encode()).hexdigest()
+        out[i] = (shard, key)
+    return out
+
+
+def test_train_shards_exact_and_balanced(spark):
+    from transner_spark.operators.curation import train_shards
+
+    rows = [(i, "t", "en") for i in range(400)]
+    got = {
+        r["doc_id"]: (r["shard"], r["shard_key"])
+        for r in train_shards(_docs_df(spark, rows), n_shards=8).collect()
+    }
+    assert got == _shards_reference(range(400), 8)
+    sizes = Counter(s for s, _ in got.values())
+    assert set(sizes) == set(range(8))  # every shard populated
+    assert max(sizes.values()) <= 2 * min(sizes.values())  # rough balance
+    with pytest.raises(ValueError):
+        train_shards(_docs_df(spark, rows), n_shards=0)
+
+
+def test_write_training_shards_layout(spark, tmp_path):
+    from transner_spark.operators.curation import (
+        train_shards,
+        write_training_shards,
+    )
+
+    rows = [(i, f"text {i}", "en") for i in range(60)]
+    docs = _docs_df(spark, rows)
+    out = str(tmp_path / "shards")
+    write_training_shards(docs, out, n_shards=4)
+    ref = _shards_reference(range(60), 4)
+    import glob as _glob
+
+    for s in range(4):
+        files = _glob.glob(f"{out}/shard={s}/*.parquet")
+        assert len(files) == 1  # one sorted file per shard
+        pdf = spark.read.parquet(f"{out}/shard={s}").toPandas()
+        want = sorted(
+            (key, i) for i, (sh, key) in ref.items() if sh == s
+        )
+        assert list(pdf["shard_key"]) == [k for k, _ in want]  # in-shard order
+        assert list(pdf["doc_id"]) == [i for _, i in want]
+        assert set(pdf["text"]) == {f"text {i}" for _, i in want}
 
 
 def _redact_reference(text, spans):

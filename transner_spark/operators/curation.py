@@ -370,6 +370,133 @@ def pii_spans(mentions: DataFrame) -> DataFrame:
     )
 
 
+CTX_CHARS = 40  # context chars on each side of a mention span
+
+
+def mention_contexts(
+    turns: DataFrame, mentions: DataFrame, ctx_chars: int = CTX_CHARS
+) -> DataFrame:
+    """(conv_id, turn_idx, mention_id, type, left_ctx, surface,
+    right_ctx): span-in-context training examples — for every typed
+    entity mention, the surface form plus up to ``ctx_chars`` characters
+    of left/right context from the ORIGINAL turn text. This is the
+    example-extraction step that turns the annotated corpus into NER
+    fine-tuning / entity-disambiguation training data (the mention's
+    label is ``type``; the context window is what a disambiguation model
+    conditions on).
+
+    One co-keyed (conv_id, turn_idx) equi-join of the mentions table
+    onto the turns table — both sides partition on the conversation key
+    at scale, the redact_pii posture — followed by narrow substring
+    expressions (whole-stage codegen, zero extra shuffles). Character
+    windows keep every value an exact string function of the inputs
+    (engine-stable gate hashes; a token window would re-tokenize).
+
+    Offsets are trusted nowhere: an in-plan ``raise_error`` guard fails
+    the job loudly if ``substring(text, offset+1, len(value))`` differs
+    from the recorded mention value (a drifted offset would otherwise
+    silently emit garbage contexts into the training set)."""
+    if ctx_chars < 0:
+        raise ValueError(f"ctx_chars must be >= 0, got {ctx_chars}")
+    k = int(ctx_chars)
+    m = mentions.select(
+        "conv_id",
+        "turn_idx",
+        "mention_id",
+        "type",
+        F.col("offset").cast("int").alias("s"),
+        F.length("value").cast("int").alias("n"),
+        F.col("value"),
+    )
+    j = m.join(turns.select("conv_id", "turn_idx", "text"), ["conv_id", "turn_idx"])
+    surface = F.expr("substring(text, s + 1, n)")
+    guarded = F.when(
+        surface != F.col("value"),
+        F.raise_error(
+            F.concat(
+                F.lit("mention_contexts: offset/text drift at ("),
+                F.col("conv_id"),
+                F.lit(", "),
+                F.col("turn_idx").cast("string"),
+                F.lit("): expected '"),
+                F.col("value"),
+                F.lit("' got '"),
+                surface,
+                F.lit("'"),
+            )
+        ),
+    ).otherwise(surface)
+    return j.select(
+        "conv_id",
+        "turn_idx",
+        "mention_id",
+        "type",
+        F.expr(f"substring(text, greatest(1, s + 1 - {k}), least({k}, s))").alias(
+            "left_ctx"
+        ),
+        guarded.alias("surface"),
+        F.expr(f"substring(text, s + n + 1, {k})").alias("right_ctx"),
+    )
+
+
+TRAIN_SHARDS = 8
+
+
+def train_shards(docs: DataFrame, n_shards: int = TRAIN_SHARDS) -> DataFrame:
+    """(doc_id, shard, shard_key): the deterministic global shuffle
+    that precedes training — every document gets a shard
+    ``h60('sh:' || doc_id) % n_shards`` and an in-shard order key
+    ``md5('so:' || doc_id)`` (two INDEPENDENT hash streams per the
+    functions/hashing.py convention, so shard membership doesn't
+    correlate with in-shard position). Sharding + per-shard hash order
+    is the scale-correct form of "shuffle the corpus": a true global
+    random order would be a single-partition total sort, while this is
+    one hash repartition and a per-shard sort — statistically the same
+    shuffle, embarrassingly parallel, and bit-reproducible across
+    re-runs (same corpus -> same shards -> same training batches).
+
+    :func:`write_training_shards` materializes the layout; this frame
+    is the gateable assignment."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    return docs.select(
+        "doc_id",
+        F.pmod(
+            h60(F.concat(F.lit("sh:"), F.col("doc_id").cast("string"))),
+            F.lit(n_shards),
+        )
+        .cast("int")
+        .alias("shard"),
+        F.md5(
+            F.concat(F.lit("so:"), F.col("doc_id").cast("string")).cast(
+                "binary"
+            )
+        ).alias("shard_key"),
+    )
+
+
+def write_training_shards(
+    docs: DataFrame, path: str, n_shards: int = TRAIN_SHARDS
+) -> None:
+    """Materialize the training corpus as ``shard=K/`` parquet
+    directories, rows inside each shard sorted by the deterministic
+    shard key — the layout a data loader streams per-worker without any
+    further shuffling. ONE hash repartition on the shard id (each shard
+    lives in exactly one task, so each ``shard=K`` directory holds one
+    sorted file) + sortWithinPartitions; no global sort anywhere.
+    At cluster scale raise ``n_shards`` with the corpus (shards ≈
+    loader-worker count); rerunning overwrites to the identical bytes
+    (hash-derived layout, no RNG state)."""
+    assigned = docs.join(train_shards(docs, n_shards), "doc_id")
+    (
+        assigned.repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "shard_key")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+
+
 PACK_BUDGET = 128  # token budget per packed training sequence
 PACK_SHARDS = 16
 

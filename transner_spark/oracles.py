@@ -2015,6 +2015,7 @@ def curation_oracles(
         PACK_BUDGET,
         PACK_SHARDS,
         QUOTA_PER_GROUP,
+        TRAIN_SHARDS,
         REPETITION_NGRAM,
     )
 
@@ -2058,6 +2059,15 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
        sum(CASE WHEN gram IN (SELECT gram FROM ev) THEN 1 ELSE 0 END) > 0
            AS contaminated
 FROM tr GROUP BY doc_id
+""",
+        # the two independent hash streams re-derived: shard from the
+        # 'sh:' h60 stream, in-shard order key from the 'so:' md5 stream
+        "train_shards": f"""
+SELECT doc_id,
+       CAST({_h60("('sh:' || CAST(doc_id AS VARCHAR))")}
+            % {TRAIN_SHARDS} AS INT) AS shard,
+       md5('so:' || CAST(doc_id AS VARCHAR)) AS shard_key
+FROM read_parquet('{docs}')
 """,
         # independent formulation: plain per-group window cumsum (the
         # operator uses the bucketed two-level running sum); // and
@@ -2145,6 +2155,27 @@ WITH RECURSIVE t AS (
 SELECT doc_id, shard, bin, pos, n_tokens FROM p
 """,
     }
+
+
+def mention_contexts_oracle(mentions_src: str, turns_src: str) -> str:
+    """DuckDB re-derivation of operators/curation.mention_contexts over
+    the mentions golden + transcripts cache: the same 1-based substring
+    window arithmetic (greatest/least clamps) re-built in substr(). The
+    operator's offset-drift raise_error guard is Spark-side only: inert
+    on aligned data (values match), and on drifted offsets the gate
+    ERRORS instead of hash-matching garbage (the ntriples precedent)."""
+    from transner_spark.operators.curation import CTX_CHARS
+
+    k = CTX_CHARS
+    return f"""
+SELECT m.conv_id, m.turn_idx, m.mention_id, m.type,
+       substr(t.text, greatest(1, m.offset + 1 - {k}),
+              least({k}, m.offset)) AS left_ctx,
+       substr(t.text, m.offset + 1, len(m.value)) AS surface,
+       substr(t.text, m.offset + len(m.value) + 1, {k}) AS right_ctx
+FROM read_parquet('{mentions_src}') m
+JOIN read_parquet('{turns_src}') t USING (conv_id, turn_idx)
+"""
 
 
 def redact_pii_oracle(mentions_src: str, turns_src: str) -> str:
