@@ -234,6 +234,9 @@ def main() -> None:
         ),
     )
     audit("edges_asof", edges_asof(t, canon))
+    from transner_spark.operators.materialize import edge_provenance
+
+    audit("edge_provenance", edge_provenance(t, canon))
     from transner_spark.operators.materialize import entity_profiles, reresolve_edges
 
     audit("entity_profiles", entity_profiles(t, canon))

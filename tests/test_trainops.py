@@ -324,3 +324,23 @@ def test_ann_recall_floors_on_testdata(spark):
         assert len(rows) == 8, method
         mean_recall = sum(r["recall"] for r in rows) / len(rows)
         assert mean_recall >= 0.25, (method, mean_recall)
+
+
+def test_vocab_topk_order_and_tiebreak(spark):
+    from transner_spark.operators.textops import vocab_topk
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                (0, "a a a b b zz", "en", "s", 12),
+                (1, "b c  c", "en", "s", 6),
+                (2, "   ", "en", "s", 3),  # empty after trim -> no tokens
+            ],
+            columns=["doc_id", "text", "lang", "source", "n_chars"],
+        )
+    )
+    rows = [(r["token"], r["freq"]) for r in vocab_topk(docs, k=3).collect()]
+    # a:3 b:3 (tie -> 'a' first), c:2; 'zz' (1) cut at the boundary
+    assert sorted(rows) == [("a", 3), ("b", 3), ("c", 2)]
+    with pytest.raises(ValueError):
+        vocab_topk(docs, k=0)

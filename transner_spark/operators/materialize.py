@@ -505,3 +505,74 @@ def profiles_from_partials(partials: DataFrame) -> DataFrame:
         .select("entity_id", F.col("surface").alias("top_surface"))
     )
     return stats.join(top, "entity_id")
+
+
+PROVENANCE_K = 3
+PROVENANCE_SALTS = 8
+
+
+def edge_provenance(
+    triples: DataFrame,
+    canon: DataFrame,
+    k: int = PROVENANCE_K,
+    n_salts: int = PROVENANCE_SALTS,
+    broadcast_canon: bool = True,
+) -> DataFrame:
+    """(subj_id, pred, obj_id, conv_id, turn_idx, rank): up to ``k``
+    supporting turns per materialized edge — the evidence/citation table
+    a KG-QA or review surface serves next to each fact ("this edge was
+    extracted HERE"). The sample is deterministic: per edge, turns rank
+    by ``h60('pv:' || conv_id || ':' || turn_idx)`` (ties by conv/turn —
+    a total order), so re-runs cite identical provenance and the gate
+    value-checks it.
+
+    Scale shape: the triples stream resolves through the same canon map
+    as materialize_edges (shared ``_resolve`` — the provenance keys
+    CANNOT drift from the edge keys), then a TWO-PHASE top-k handles the
+    hot edge exactly like the salted weight rollup above: phase one
+    ranks within (edge, salt) — the skewed generator's hot pair spreads
+    across ``n_salts`` frames — and phase two re-ranks the ≤ k*n_salts
+    survivors per edge. The global top-k is always a subset of the
+    per-salt top-k union, so the result is exact; no edge-sized window
+    frame ever materializes. The DuckDB oracle uses the plain
+    single-window formulation — an independent derivation."""
+    if k < 1 or n_salts < 1:
+        raise ValueError(f"need k >= 1 and n_salts >= 1, got {k}/{n_salts}")
+    from pyspark.sql import Window
+
+    from transner_spark.functions.hashing import h60
+
+    resolved = _resolve(triples, canon, "subj", broadcast_canon)
+    resolved = _resolve(resolved, canon, "obj", broadcast_canon)
+    base = (
+        resolved.select("subj_id", "pred", "obj_id", "conv_id", "turn_idx")
+        .distinct()  # one citation per supporting turn
+        .withColumn(
+            "h",
+            h60(
+                F.concat(
+                    F.lit("pv:"),
+                    F.col("conv_id"),
+                    F.lit(":"),
+                    F.col("turn_idx").cast("string"),
+                )
+            ),
+        )
+    )
+    order = [F.col("h").asc(), F.col("conv_id").asc(), F.col("turn_idx").asc()]
+    w1 = Window.partitionBy(
+        "subj_id", "pred", "obj_id", "salt"
+    ).orderBy(*order)
+    w2 = Window.partitionBy("subj_id", "pred", "obj_id").orderBy(*order)
+    return (
+        base.withColumn(
+            "salt", F.pmod(F.hash("conv_id", "turn_idx"), F.lit(n_salts))
+        )
+        .withColumn("rn", F.row_number().over(w1))
+        .where(F.col("rn") <= k)
+        .withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select(
+            "subj_id", "pred", "obj_id", "conv_id", "turn_idx", "rank"
+        )
+    )

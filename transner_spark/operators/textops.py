@@ -205,3 +205,29 @@ def doc_fingerprint(docs: DataFrame, k: int = FINGERPRINT_K) -> DataFrame:
             F.transform(F.col("shingles"), lambda s: h60_seeded(1, s))
         ).alias("fp_alt"),
     )
+
+
+VOCAB_TOPK = 200
+
+
+def vocab_topk(docs: DataFrame, k: int = VOCAB_TOPK) -> DataFrame:
+    """(token, freq): the ``k`` most frequent whitespace tokens of the
+    corpus, ties broken by token asc (a total order, so the cut at the
+    k boundary is deterministic and value-gateable) — the frequency
+    table a BPE/WordPiece vocabulary build starts from, and the base
+    census for stopword-list induction.
+
+    Shape: one explode + one map-side-combinable hash aggregate (token
+    partials collapse within each partition before the single shuffle),
+    then top-k as TakeOrderedAndProject — per-partition heaps of k
+    merged on the driver, never a global sort. The hot token ("the")
+    costs one partial per partition, not a skewed reduce."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    return (
+        docs.select(F.explode(ws_tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("token").asc())
+        .limit(k)
+    )

@@ -73,7 +73,20 @@ def textops_oracles(docs: str) -> dict[str, str]:
          / greatest(len(toks), 1)) * 5.0)),
     6)"""
     norm_hash = _h60("lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))")
+    from transner_spark.operators.textops import VOCAB_TOPK
+
     return {
+        # deterministic-tiebreak top-k token census (ORDER BY freq DESC,
+        # token makes the k-boundary cut a total order in both engines)
+        "vocab_topk": f"""
+SELECT token, CAST(count(*) AS BIGINT) AS freq
+FROM (
+  SELECT unnest({_TOKS}) AS token FROM read_parquet('{docs}')
+)
+GROUP BY token
+ORDER BY freq DESC, token
+LIMIT {VOCAB_TOPK}
+""",
         # composed curation decision: quality + langID + exact-dup keeper
         "corpus_filter": f"""
 WITH t AS (
@@ -1214,6 +1227,51 @@ SELECT subj_id, pred, obj_id,
        CAST(floor(epoch(min(ts))) AS BIGINT) AS first_epoch,
        CAST(floor(epoch(max(ts))) AS BIGINT) AS last_epoch
 FROM r GROUP BY subj_id, pred, obj_id
+"""
+
+
+def edge_provenance_sql(
+    triples_src: str, canonical_src: str, k: int | None = None
+) -> str:
+    """DuckDB re-derivation of operators/materialize.edge_provenance:
+    the same structural-node resolution as kg_edges_sql (no ts — the
+    citation table is time-free), distinct post-resolution citations,
+    then the PLAIN single-window top-k per edge ordered by the 'pv:'
+    h60 stream — an independent formulation of the operator's salted
+    two-phase rank."""
+    from transner_spark.operators.materialize import PROVENANCE_K
+
+    if k is None:
+        k = PROVENANCE_K
+    structural = "('AGENT', 'SPEAKER', 'TOOL')"
+    h = _h60("('pv:' || conv_id || ':' || CAST(turn_idx AS VARCHAR))")
+    return f"""
+WITH nodes AS (
+  SELECT
+    CASE WHEN subj_type IN {structural} THEN subj_norm
+         ELSE 'surface:' || subj_norm END AS subj_node,
+    pred,
+    CASE WHEN obj_type IN {structural} THEN obj_norm
+         ELSE 'surface:' || obj_norm END AS obj_node,
+    conv_id, turn_idx
+  FROM {triples_src}
+),
+c AS (SELECT * FROM {canonical_src}),
+r AS (
+  SELECT DISTINCT coalesce(cs.canon_id, subj_node) AS subj_id, pred,
+         coalesce(co.canon_id, obj_node) AS obj_id, conv_id, turn_idx
+  FROM nodes
+  LEFT JOIN c cs ON cs.node_id = subj_node
+  LEFT JOIN c co ON co.node_id = obj_node
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY subj_id, pred, obj_id
+    ORDER BY {h}, conv_id, turn_idx) AS rn
+  FROM r
+)
+SELECT subj_id, pred, obj_id, conv_id, turn_idx, CAST(rn AS INT) AS rank
+FROM ranked WHERE rn <= {k}
 """
 
 
