@@ -479,12 +479,15 @@ def q_graph_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k token census (the BPE/WordPiece vocabulary seed): one
-    explode + map-side-combinable hash agg + TakeOrderedAndProject,
-    deterministic (freq desc, token asc) boundary cut."""
-    from transner_spark.operators.textops import vocab_topk
+    explode + map-side-combinable hash agg + TakeOrderedAndProject.
+    Gated at VOCAB_GATE_K < the sf0.01 vocabulary size so the
+    deterministic (freq desc, token asc) boundary cut is itself
+    driver-verified."""
+    from transner_spark.operators.textops import VOCAB_GATE_K, vocab_topk
 
     return vocab_topk(
-        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet")),
+        k=VOCAB_GATE_K,
     )
 
 

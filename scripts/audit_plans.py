@@ -69,6 +69,9 @@ def main() -> None:
     from transner_spark.operators.curation import train_shards
 
     audit("train_shards", train_shards(docs))
+    from transner_spark.operators.textops import VOCAB_GATE_K, vocab_topk
+
+    audit("vocab_topk", vocab_topk(docs, k=VOCAB_GATE_K))
     audit("doc_repetition", doc_repetition(docs))
     audit("pack_sequences", pack_sequences(docs))
     audit("dedup_exact", dedup_exact(docs))

@@ -457,22 +457,29 @@ def train_shards(docs: DataFrame, n_shards: int = TRAIN_SHARDS) -> DataFrame:
 
     :func:`write_training_shards` materializes the layout; this frame
     is the gateable assignment."""
+    shard, key = _shard_cols(n_shards)
+    return docs.select("doc_id", shard, key)
+
+
+def _shard_cols(n_shards: int):
+    """The two deterministic shard expressions — shared by the
+    assignment frame and the writer, which computes them INLINE on the
+    corpus (they're pure functions of doc_id, so a join against the
+    assignment frame would be pure waste)."""
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
-    return docs.select(
-        "doc_id",
+    shard = (
         F.pmod(
             h60(F.concat(F.lit("sh:"), F.col("doc_id").cast("string"))),
             F.lit(n_shards),
         )
         .cast("int")
-        .alias("shard"),
-        F.md5(
-            F.concat(F.lit("so:"), F.col("doc_id").cast("string")).cast(
-                "binary"
-            )
-        ).alias("shard_key"),
+        .alias("shard")
     )
+    key = F.md5(
+        F.concat(F.lit("so:"), F.col("doc_id").cast("string")).cast("binary")
+    ).alias("shard_key")
+    return shard, key
 
 
 def write_training_shards(
@@ -481,15 +488,20 @@ def write_training_shards(
     """Materialize the training corpus as ``shard=K/`` parquet
     directories, rows inside each shard sorted by the deterministic
     shard key — the layout a data loader streams per-worker without any
-    further shuffling. ONE hash repartition on the shard id (each shard
-    lives in exactly one task, so each ``shard=K`` directory holds one
-    sorted file) + sortWithinPartitions; no global sort anywhere.
-    At cluster scale raise ``n_shards`` with the corpus (shards ≈
-    loader-worker count); rerunning overwrites to the identical bytes
-    (hash-derived layout, no RNG state)."""
-    assigned = docs.join(train_shards(docs, n_shards), "doc_id")
+    further shuffling. The shard expressions are computed INLINE on the
+    corpus (pure functions of doc_id — no join against the assignment
+    frame), so the whole plan is ONE hash repartition on the shard id
+    (each shard lives in exactly one task, so each ``shard=K``
+    directory holds one sorted file) + sortWithinPartitions; no global
+    sort anywhere. At cluster scale raise ``n_shards`` with the corpus
+    (shards ≈ loader-worker count); rerunning overwrites to identical
+    rows in identical in-file order (hash-derived layout, no RNG state
+    — part-file NAMES still embed Spark's per-task UUIDs, so checksum
+    contents, not filenames)."""
+    shard, key = _shard_cols(n_shards)
     (
-        assigned.repartition(n_shards, "shard")
+        docs.select("*", shard, key)
+        .repartition(n_shards, "shard")
         .sortWithinPartitions("shard", "shard_key")
         .write.mode("overwrite")
         .partitionBy("shard")

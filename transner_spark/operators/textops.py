@@ -208,6 +208,11 @@ def doc_fingerprint(docs: DataFrame, k: int = FINGERPRINT_K) -> DataFrame:
 
 
 VOCAB_TOPK = 200
+# gate-scale k: BELOW sf0.01's distinct-token count (31), so the
+# driver-visible oracle actually exercises the deterministic boundary
+# cut — with k > |vocab| the LIMIT never fires and a tiebreak
+# regression would pass the gate unnoticed
+VOCAB_GATE_K = 20
 
 
 def vocab_topk(docs: DataFrame, k: int = VOCAB_TOPK) -> DataFrame:

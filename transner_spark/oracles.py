@@ -73,11 +73,13 @@ def textops_oracles(docs: str) -> dict[str, str]:
          / greatest(len(toks), 1)) * 5.0)),
     6)"""
     norm_hash = _h60("lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))")
-    from transner_spark.operators.textops import VOCAB_TOPK
+    from transner_spark.operators.textops import VOCAB_GATE_K
 
     return {
         # deterministic-tiebreak top-k token census (ORDER BY freq DESC,
-        # token makes the k-boundary cut a total order in both engines)
+        # token makes the k-boundary cut a total order in both engines);
+        # gated at VOCAB_GATE_K < the sf0.01 vocabulary size so the
+        # boundary cut itself is driver-verified
         "vocab_topk": f"""
 SELECT token, CAST(count(*) AS BIGINT) AS freq
 FROM (
@@ -85,7 +87,7 @@ FROM (
 )
 GROUP BY token
 ORDER BY freq DESC, token
-LIMIT {VOCAB_TOPK}
+LIMIT {VOCAB_GATE_K}
 """,
         # composed curation decision: quality + langID + exact-dup keeper
         "corpus_filter": f"""
