@@ -491,6 +491,32 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-k TF-IDF keywords (salient-term indexing):
+    smooth idf, double-round-snapped score BEFORE the per-doc rank
+    window (ln is transcendental), term-asc tiebreak."""
+    from transner_spark.operators.textops import tfidf_keywords
+
+    return tfidf_keywords(
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    )
+
+
+def q_stream_windowed_counts_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consolidated two-mode streaming windowed-counts gate (the
+    ann_recall precedent): the complete-mode AND append-mode sinks of
+    the same watermarked tumbling aggregation, unioned with a mode
+    discriminator — both value-checked in one window slot against the
+    same batch-SQL oracle; per-mode gates stay runnable in the tail."""
+    comp = q_stream_windowed_counts(spark, sf_dir).select(
+        F.lit("complete").alias("mode"), "*"
+    )
+    app = q_stream_windowed_counts_append(spark, sf_dir).select(
+        F.lit("append").alias("mode"), "*"
+    )
+    return comp.unionByName(app)
+
+
 def q_kg_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The post-maintenance invariant sweep (kg_integrity_report) run
     over a DELIBERATELY corrupted edge table so every check carries a
@@ -1997,7 +2023,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_two_hop": q_graph_two_hop,
         "graph_neighbors_topk": q_graph_neighbors_topk,
         "stream_edges_batch_eq": q_stream_edges_batch_eq,
-        "stream_windowed_counts_append": q_stream_windowed_counts_append,
+        "stream_windowed_counts_modes": q_stream_windowed_counts_modes,
         # -- new this round --
         "stream_edges_log_eq": q_stream_edges_log_eq,
         "stream_profiles_log_eq": q_stream_profiles_log_eq,
@@ -2031,10 +2057,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mention_contexts": q_mention_contexts,
         "train_shards": q_train_shards,
         "edge_provenance": q_edge_provenance,
+        "tfidf_keywords": q_tfidf_keywords,
         # -- verified in r01/r02 but pushed past the window in r03 --
         "pipeline_lineage": q_pipeline_lineage,
         "stream_mentions_batch_eq": q_stream_mentions_batch_eq,
-        "stream_windowed_counts": q_stream_windowed_counts,
         # -- core KG chain + NER parity --
         "kg_edges": q_kg_edges,
         "kg_edges_e2e": q_kg_edges_e2e,
@@ -2103,9 +2129,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per-method partition twins of the consolidated in-window
         # graph_partitions gate (the ann_recall_lsh/ivf precedent):
         # both landed in round 4 and are value-checked in-window via
-        # the union gate; still runnable locally here
+        # the union gate; still runnable locally here — likewise the
+        # two windowed-counts modes, consolidated into the in-window
+        # stream_windowed_counts_modes union (complete green r02;
+        # append r4-new) to free a slot for tfidf_keywords
         "graph_components": q_graph_components,
         "graph_communities": q_graph_communities,
+        "stream_windowed_counts": q_stream_windowed_counts,
+        "stream_windowed_counts_append": q_stream_windowed_counts_append,
         "turn_ordering": q_turn_ordering,
         "dedup_embedding_cosine_lsh": q_dedup_embedding_cosine_lsh,
         "mention_overlap_pairs": q_mention_overlap_pairs,
@@ -2446,6 +2477,18 @@ FROM ({out["graph_communities"]})
             FROM {men_src} m
             JOIN read_parquet('{cache}') tc USING (conv_id, turn_idx)
             GROUP BY 1, 2, 3
+        """,
+        # consolidated two-mode gate: the SAME window-aggregate
+        # derivation tagged per mode (both sinks must equal it)
+        "stream_windowed_counts_modes": f"""
+            SELECT md.mode,
+                   CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS start_epoch,
+                   CAST(floor(epoch(ts) / 600) * 600 + 600 AS BIGINT) AS end_epoch,
+                   m.type, CAST(COUNT(*) AS BIGINT) AS n_mentions
+            FROM {men_src} m
+            JOIN read_parquet('{cache}') tc USING (conv_id, turn_idx)
+            CROSS JOIN (SELECT unnest(['complete', 'append']) AS mode) md
+            GROUP BY 1, 2, 3, 4
         """,
         # stateful conversation assembly: every conversation closes via
         # idle timeout exactly once (whole corpus in one micro-batch),

@@ -72,6 +72,9 @@ def main() -> None:
     from transner_spark.operators.textops import VOCAB_GATE_K, vocab_topk
 
     audit("vocab_topk", vocab_topk(docs, k=VOCAB_GATE_K))
+    from transner_spark.operators.textops import tfidf_keywords
+
+    audit("tfidf_keywords", tfidf_keywords(docs))
     audit("doc_repetition", doc_repetition(docs))
     audit("pack_sequences", pack_sequences(docs))
     audit("dedup_exact", dedup_exact(docs))

@@ -344,3 +344,47 @@ def test_vocab_topk_order_and_tiebreak(spark):
     assert sorted(rows) == [("a", 3), ("b", 3), ("c", 2)]
     with pytest.raises(ValueError):
         vocab_topk(docs, k=0)
+
+
+def test_tfidf_keywords_vs_twin(spark):
+    import math
+
+    from transner_spark.operators.textops import tfidf_keywords
+
+    texts = {
+        0: "apple banana apple cherry",
+        1: "banana cherry cherry date",
+        2: "apple egg egg egg",
+        3: "",  # counts toward N, emits nothing
+    }
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            [(i, t, "en", "s", len(t)) for i, t in texts.items()],
+            columns=["doc_id", "text", "lang", "source", "n_chars"],
+        )
+    )
+    # python twin with the identical double-round snap
+    n = len(texts)
+    tf: dict[tuple, int] = {}
+    for i, t in texts.items():
+        for w in t.split():
+            tf[(i, w)] = tf.get((i, w), 0) + 1
+    df_t: dict[str, int] = {}
+    for (_, w) in tf:
+        df_t[w] = df_t.get(w, 0) + 1
+    scored: dict[int, list] = {}
+    for (i, w), c in tf.items():
+        s = round(round(c * (math.log((n + 1) / (df_t[w] + 1)) + 1), 9), 6)
+        scored.setdefault(i, []).append((-s, w, c))
+    want = []
+    for i, terms in scored.items():
+        for r, (neg_s, w, c) in enumerate(sorted(terms)[:2], start=1):
+            want.append((i, w, c, df_t[w], -neg_s, r))
+    got = sorted(
+        (r["doc_id"], r["term"], r["tf"], r["df"], r["score"], r["rank"])
+        for r in tfidf_keywords(docs, k=2).collect()
+    )
+    assert got == sorted(want)
+    assert not any(i == 3 for i, *_ in got)
+    with pytest.raises(ValueError):
+        tfidf_keywords(docs, k=0)

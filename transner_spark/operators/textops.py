@@ -236,3 +236,66 @@ def vocab_topk(docs: DataFrame, k: int = VOCAB_TOPK) -> DataFrame:
         .orderBy(F.col("freq").desc(), F.col("token").asc())
         .limit(k)
     )
+
+
+KEYWORDS_K = 3
+
+
+def tfidf_keywords(docs: DataFrame, k: int = KEYWORDS_K) -> DataFrame:
+    """(doc_id, term, tf, df, score, rank): the top-``k`` TF-IDF terms
+    of every document — keyword extraction / salient-term indexing over
+    the corpus (what a search or topic surface shows per document).
+    Smooth-idf variant: ``score = tf * (ln((N+1)/(df+1)) + 1)`` with N
+    counting ALL documents of the input (empty docs contribute to N but
+    emit no terms).
+
+    Shape: one explode + (doc, term) count agg (map-side partials), a
+    term-keyed df agg DERIVED from the tf frame (no second corpus
+    scan), the scalar N as a broadcast 1-row crossJoin (the pagerank
+    posture — no collect), one equi-join on term (the hot term is AQE
+    skew-join territory at scale), and a rank window PARTITIONED by
+    doc_id (per-doc frames). ln is transcendental, so the score is
+    double-round-snapped (round(round(x, 9), 6)) on BOTH engines before
+    ranking — the repo's float-determinism rule — and ties break by
+    term asc, making the top-k cut a total order."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        "doc_id", F.explode(ws_tokens(F.col("text"))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    dft = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    scored = (
+        tf.join(dft, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score",
+            F.round(
+                F.round(
+                    F.col("tf")
+                    * (
+                        F.log(
+                            (F.col("n_docs") + F.lit(1).cast("double"))
+                            / (F.col("df") + F.lit(1).cast("double"))
+                        )
+                        + F.lit(1.0)
+                    ),
+                    9,
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("doc_id", "term", "tf", "df", "score", "rank")
+    )

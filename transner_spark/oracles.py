@@ -73,9 +73,36 @@ def textops_oracles(docs: str) -> dict[str, str]:
          / greatest(len(toks), 1)) * 5.0)),
     6)"""
     norm_hash = _h60("lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))")
-    from transner_spark.operators.textops import VOCAB_GATE_K
+    from transner_spark.operators.textops import KEYWORDS_K, VOCAB_GATE_K
 
     return {
+        # smooth-idf TF-IDF with the double-round snap applied BEFORE
+        # ranking on both engines (ln is transcendental); ties at the
+        # per-doc top-k boundary break by term asc
+        "tfidf_keywords": f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS term FROM read_parquet('{docs}')
+), tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM toks GROUP BY doc_id, term
+), dft AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+), nn AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs FROM read_parquet('{docs}')
+), s AS (
+  SELECT doc_id, tf.term, tf.tf, dft.df,
+         round(round(tf.tf * (ln((nn.n_docs + 1.0) / (dft.df + 1.0))
+                              + 1.0), 9), 6) AS score
+  FROM tf JOIN dft USING (term) CROSS JOIN nn
+)
+SELECT doc_id, term, tf, df, score, CAST(rn AS INT) AS rank
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+  FROM s
+)
+WHERE rn <= {KEYWORDS_K}
+""",
         # deterministic-tiebreak top-k token census (ORDER BY freq DESC,
         # token makes the k-boundary cut a total order in both engines);
         # gated at VOCAB_GATE_K < the sf0.01 vocabulary size so the
