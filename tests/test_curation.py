@@ -557,3 +557,15 @@ def test_doc_repetition_randomized(spark):
     }
     for i, t, _ in rows:
         assert got[i] == _repetition_reference(t, 2), (i, t)
+
+
+def test_train_shards_null_doc_id_fails_loud(spark):
+    from pyspark.errors import SparkRuntimeException
+    from transner_spark.operators.curation import train_shards
+
+    docs = spark.createDataFrame(
+        [(1, "a", "en", "s", 1), (None, "b", "en", "s", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    with pytest.raises(SparkRuntimeException, match="NULL doc_id"):
+        train_shards(docs).collect()

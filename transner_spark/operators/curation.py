@@ -465,13 +465,25 @@ def _shard_cols(n_shards: int):
     """The two deterministic shard expressions — shared by the
     assignment frame and the writer, which computes them INLINE on the
     corpus (they're pure functions of doc_id, so a join against the
-    assignment frame would be pure waste)."""
+    assignment frame would be pure waste). A NULL doc_id fails LOUD
+    in-plan: it would otherwise propagate to a NULL shard and the
+    writer would silently bury the row in a
+    shard=__HIVE_DEFAULT_PARTITION__/ directory no loader globbing
+    shard=K/ ever reads."""
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
     shard = (
-        F.pmod(
-            h60(F.concat(F.lit("sh:"), F.col("doc_id").cast("string"))),
-            F.lit(n_shards),
+        F.when(
+            F.col("doc_id").isNull(),
+            F.raise_error(
+                F.lit("train_shards: NULL doc_id cannot be sharded")
+            ).cast("long"),
+        )
+        .otherwise(
+            F.pmod(
+                h60(F.concat(F.lit("sh:"), F.col("doc_id").cast("string"))),
+                F.lit(n_shards),
+            )
         )
         .cast("int")
         .alias("shard")

@@ -249,15 +249,20 @@ def tfidf_keywords(docs: DataFrame, k: int = KEYWORDS_K) -> DataFrame:
     counting ALL documents of the input (empty docs contribute to N but
     emit no terms).
 
-    Shape: one explode + (doc, term) count agg (map-side partials), a
-    term-keyed df agg DERIVED from the tf frame (no second corpus
-    scan), the scalar N as a broadcast 1-row crossJoin (the pagerank
-    posture — no collect), one equi-join on term (the hot term is AQE
-    skew-join territory at scale), and a rank window PARTITIONED by
-    doc_id (per-doc frames). ln is transcendental, so the score is
-    double-round-snapped (round(round(x, 9), 6)) on BOTH engines before
-    ranking — the repo's float-determinism rule — and ties break by
-    term asc, making the top-k cut a total order."""
+    Shape: one explode + (doc, term) count agg (map-side partials) into
+    a localCheckpoint BARRIER (the dedup persisted-signature precedent:
+    Catalyst does not reuse the exchange across the tf/df branches, so
+    without the barrier the df branch re-scans and re-explodes the
+    whole corpus — the expensive pass — a second time; materializing
+    the far smaller tf frame once buys both branches). df is then a
+    term-keyed agg over the barrier, the scalar N a broadcast 1-row
+    crossJoin (the pagerank posture — no collect), one equi-join on
+    term (the hot term is AQE skew-join territory at scale), and a rank
+    window PARTITIONED by doc_id (per-doc frames). ln is
+    transcendental, so the score is double-round-snapped
+    (round(round(x, 9), 6)) on BOTH engines before ranking — the repo's
+    float-determinism rule — and ties break by term asc, making the
+    top-k cut a total order."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     from pyspark.sql import Window
@@ -267,7 +272,7 @@ def tfidf_keywords(docs: DataFrame, k: int = KEYWORDS_K) -> DataFrame:
     )
     tf = toks.groupBy("doc_id", "term").agg(
         F.count(F.lit(1)).cast("long").alias("tf")
-    )
+    ).localCheckpoint()
     dft = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
     n = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     scored = (
