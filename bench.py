@@ -349,6 +349,7 @@ def run_trainops_timed(
         pack_sequences,
         sample_quota,
         sample_to_mixture,
+        train_shards,
     )
 
     ev = eval_split(docs)
@@ -358,7 +359,19 @@ def run_trainops_timed(
         + sample_quota(docs).count()
         + sample_to_mixture(docs).count()
         + doc_repetition(docs).count()
-        + pack_sequences(docs).count(),
+        + pack_sequences(docs).count()
+        + train_shards(docs).count(),
+    )
+    from transner_spark.operators.textops import (
+        VOCAB_GATE_K,
+        tfidf_keywords,
+        vocab_topk,
+    )
+
+    measure(
+        "keywords",
+        lambda: vocab_topk(docs, k=VOCAB_GATE_K).count()
+        + tfidf_keywords(docs).count(),
     )
     measure("dedup_minhash", lambda: dedup_minhash_lsh(docs).count())
     measure("dedup_simhash", lambda: dedup_simhash(docs).count())
