@@ -226,3 +226,54 @@ def test_bucketed_reattach_after_catalog_loss(spark, tmp_path):
         map(tuple, spark.table("serving_reattach_t").collect())
     ) == vals
     spark.sql("DROP TABLE IF EXISTS serving_reattach_t")
+
+
+def test_training_shard_write_plan_has_no_join(spark):
+    """write_training_shards' plan: the shard expressions are inline
+    (pure functions of doc_id) — a join against the assignment frame
+    would broadcast/shuffle the corpus twice (review finding, round 4)."""
+    from transner_spark.operators.curation import _shard_cols
+
+    docs = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["doc_id", "text"]
+    )
+    shard, key = _shard_cols(4)
+    p = _plan(
+        docs.select("*", shard, key)
+        .repartition(4, "shard")
+        .sortWithinPartitions("shard", "shard_key")
+    )
+    assert "Join" not in p
+    assert p.count("Exchange") == 1
+
+
+def test_provenance_windows_are_salted_then_edge_partitioned(spark):
+    """edge_provenance's two-phase top-k: the FIRST rank window must be
+    partitioned by (edge key + salt) — the hot edge never gets an
+    edge-sized frame — and no window may be partition-free."""
+    from transner_spark.operators.materialize import edge_provenance
+
+    t = spark.createDataFrame(
+        [("c1", 0, "A", "PERSON", "a", "p", "B", "LOCATION", "b", 0.9)],
+        "conv_id string, turn_idx int, subj_value string, subj_type string,"
+        " subj_norm string, pred string, obj_value string, obj_type string,"
+        " obj_norm string, confidence double",
+    )
+    canon = spark.createDataFrame([("surface:a", "surface:a")], "node_id string, canon_id string")
+    p = _plan(edge_provenance(t, canon))
+    assert "salt" in p
+    assert "No Partition Defined" not in p
+
+
+def test_walks_step_join_is_composite_key(spark):
+    """random_walks resolves each hop via the (node, rank) composite
+    equi-join — never a per-neighbor fan-out join or a neighbor array."""
+    from transner_spark.operators.walks import random_walks
+
+    edges = spark.createDataFrame(
+        [("a", "p", "b", 1), ("b", "p", "c", 1)],
+        "subj_id string, pred string, obj_id string, weight long",
+    )
+    p = _plan(random_walks(edges, n_walks=1, n_steps=1))
+    assert "CartesianProduct" not in p
+    assert "collect_list" not in p  # no neighbor arrays anywhere
