@@ -225,6 +225,31 @@ def q_kg_edges_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _select_edge_cols(edges_asof(t, canon))
 
 
+def q_kg_edges_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consolidated two-method maintenance gate (the ann_recall
+    precedent): the incremental monoid merge AND the midpoint as-of
+    snapshot as one (method, <edge cols>) union — both value-checked in
+    one window slot; the per-method gates stay runnable in the tail."""
+    inc = q_kg_edges_incremental(spark, sf_dir).select(
+        F.lit("incremental").alias("method"), "*"
+    )
+    asof = q_kg_edges_asof(spark, sf_dir).select(
+        F.lit("asof").alias("method"), "*"
+    )
+    return inc.unionByName(asof)
+
+
+def q_walk_skipgrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram (center, context) co-occurrence counts over the
+    deterministic walk corpus — the SGNS positive-pair table that
+    completes the KG-embedding data prep (walks -> pairs; negatives
+    from kg_negative_samples). Exact-integer all the way; oracle wraps
+    the unrolled walk CTE in the windowed self-join."""
+    from transner_spark.operators.walks import walk_skipgrams
+
+    return walk_skipgrams(_edges(spark, sf_dir))
+
+
 def q_kg_edges_canon_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-speed maintenance, second speed: batch-1 edges are resolved
     under a STALE canonical map (built from batch 1's surfaces only),
@@ -2064,8 +2089,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- core KG chain + NER parity --
         "kg_edges": q_kg_edges,
         "kg_edges_e2e": q_kg_edges_e2e,
-        "kg_edges_incremental": q_kg_edges_incremental,
-        "kg_edges_asof": q_kg_edges_asof,
+        "kg_edges_maintenance": q_kg_edges_maintenance,
+        "walk_skipgrams": q_walk_skipgrams,
         "entity_profiles": q_entity_profiles,
         "mentions_ner": q_mentions_ner,
         "mentions_regex": q_mentions_regex,
@@ -2137,6 +2162,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_communities": q_graph_communities,
         "stream_windowed_counts": q_stream_windowed_counts,
         "stream_windowed_counts_append": q_stream_windowed_counts_append,
+        # likewise the two edge-maintenance methods (incremental green
+        # r03, asof green r03), consolidated into the in-window
+        # kg_edges_maintenance union to free a slot for walk_skipgrams
+        "kg_edges_incremental": q_kg_edges_incremental,
+        "kg_edges_asof": q_kg_edges_asof,
         "turn_ordering": q_turn_ordering,
         "dedup_embedding_cosine_lsh": q_dedup_embedding_cosine_lsh,
         "mention_overlap_pairs": q_mention_overlap_pairs,
@@ -2341,6 +2371,19 @@ SELECT 'lpa' AS method, node_id, community_id AS label,
        community_size AS size
 FROM ({out["graph_communities"]})
 """
+    from transner_spark.operators.walks import SKIPGRAM_WINDOW
+
+    # skip-gram pairs: the unrolled walk CTE self-joined on the walk key
+    # with the step-distance predicate, then the pair count aggregate
+    out["walk_skipgrams"] = f"""
+WITH W AS ({out["graph_walks"]})
+SELECT a.node_id AS center_id, b.node_id AS context_id,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM W a JOIN W b
+  ON a.seed_id = b.seed_id AND a.walk_no = b.walk_no
+ AND a.step <> b.step AND abs(a.step - b.step) <= {SKIPGRAM_WINDOW}
+GROUP BY 1, 2
+"""
     from transner_spark.oracles import negative_samples_oracle
 
     out["kg_negative_samples"] = negative_samples_oracle(
@@ -2377,6 +2420,13 @@ FROM ({out["graph_communities"]})
     # kg_edges_incremental and dedup_minhash_incremental
     out["kg_links_incremental"] = out["kg_links"]
     out["kg_links_alias_refresh"] = out["kg_links"]
+    # consolidated two-method maintenance gate: union of the two
+    # independent per-method derivations (the ann_recall shape)
+    out["kg_edges_maintenance"] = f"""
+SELECT 'incremental' AS method, * FROM ({out["kg_edges_incremental"]})
+UNION ALL
+SELECT 'asof' AS method, * FROM ({out["kg_edges_asof"]})
+"""
 
     out.update({
         # FULLY independent since round 3 (was a golden replay):

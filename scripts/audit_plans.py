@@ -207,9 +207,10 @@ def main() -> None:
     from transner_spark.operators.graph import graph_khop
 
     audit("graph_khop", graph_khop(edges))
-    from transner_spark.operators.walks import random_walks
+    from transner_spark.operators.walks import random_walks, walk_skipgrams
 
     audit("graph_walks", random_walks(edges))
+    audit("walk_skipgrams", walk_skipgrams(edges))
     from transner_spark.operators.negatives import negative_samples
 
     audit("kg_negative_samples", negative_samples(edges))

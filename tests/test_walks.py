@@ -117,3 +117,37 @@ def test_walks_param_guards(spark):
         random_walks(df, n_walks=0)
     with pytest.raises(ValueError):
         random_walks(df, n_steps=-1)
+
+
+def skipgrams_reference(edge_pairs, seeds, n_walks, n_steps, window):
+    walks = walks_reference(edge_pairs, seeds, n_walks, n_steps)
+    by_walk: dict[tuple, list] = {}
+    for seed, w, step, node in walks:
+        by_walk.setdefault((seed, w), []).append((step, node))
+    pairs: dict[tuple, int] = {}
+    for steps in by_walk.values():
+        for sa, na in steps:
+            for sb, nb in steps:
+                if sa != sb and abs(sa - sb) <= window:
+                    pairs[(na, nb)] = pairs.get((na, nb), 0) + 1
+    return pairs
+
+
+def test_skipgrams_vs_twin(spark):
+    from transner_spark.operators.walks import walk_skipgrams
+
+    df = spark.createDataFrame(EDGES, SCHEMA)
+    got = {
+        (r["center_id"], r["context_id"]): r["n_pairs"]
+        for r in walk_skipgrams(
+            df, window=2, n_walks=2, n_steps=4, n_seeds=3
+        ).collect()
+    }
+    pairs = [(s, o) for s, _, o, _ in EDGES]
+    ref = skipgrams_reference(pairs, top_degree_seeds(pairs, 3), 2, 4, 2)
+    assert got == ref
+    # skip-grams are symmetric in aggregate: (a,b) and (b,a) counts equal
+    for (a, b), n in got.items():
+        assert got[(b, a)] == n
+    with pytest.raises(ValueError):
+        walk_skipgrams(df, window=0)

@@ -6,7 +6,7 @@ triples.
 
 Like the negative sampler, every "random" choice is HASH-derived (the
 engine-portable h60, functions/hashing.py): the next hop of walk w at
-step t is neighbor ``h60('rw:' || seed || '#' || w || ':' || t) % deg``
+step t is neighbor ``h60('rw:' || w || ':' || t || ':' || seed) % deg``
 of the current node's SORTED neighbor list. The walk corpus is a pure
 function of the edge table — bit-identical across re-runs and across
 engines, so the gate value-checks it against a DuckDB re-derivation and
@@ -140,3 +140,56 @@ def random_walks(
             walkers.withColumn("step", F.lit(t).cast("int"))
         )
     return out.select("seed_id", "walk_no", "step", "node_id")
+
+
+SKIPGRAM_WINDOW = 2
+
+
+def walk_skipgrams(
+    edges: DataFrame,
+    seeds: DataFrame | None = None,
+    window: int = SKIPGRAM_WINDOW,
+    n_walks: int = RW_WALKS,
+    n_steps: int = RW_STEPS,
+    n_seeds: int = RW_SEEDS,
+) -> DataFrame:
+    """(center_id, context_id, n_pairs): skip-gram co-occurrence counts
+    over the walk corpus — the final data-prep step of the DeepWalk
+    recipe (walks -> windowed (center, context) pairs -> SGNS training,
+    with :mod:`operators.negatives` supplying the negatives). Directed
+    pairs: every ordered (center, context) with 0 < |Δstep| <= window
+    inside one walk counts once; the aggregate is what the embedding
+    trainer consumes as positive-pair frequencies.
+
+    Shape: the walk frame self-joins on its (seed, walk) key with the
+    step-distance predicate — per-walk fan-out is the constant
+    (n_steps+1)·2·window, so cost scales with the NUMBER of walks,
+    never quadratically in graph size — then one map-side-combinable
+    count aggregate on the pair. The walk corpus itself is the
+    rank-indexed O(walkers)-per-step construction of
+    :func:`random_walks`; everything downstream of it is exact-integer,
+    so the gate hash is engine-stable with no float snap needed."""
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    w = random_walks(edges, seeds, n_walks, n_steps, n_seeds)
+    a = w.select(
+        "seed_id",
+        "walk_no",
+        F.col("step").alias("step_a"),
+        F.col("node_id").alias("center_id"),
+    )
+    b = w.select(
+        "seed_id",
+        "walk_no",
+        F.col("step").alias("step_b"),
+        F.col("node_id").alias("context_id"),
+    )
+    return (
+        a.join(b, ["seed_id", "walk_no"])
+        .where(
+            (F.col("step_a") != F.col("step_b"))
+            & (F.abs(F.col("step_a") - F.col("step_b")) <= window)
+        )
+        .groupBy("center_id", "context_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
