@@ -2097,8 +2097,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graf_merge": q_graf_merge,
         # -- training-data pipeline ops --
         "kmeans_cells": q_kmeans_cells,
-        # ---- position 50 ends here; every gate below has green driver
-        # rows in at least two of r01-r03 (triples_structural and
+        # ---- position 50 ends here; every gate below either has green
+        # driver rows in at least two of r01-r03, OR (the consolidation
+        # exception, flagged per entry) is a per-method twin whose
+        # semantics stay value-checked in-window via a union gate —
+        # graph_components/communities, the two windowed-count modes,
+        # and kg_edges_incremental/asof (each green in r03 only, carried
+        # by kg_edges_maintenance). (triples_structural and
         # triples_relational are also strict subsets of kg_triples,
         # which stays in-window; kmeans_cells stays IN — its only green
         # driver row is r03, r02 was rows-only — while ann_lsh/ann_ivf
