@@ -527,6 +527,24 @@ def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus drift monitor between two snapshots: top-k tokens by
+    smoothed KL(new||old) contribution over the md5-split halves of the
+    documents table (the quartile-split idiom) — what a continuously
+    ingesting pipeline checks before retraining. kl_term is
+    double-round-snapped before the ordering (ln)."""
+    from transner_spark.operators.textops import token_drift
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    half = (
+        F.substring(
+            F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 1
+        )
+        < "8"
+    )
+    return token_drift(docs.where(half), docs.where(~half))
+
+
 def q_stream_windowed_counts_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Consolidated two-mode streaming windowed-counts gate (the
     ann_recall precedent): the complete-mode AND append-mode sinks of
@@ -2172,6 +2190,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # kg_edges_maintenance union to free a slot for walk_skipgrams
         "kg_edges_incremental": q_kg_edges_incremental,
         "kg_edges_asof": q_kg_edges_asof,
+        # landed after the round-4 window filled (no eligible rotation
+        # victim left — the ≥2-green pool is exhausted and its schema
+        # matches no union candidate); fully value-checked by the local
+        # preflight, first in line for the r05 window
+        "token_drift": q_token_drift,
         "turn_ordering": q_turn_ordering,
         "dedup_embedding_cosine_lsh": q_dedup_embedding_cosine_lsh,
         "mention_overlap_pairs": q_mention_overlap_pairs,

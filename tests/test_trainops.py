@@ -388,3 +388,50 @@ def test_tfidf_keywords_vs_twin(spark):
     assert not any(i == 3 for i, *_ in got)
     with pytest.raises(ValueError):
         tfidf_keywords(docs, k=0)
+
+
+def test_token_drift_vs_twin(spark):
+    import math
+
+    from transner_spark.operators.textops import token_drift
+
+    old_texts = ["a a b c", "a b", ""]
+    new_texts = ["a d d d", "d d b"]
+
+    def mk(texts):
+        return spark.createDataFrame(
+            pd.DataFrame(
+                [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+                columns=["doc_id", "text", "lang", "source", "n_chars"],
+            )
+        )
+
+    got = [
+        (r["token"], r["c_old"], r["c_new"], r["kl_term"])
+        for r in token_drift(mk(old_texts), mk(new_texts), k=3).collect()
+    ]
+    # python twin with identical smoothing + snap
+    co: dict[str, int] = {}
+    cn: dict[str, int] = {}
+    for t in old_texts:
+        for w in t.split():
+            co[w] = co.get(w, 0) + 1
+    for t in new_texts:
+        for w in t.split():
+            cn[w] = cn.get(w, 0) + 1
+    vocab = sorted(set(co) | set(cn))
+    n_old, n_new, v = sum(co.values()), sum(cn.values()), len(vocab)
+    scored = []
+    for w in vocab:
+        p = (co.get(w, 0) + 1) / (n_old + v)
+        q = (cn.get(w, 0) + 1) / (n_new + v)
+        scored.append(
+            (w, co.get(w, 0), cn.get(w, 0),
+             round(round(q * math.log(q / p), 9), 6))
+        )
+    want = sorted(scored, key=lambda x: (-x[3], x[0]))[:3]
+    assert got == want
+    # 'd' (absent old, 5 new) must be the top riser
+    assert got[0][0] == "d" and got[0][1] == 0 and got[0][2] == 5
+    with pytest.raises(ValueError):
+        token_drift(mk(old_texts), mk(new_texts), k=0)

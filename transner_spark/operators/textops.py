@@ -304,3 +304,63 @@ def tfidf_keywords(docs: DataFrame, k: int = KEYWORDS_K) -> DataFrame:
         .where(F.col("rank") <= k)
         .select("doc_id", "term", "tf", "df", "score", "rank")
     )
+
+
+DRIFT_TOPK = 30
+
+
+def token_drift(
+    old_docs: DataFrame, new_docs: DataFrame, k: int = DRIFT_TOPK
+) -> DataFrame:
+    """(token, c_old, c_new, kl_term): the ``k`` tokens whose frequency
+    shifted most between two corpus snapshots, scored by their
+    add-1-smoothed KL(new‖old) contribution — the drift monitor a
+    continuously-ingesting training pipeline runs between yesterday's
+    and today's corpus before deciding to retrain (vocabulary drift,
+    topic shift, ingestion bugs that flood one template). kl_term =
+    q·ln(q/p) with p=(c_old+1)/(N_old+V), q=(c_new+1)/(N_new+V) over
+    the UNION vocabulary, so tokens absent from one side still score.
+
+    Shape: one token-count agg per side (map-side partials), a full
+    outer join on token into a localCheckpoint BARRIER (the vocab frame
+    feeds both the scalar totals and the scoring — same tfidf
+    rationale), the three scalars (N_old, N_new, V) as ONE broadcast
+    1-row crossJoin, then top-k via orderBy+limit over the vocab-sized
+    frame (TakeOrderedAndProject — per-partition heaps). ln is
+    transcendental, so kl_term is double-round-snapped on BOTH engines
+    BEFORE the ordering; ties break by token asc — a total order at
+    the k boundary."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+
+    def counts(docs: DataFrame, name: str) -> DataFrame:
+        return (
+            docs.select(F.explode(ws_tokens(F.col("text"))).alias("token"))
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).cast("long").alias(name))
+        )
+
+    vocab = (
+        counts(old_docs, "c_old")
+        .join(counts(new_docs, "c_new"), "token", "full")
+        .fillna(0, subset=["c_old", "c_new"])
+        .localCheckpoint()
+    )
+    scal = vocab.agg(
+        F.sum("c_old").cast("long").alias("n_old"),
+        F.sum("c_new").cast("long").alias("n_new"),
+        F.count(F.lit(1)).cast("long").alias("v"),
+    )
+    p = (F.col("c_old") + F.lit(1).cast("double")) / (
+        F.col("n_old") + F.col("v")
+    )
+    q = (F.col("c_new") + F.lit(1).cast("double")) / (
+        F.col("n_new") + F.col("v")
+    )
+    return (
+        vocab.crossJoin(F.broadcast(scal))
+        .withColumn("kl_term", F.round(F.round(q * F.log(q / p), 9), 6))
+        .orderBy(F.col("kl_term").desc(), F.col("token").asc())
+        .limit(k)
+        .select("token", "c_old", "c_new", "kl_term")
+    )

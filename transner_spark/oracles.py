@@ -73,9 +73,38 @@ def textops_oracles(docs: str) -> dict[str, str]:
          / greatest(len(toks), 1)) * 5.0)),
     6)"""
     norm_hash = _h60("lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))")
-    from transner_spark.operators.textops import KEYWORDS_K, VOCAB_GATE_K
+    from transner_spark.operators.textops import (
+        DRIFT_TOPK,
+        KEYWORDS_K,
+        VOCAB_GATE_K,
+    )
 
+    q_expr = "((c_new + 1.0) / (n_new + v))"
+    p_expr = "((c_old + 1.0) / (n_old + v))"
     return {
+        # drift monitor over the md5-split halves: add-1-smoothed
+        # KL(new||old) per token, double-round-snapped before the
+        # (kl desc, token asc) top-k ordering
+        "token_drift": f"""
+WITH od AS (SELECT * FROM read_parquet('{docs}')
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8'),
+nd AS (SELECT * FROM read_parquet('{docs}')
+       WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) >= '8'),
+co AS (SELECT token, CAST(count(*) AS BIGINT) AS c_old
+       FROM (SELECT unnest({_TOKS}) AS token FROM od) GROUP BY token),
+cn AS (SELECT token, CAST(count(*) AS BIGINT) AS c_new
+       FROM (SELECT unnest({_TOKS}) AS token FROM nd) GROUP BY token),
+vv AS (SELECT coalesce(co.token, cn.token) AS token,
+              coalesce(c_old, 0) AS c_old, coalesce(c_new, 0) AS c_new
+       FROM co FULL JOIN cn ON co.token = cn.token),
+sc AS (SELECT sum(c_old) AS n_old, sum(c_new) AS n_new, count(*) AS v
+       FROM vv)
+SELECT token, c_old, c_new,
+       round(round({q_expr} * ln({q_expr} / {p_expr}), 9), 6) AS kl_term
+FROM vv CROSS JOIN sc
+ORDER BY kl_term DESC, token
+LIMIT {DRIFT_TOPK}
+""",
         # smooth-idf TF-IDF with the double-round snap applied BEFORE
         # ranking on both engines (ln is transcendental); ties at the
         # per-doc top-k boundary break by term asc
