@@ -533,15 +533,10 @@ def q_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents table (the quartile-split idiom) — what a continuously
     ingesting pipeline checks before retraining. kl_term is
     double-round-snapped before the ordering (ln)."""
-    from transner_spark.operators.textops import token_drift
+    from transner_spark.operators.textops import snapshot_split, token_drift
 
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-    half = (
-        F.substring(
-            F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 1
-        )
-        < "8"
-    )
+    half = snapshot_split(docs)
     return token_drift(docs.where(half), docs.where(~half))
 
 

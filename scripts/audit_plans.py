@@ -75,16 +75,9 @@ def main() -> None:
     from transner_spark.operators.textops import tfidf_keywords
 
     audit("tfidf_keywords", tfidf_keywords(docs))
-    from pyspark.sql import functions as Fx
+    from transner_spark.operators.textops import snapshot_split, token_drift
 
-    from transner_spark.operators.textops import token_drift
-
-    _half = (
-        Fx.substring(
-            Fx.md5(Fx.col("doc_id").cast("string").cast("binary")), 1, 1
-        )
-        < "8"
-    )
+    _half = snapshot_split(docs)
     audit("token_drift", token_drift(docs.where(_half), docs.where(~_half)))
     audit("doc_repetition", doc_repetition(docs))
     audit("pack_sequences", pack_sequences(docs))

@@ -309,6 +309,20 @@ def tfidf_keywords(docs: DataFrame, k: int = KEYWORDS_K) -> DataFrame:
 DRIFT_TOPK = 30
 
 
+def snapshot_split(docs: DataFrame) -> F.Column:
+    """The deterministic md5-half predicate ("old snapshot" = md5 first
+    hex digit < '8') the drift gate and its plan audit both split the
+    documents table with — ONE definition so the audited plan cannot
+    diverge from the gated plan (the eval_split pattern). DuckDB twin:
+    ``substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8'``."""
+    return (
+        F.substring(
+            F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 1
+        )
+        < "8"
+    )
+
+
 def token_drift(
     old_docs: DataFrame, new_docs: DataFrame, k: int = DRIFT_TOPK
 ) -> DataFrame:
