@@ -1085,6 +1085,20 @@ def q_mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return video_frames(_docs(spark, sf_dir))
 
 
+def q_mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-decoder gate (round 5): doc_id-derived sample/pixel values
+    round-trip through real RIFF/WAVE + netpbm-P6 writers AND parsers
+    (operators/multimodal.py encode_wav/decode_wav, encode_ppm/
+    decode_ppm/_stream); features are byte stats of the DECODED output
+    — one 'full' row per asset plus per-frame rows for videos. The
+    oracle re-derives the decoded bytes analytically from the synthesis
+    spec with no codec, so a chunk-walk/padding/frame-boundary bug in
+    either coder is a value mismatch."""
+    from transner_spark.operators.multimodal import media_decoded_features
+
+    return media_decoded_features(_docs(spark, sf_dir))
+
+
 def _wikiner_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     from transner_spark.operators.wikiner import read_wikiner_lines, wikiner_scan
     from transner_spark.sources.wikiner import ensure_wikiner_raw
@@ -2055,6 +2069,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     gates with green driver rows in ≥2 prior rounds (r01-r03), all still
     runnable locally via scripts/check_correctness.py."""
     return {
+        # -- round 5: never driver-verified gates come FIRST (policy) --
+        # token_drift landed at tail position 51 in round 4 (zero driver
+        # rows; VERDICT r4 item 1); mm_decode is the round-5 real-codec
+        # gate. Victims: pipeline_lineage (green r02+r04) and
+        # kmeans_cells (green r03+r04) rotate to the tail on the
+        # ≥2-green-driver-rows rule.
+        "token_drift": q_token_drift,
+        "mm_decode": q_mm_decode,
         # -- never in a driver CORRECTNESS file before round 4 --
         "graph_degrees": q_graph_degrees,
         "graph_pagerank": q_graph_pagerank,
@@ -2097,7 +2119,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edge_provenance": q_edge_provenance,
         "tfidf_keywords": q_tfidf_keywords,
         # -- verified in r01/r02 but pushed past the window in r03 --
-        "pipeline_lineage": q_pipeline_lineage,
         "stream_mentions_batch_eq": q_stream_mentions_batch_eq,
         # -- core KG chain + NER parity --
         "kg_edges": q_kg_edges,
@@ -2108,8 +2129,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mentions_ner": q_mentions_ner,
         "mentions_regex": q_mentions_regex,
         "graf_merge": q_graf_merge,
-        # -- training-data pipeline ops --
-        "kmeans_cells": q_kmeans_cells,
         # ---- position 50 ends here; every gate below either has green
         # driver rows in at least two of r01-r03, OR (the consolidation
         # exception, flagged per entry) is a per-method twin whose
@@ -2185,11 +2204,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # kg_edges_maintenance union to free a slot for walk_skipgrams
         "kg_edges_incremental": q_kg_edges_incremental,
         "kg_edges_asof": q_kg_edges_asof,
-        # landed after the round-4 window filled (no eligible rotation
-        # victim left — the ≥2-green pool is exhausted and its schema
-        # matches no union candidate); fully value-checked by the local
-        # preflight, first in line for the r05 window
-        "token_drift": q_token_drift,
+        # rotated out for round 5 on the ≥2-green rule: pipeline_lineage
+        # (green r02+r04) made room for token_drift — which moved from
+        # this tail into the window per VERDICT r4 item 1 — and
+        # kmeans_cells (green r03+r04) made room for the real-codec
+        # mm_decode gate
+        "pipeline_lineage": q_pipeline_lineage,
+        "kmeans_cells": q_kmeans_cells,
         "turn_ordering": q_turn_ordering,
         "dedup_embedding_cosine_lsh": q_dedup_embedding_cosine_lsh,
         "mention_overlap_pairs": q_mention_overlap_pairs,

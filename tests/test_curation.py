@@ -103,6 +103,18 @@ def test_eval_split_deterministic(spark):
     assert a == b  # pure function of doc_id
 
 
+def test_eval_split_null_doc_id_fails_loud(spark):
+    # a NULL doc_id would vanish from BOTH where(ev)/where(~ev) sides of
+    # decontaminate's split; the in-plan guard makes it fail instead
+    df = spark.createDataFrame(
+        [(1, "a b c", "en", "src", 5), (None, "leak me", "en", "src", 7)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    ev = eval_split(df)
+    with pytest.raises(Exception, match="NULL doc_id"):
+        df.where(ev).union(df.where(~ev)).collect()
+
+
 def _quota_reference(rows, quota):
     by_grp: dict[str, list] = {}
     for i, _, lg in rows:
@@ -538,6 +550,23 @@ def test_pack_sequences_oversize_and_empty(spark):
     # zero-token doc arriving FIRST could legally share the bin)
     over_bin = got[1][1]
     assert [i for i, (_, b, _, _) in got.items() if b == over_bin] == [1]
+
+
+def test_pack_sequences_string_doc_id(spark):
+    # the applyInPandas output schema derives doc_id's type from the
+    # input corpus — a string-keyed corpus packs identically to the
+    # python twin instead of failing at plan-build time
+    rows = [(f"d{i:02d}", " ".join(["w"] * (i % 7)), "en") for i in range(20)]
+    df = spark.createDataFrame(
+        [(i, t, lg, "src", len(t)) for i, t, lg in rows],
+        "doc_id string, text string, lang string, source string, n_chars long",
+    )
+    got = {
+        r["doc_id"]: (r["shard"], r["bin"], r["pos"], r["n_tokens"])
+        for r in pack_sequences(df, budget=10, n_shards=2).collect()
+    }
+    assert got == _pack_reference(rows, 10, 2)
+    assert all(isinstance(k, str) for k in got)
 
 
 def test_doc_repetition_randomized(spark):

@@ -143,11 +143,15 @@ def test_mm_features_match_payload(spark, docs_df):
         assert r["h0"] + r["h1"] + r["h2"] + r["h3"] == len(content)
 
 
-def test_decode_stub_raises():
+def test_decode_media_rejects_garbage():
+    # the default hook is now a REAL parser (round 5) — garbage bytes
+    # fail loud instead of raising NotImplementedError
     from transner_spark.operators.multimodal import decode_media
 
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         decode_media("image", b"\x00")
+    with pytest.raises(ValueError):
+        decode_media("audio", b"\x00" * 16)
 
 
 def test_iob_to_bio_shape(spark, docs_df):

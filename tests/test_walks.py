@@ -111,6 +111,21 @@ def test_walks_custom_seed_without_edges_stops_at_step0(spark):
     assert sum(1 for s, _, _, _ in got if s == "a") == 4
 
 
+def test_walks_duplicate_seeds_deduped(spark):
+    # duplicate rows in a caller-supplied seeds frame must NOT emit
+    # byte-identical duplicated walks (walk_skipgrams would silently
+    # double-count them into inflated n_pairs)
+    df = spark.createDataFrame(EDGES, SCHEMA)
+    dup = spark.createDataFrame(
+        [("a",), ("a",), ("b",), ("a",)], "node_id string"
+    )
+    uniq = spark.createDataFrame([("a",), ("b",)], "node_id string")
+    got_dup = _collect(random_walks(df, seeds=dup, n_walks=2, n_steps=3))
+    got_uniq = _collect(random_walks(df, seeds=uniq, n_walks=2, n_steps=3))
+    assert got_dup == got_uniq
+    assert len(got_dup) == len(set(got_dup))
+
+
 def test_walks_param_guards(spark):
     df = spark.createDataFrame(EDGES, SCHEMA)
     with pytest.raises(ValueError):

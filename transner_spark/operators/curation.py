@@ -62,8 +62,16 @@ REPETITION_NGRAM = 2
 def eval_split(docs: DataFrame, mod: int = EVAL_MOD) -> Column:
     """Boolean eval-membership column: a deterministic ~1/mod hash split
     of doc_id, so the same document lands on the same side in every run
-    and in the DuckDB oracle."""
-    return (
+    and in the DuckDB oracle. A NULL doc_id fails LOUD in-plan (the
+    _shard_cols posture): a NULL split column would otherwise drop the
+    document from BOTH sides of decontaminate's where(ev)/where(~ev)
+    pair, silently leaking it past decontamination."""
+    return F.when(
+        F.col("doc_id").isNull(),
+        F.raise_error(
+            F.lit("eval_split: NULL doc_id cannot be split")
+        ).cast("boolean"),
+    ).otherwise(
         F.pmod(h60(F.concat(F.lit("eval:"), F.col("doc_id").cast("string"))),
                F.lit(mod))
         == 0
@@ -549,6 +557,11 @@ def pack_sequences(
     The greedy rule per shard, in order: if the accumulated tokens are
     nonzero and would exceed ``budget`` with this doc, start a new bin;
     assign (bin, position); accumulate."""
+    # doc_id stays type-generic (every other operator casts to string for
+    # hash streams): the applyInPandas output schema carries the corpus's
+    # own doc_id type instead of hardcoding long, so a string-keyed
+    # corpus packs identically instead of failing at plan-build time.
+    doc_id_type = docs.schema["doc_id"].dataType.simpleString()
     key = F.md5(
         F.concat(F.lit("pk:"), F.col("doc_id").cast("string")).cast("binary")
     )
@@ -577,7 +590,8 @@ def pack_sequences(
         return pdf[["doc_id", "shard", "bin", "pos", "n_tokens"]]
 
     return d.groupBy("shard").applyInPandas(
-        pack, "doc_id long, shard int, bin long, pos int, n_tokens long"
+        pack,
+        f"doc_id {doc_id_type}, shard int, bin long, pos int, n_tokens long",
     )
 
 

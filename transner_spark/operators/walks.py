@@ -104,8 +104,15 @@ def random_walks(
         seeds = khop_seeds(edges, n_seeds, und=und)
     adjr = _ranked_adjacency(und).localCheckpoint()
     deg = _undirected_degrees(und).withColumnRenamed("node", "node_id")
+    # distinct() on the seed projection: a caller-supplied seeds frame
+    # with duplicate rows would otherwise emit byte-identical duplicated
+    # walks, which walk_skipgrams then silently double-counts into
+    # inflated n_pairs. Seeds are a tiny frame; the dedup is one cheap
+    # shuffle against a corpus-sized mistake.
     walkers = (
-        seeds.select(
+        seeds.select("node_id")
+        .distinct()
+        .select(
             F.col("node_id").alias("seed_id"),
             F.explode(F.sequence(F.lit(0), F.lit(n_walks - 1))).alias(
                 "walk_no"

@@ -913,6 +913,55 @@ SELECT asset_id,
   CAST(len(list_filter(bytes, v -> (v >> 6) = 3)) AS BIGINT) AS h3
 FROM b
 """,
+        # real-decoder gate: the Spark path round-trips doc_id-derived
+        # sample/pixel values through REAL WAV/PPM writers and parsers
+        # (operators/multimodal.py encode_wav/decode_wav,
+        # encode_ppm/decode_ppm/_stream); this oracle re-derives the
+        # DECODED bytes analytically from the same closed-form spec
+        # (affine mod 256 in doc_id) — no codec on the DuckDB side, so a
+        # header-walk/padding/boundary bug in either coder is a VALUE
+        # MISMATCH, never a silent pass.
+        "mm_decode": f"""
+WITH d AS (SELECT doc_id FROM read_parquet('{docs}')),
+img AS (
+  SELECT doc_id, 'image' AS media_type, 'full' AS part,
+    [(doc_id * 17 + j * 5) % 256 for j in
+     range(0, 3 * (4 + doc_id % 13) * (3 + doc_id % 7))] AS bytes
+  FROM d WHERE doc_id % 3 = 0
+),
+au AS (
+  SELECT doc_id, 'audio' AS media_type, 'full' AS part,
+    [(doc_id * 31 + i * 7) % 256
+     for i in range(0, 16 + doc_id % 49)] AS bytes
+  FROM d WHERE doc_id % 3 = 1
+),
+vfull AS (
+  SELECT doc_id, 'video' AS media_type, 'full' AS part,
+    [(doc_id * 13 + (j // 36) * 11 + (j % 36) * 3) % 256
+     for j in range(0, (2 + doc_id % 5) * 36)] AS bytes
+  FROM d WHERE doc_id % 3 = 2
+),
+vframes AS (
+  SELECT doc_id, 'video' AS media_type,
+         'frame:' || CAST(f AS VARCHAR) AS part,
+    [(doc_id * 13 + f * 11 + j * 3) % 256 for j in range(0, 36)] AS bytes
+  FROM (SELECT doc_id, unnest(range(0, 2 + doc_id % 5)) AS f
+        FROM d WHERE doc_id % 3 = 2)
+),
+u AS (
+  SELECT * FROM img UNION ALL SELECT * FROM au
+  UNION ALL SELECT * FROM vfull UNION ALL SELECT * FROM vframes
+)
+SELECT CAST(doc_id AS BIGINT) AS asset_id, media_type, part,
+  CAST(len(bytes) AS BIGINT) AS n_bytes,
+  list_reduce(list_prepend(CAST(0 AS BIGINT), bytes), (x, y) -> x + y)
+    AS sum_bytes,
+  CAST(len(list_filter(bytes, v -> (v >> 6) = 0)) AS BIGINT) AS h0,
+  CAST(len(list_filter(bytes, v -> (v >> 6) = 1)) AS BIGINT) AS h1,
+  CAST(len(list_filter(bytes, v -> (v >> 6) = 2)) AS BIGINT) AS h2,
+  CAST(len(list_filter(bytes, v -> (v >> 6) = 3)) AS BIGINT) AS h3
+FROM u
+""",
     }
 
 
