@@ -1345,6 +1345,51 @@ def q_stream_mentions_batch_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The continuous-ingestion story end to end, in ONE gate
+    (streaming/logstate.stream_pipeline_log): the corpus arrives as 4
+    micro-batch files on a readStream with NOTHING precomputed — each
+    batch runs incremental NER → triples → incremental linking (only
+    anti-joined NEW vocabulary pays the gram-index pass) → canon map
+    refreshed from the maintained link table → edge increment resolved
+    under the batch-time map and APPENDED on the log substrate (inline
+    compaction at 3 live segments, so the run crosses a fold). Serving
+    (read_pipeline_edges) re-resolves the merged-on-read edges through
+    the final map — the two-speed canon-refresh design executed at read
+    time. Gate: the served table equals the golden-free SQL
+    re-derivation of the WHOLE batch pipeline (the kg_edges_e2e
+    oracle) — one value-level statement that the streaming chain and
+    the batch chain are the same function. Supersedes the per-stage
+    stream_mentions_batch_eq slot (the NER stage is the chain's first
+    link; the per-stage gate stays runnable in the tail)."""
+    import shutil
+    import tempfile
+
+    from transner_spark.sources.transcripts import ensure_transcripts_parquet
+    from transner_spark.streaming.logstate import (
+        read_pipeline_edges,
+        stream_pipeline_log,
+    )
+
+    src = ensure_transcripts_parquet(REPO, sf_dir)
+    work = tempfile.mkdtemp(prefix="stream_pipeline_gate_")
+    try:
+        in_dir = os.path.join(work, "in")
+        spark.read.parquet(src).repartition(4).write.parquet(in_dir)
+        state = os.path.join(work, "state")
+        stream_pipeline_log(
+            spark, in_dir, state, os.path.join(work, "ck"), compact_every=3
+        )
+        out = _select_edge_cols(read_pipeline_edges(spark, state)).toPandas()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        out,
+        "subj_id string, pred string, obj_id string, weight long, "
+        "first_epoch long, last_epoch long",
+    )
+
+
 def q_stream_edges_batch_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming KG maintenance gate: split the corpus into 4 files, run
     ``stream_edge_increments`` one-file-per-micro-batch (each batch's
@@ -2077,6 +2122,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ≥2-green-driver-rows rule.
         "token_drift": q_token_drift,
         "mm_decode": q_mm_decode,
+        # full-chain streaming gate; supersedes the per-stage
+        # stream_mentions_batch_eq slot (green r02+r04 — rotates to the
+        # tail; its NER-stage semantics are the first link of this chain)
+        "stream_pipeline_e2e": q_stream_pipeline_e2e,
         # -- never in a driver CORRECTNESS file before round 4 --
         "graph_degrees": q_graph_degrees,
         "graph_pagerank": q_graph_pagerank,
@@ -2118,8 +2167,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_shards": q_train_shards,
         "edge_provenance": q_edge_provenance,
         "tfidf_keywords": q_tfidf_keywords,
-        # -- verified in r01/r02 but pushed past the window in r03 --
-        "stream_mentions_batch_eq": q_stream_mentions_batch_eq,
         # -- core KG chain + NER parity --
         "kg_edges": q_kg_edges,
         "kg_edges_e2e": q_kg_edges_e2e,
@@ -2211,6 +2258,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # mm_decode gate
         "pipeline_lineage": q_pipeline_lineage,
         "kmeans_cells": q_kmeans_cells,
+        # rotated out for round 5 (green r02+r04): superseded in-window
+        # by the full-chain stream_pipeline_e2e gate, whose first stage
+        # IS this gate's incremental-NER semantics
+        "stream_mentions_batch_eq": q_stream_mentions_batch_eq,
         "turn_ordering": q_turn_ordering,
         "dedup_embedding_cosine_lsh": q_dedup_embedding_cosine_lsh,
         "mention_overlap_pairs": q_mention_overlap_pairs,
@@ -2482,6 +2533,11 @@ SELECT 'asof' AS method, * FROM ({out["kg_edges_asof"]})
         # by the full golden-free SQL pipeline (mentions → triples →
         # links → canonical → edges as chained MATERIALIZED CTEs).
         "kg_edges_e2e": _edges_e2e_sql(cache, ph, nm),
+        # the streaming full chain must land on the SAME whole-pipeline
+        # derivation whatever the micro-batch boundaries — strongest
+        # available oracle for it (and deliberately the same SQL:
+        # streaming ≡ batch IS the claim)
+        "stream_pipeline_e2e": _edges_e2e_sql(cache, ph, nm),
         # Round 3: the LAST golden replay is gone — the full triple set
         # is the union of the two independent derivations already gated
         # separately: rule-1 relational triples chained on the

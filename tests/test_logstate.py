@@ -531,3 +531,81 @@ def test_changelog_reads_are_the_monoid_delta(
         )
     with pytest.raises(RuntimeError, match="expired raw segment"):
         read_edge_log_changes(spark, state2, 0)
+
+
+def test_stream_pipeline_log_equals_batch(spark, tiny_pdf, tiny_df, log_dirs):
+    """Full-chain continuous ingestion (stream_pipeline_log): three
+    arrivals with NOTHING precomputed — incremental NER + incremental
+    linking + per-batch canon + log appends — served through
+    read_pipeline_edges (merge-on-read + final-canon re-resolution) must
+    equal the one-shot batch derivation over everything ingested so far;
+    link state keeps only the last two committed versions; a no-new-file
+    rerun changes nothing."""
+    from transner_spark.streaming.logstate import (
+        LINKS_DIR,
+        _read_log_current,
+        read_pipeline_edges,
+        read_pipeline_links,
+        stream_pipeline_log,
+    )
+
+    boundaries = [(0, 2, "b0"), (2, 4, "b1"), (4, 6, "b2")]
+    for lo, hi, name in boundaries:
+        _write_batch(spark, tiny_pdf, log_dirs["in"], lo, hi, name)
+        stream_pipeline_log(
+            spark, log_dirs["in"] + "/*", log_dirs["state"], log_dirs["cp"],
+            compact_every=3,
+        )
+        ingested = tiny_df.where(F.col("turn_idx") < hi)
+        # batch twin over the SAME prefix: full links → canon → edges
+        canon = _canon(spark, ingested)
+        want = _snap(_batch_edges(tiny_df, canon, 0, hi))
+        got = _snap(read_pipeline_edges(spark, log_dirs["state"]))
+        assert got == want, f"prefix {name} diverged"
+
+    # link-state hygiene: only the previous + current versions survive
+    _, last_applied, _ = _read_log_current(log_dirs["state"])
+    live = sorted(os.listdir(os.path.join(log_dirs["state"], LINKS_DIR)))
+    assert live == [f"v{last_applied - 1}", f"v{last_applied}"]
+    # the maintained link table equals the full recompute (values)
+    from transner_spark.operators.annotate import annotate_turns, explode_triples
+    from transner_spark.operators.linking import link_surfaces, node_surfaces
+
+    full_links = link_surfaces(
+        spark, node_surfaces(explode_triples(annotate_turns(tiny_df)))
+    )
+    key = lambda df: sorted(  # noqa: E731
+        map(tuple, df.select("norm_key", "entity_key", "method").collect())
+    )
+    assert key(read_pipeline_links(spark, log_dirs["state"])) == key(full_links)
+
+    # idempotence: rerun with no new files is a committed no-op
+    before = _snap(read_pipeline_edges(spark, log_dirs["state"]))
+    stream_pipeline_log(
+        spark, log_dirs["in"] + "/*", log_dirs["state"], log_dirs["cp"],
+        compact_every=3,
+    )
+    assert _snap(read_pipeline_edges(spark, log_dirs["state"])) == before
+
+
+def test_stream_pipeline_log_fresh_checkpoint_fails_loud(
+    spark, tiny_pdf, log_dirs
+):
+    """The inherited checkpoint-identity guard holds for the full-chain
+    runner: pointing a NEW checkpoint at existing pipeline state raises
+    instead of silently dropping batches."""
+    from transner_spark.streaming.logstate import stream_pipeline_log
+
+    _write_batch(spark, tiny_pdf, log_dirs["in"], 0, 3, "b0")
+    stream_pipeline_log(
+        spark, log_dirs["in"] + "/*", log_dirs["state"], log_dirs["cp"]
+    )
+    _write_batch(spark, tiny_pdf, log_dirs["in"], 3, 5, "b1")
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with pytest.raises(
+        (RuntimeError, StreamingQueryException), match="different checkpoint"
+    ):
+        stream_pipeline_log(
+            spark, log_dirs["in"] + "/*", log_dirs["state"], log_dirs["cp2"]
+        )

@@ -761,12 +761,15 @@ def _stream_log_maintenance(
     retain_snapshots: int = 1,
 ):
     """Generic log-structured maintenance runner: any maintained state
-    whose increment is a per-batch derivation (``make_increment(batch)``)
+    whose increment is a per-batch derivation
+    (``make_increment(batch, batch_id)`` — the id lets a derivation
+    version its own side state, e.g. the full pipeline's link table)
     and whose merge is a commutative monoid (``rollup(union_of_parts)``)
     gets O(batch) appends, merge-on-read, inline compaction at
     ``compact_every`` live segments, the manifest/CURRENT atomic commit,
     the writer lock, and the checkpoint-identity guard — the same
-    substrate serves the edge table and the entity-profile partials."""
+    substrate serves the edge table, the entity-profile partials, and
+    the full-chain pipeline state."""
 
     def append_batch(batch_df: DataFrame, batch_id: int) -> None:
         ck_identity = _checkpoint_identity(checkpoint_dir)
@@ -785,7 +788,7 @@ def _stream_log_maintenance(
                 return  # re-delivered batch: already committed
             sess = batch_df.sparkSession
             _persist_retention(state_dir, retain_snapshots)
-            inc = make_increment(batch_df)
+            inc = make_increment(batch_df, batch_id)
             seg_rel = f"{SEGMENTS_DIR}/s{batch_id}"
             inc.write.mode("overwrite").parquet(_abs_seg(state_dir, seg_rel))
             # parquet footer counts — metadata-only jobs; taken BEFORE
@@ -898,7 +901,7 @@ def stream_edge_increments_log(
         input_dir,
         state_dir,
         checkpoint_dir,
-        make_increment=lambda b: materialize_edges(
+        make_increment=lambda b, _bid: materialize_edges(
             explode_triples(b), canon, cfg
         ),
         rollup=lambda df: merge_edge_increments(df, cfg=cfg),
@@ -944,7 +947,7 @@ def stream_profile_partials_log(
         input_dir,
         state_dir,
         checkpoint_dir,
-        make_increment=lambda b: entity_profile_partials(
+        make_increment=lambda b, _bid: entity_profile_partials(
             explode_triples(b), canon
         ),
         rollup=merge_profile_partials,
@@ -953,5 +956,141 @@ def stream_profile_partials_log(
         await_termination=await_termination,
         compact_every=compact_every,
         op_name="stream_profile_partials_log",
+        retain_snapshots=retain_snapshots,
+    )
+
+
+# ---------------------------------------------------------- full chain
+
+LINKS_DIR = "links"
+
+
+def _links_version_path(state_dir: str, batch_id: int) -> str:
+    return os.path.join(state_dir, LINKS_DIR, f"v{batch_id}")
+
+
+def read_pipeline_links(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The maintained link table at the last COMMITTED batch (resolved
+    from the edge log's CURRENT pointer — the link snapshot and the edge
+    commit advance together, so an uncommitted crash remnant is never
+    served)."""
+    _, last_applied, _ = _read_log_current(state_dir)
+    if last_applied < 0:
+        raise ValueError(f"no committed pipeline state in {state_dir!r}")
+    return spark.read.parquet(_links_version_path(state_dir, last_applied))
+
+
+def read_pipeline_edges(
+    spark: SparkSession, state_dir: str, cfg: PipelineConfig | None = None
+) -> DataFrame:
+    """Serve the full-chain pipeline state: merge-on-read over the edge
+    log, then ``reresolve_edges`` through the canonical map refreshed
+    from the maintained link table — the slow speed of the two-speed
+    design, executed at read time. Increments were resolved under each
+    batch's then-current map; because the link graph only GROWS under
+    continuous ingest (linking is per-surface against a static alias
+    dictionary), every later map is a coarsening of every earlier one,
+    which is exactly ``reresolve_edges``' correctness precondition — so
+    the served table equals the whole-corpus batch derivation
+    (value-pinned by the stream_pipeline_e2e gate)."""
+    from transner_spark.operators.canonicalize import canonicalize
+    from transner_spark.operators.materialize import reresolve_edges
+
+    edges = read_edge_log(spark, state_dir, cfg)
+    canon = canonicalize(read_pipeline_links(spark, state_dir))
+    return reresolve_edges(edges, canon, cfg)
+
+
+def stream_pipeline_log(
+    spark: SparkSession,
+    input_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    cfg: PipelineConfig | None = None,
+    max_files_per_trigger: int = 1,
+    await_termination: bool = True,
+    compact_every: int | None = None,
+    retain_snapshots: int = 1,
+):
+    """FULL-chain continuous ingestion — the end-to-end streaming twin
+    of the batch pipeline, with NOTHING precomputed: each micro-batch is
+    annotated (the same fused mapInPandas NER), exploded to triples, its
+    NEW vocabulary linked incrementally against the maintained link
+    table (``link_surfaces_incremental`` — per-batch linking cost is
+    O(new vocabulary), and under a Zipfian surface distribution a
+    steady-state batch contributes almost none), the canonical map
+    refreshed from the maintained LINK TABLE (closed-form star over
+    links — never a corpus pass), and the batch's edge increment
+    resolved under that batch-time map and APPENDED as an
+    increment-sized segment on the log substrate (O(batch) writes,
+    inline compaction, atomic manifest commits, checkpoint-identity
+    guard — all inherited from ``_stream_log_maintenance``).
+
+    Link-table snapshots version alongside the edge log
+    (``links/v{batch_id}``): the previous committed version resolves
+    from the edge log's own last-applied batch id inside the SAME
+    writer-lock hold, so a crash after the link write but before the
+    edge commit leaves only an unreferenced ``links/v{b}`` dir that
+    re-delivery overwrites — link state and edge state can never commit
+    out of step. Superseded link versions (older than the previous
+    committed one) are pruned in the same pass.
+
+    Serving is ``read_pipeline_edges``: merge-on-read + re-resolution
+    through the CURRENT map (see its docstring for why batch-time maps
+    are safely stale). The stream_pipeline_e2e gate pins the whole chain
+    against the golden-free full-pipeline SQL re-derivation."""
+    from transner_spark.operators.annotate import explode_triples
+    from transner_spark.operators.canonicalize import canonicalize
+    from transner_spark.operators.linking import (
+        link_surfaces,
+        link_surfaces_incremental,
+        node_surfaces,
+    )
+    from transner_spark.operators.materialize import (
+        materialize_edges,
+        merge_edge_increments,
+    )
+
+    def make_increment(batch_df: DataFrame, batch_id: int) -> DataFrame:
+        sess = batch_df.sparkSession
+        _, last_applied, _ = _read_log_current(state_dir)
+        # triples feed both the linking residual and the edge rollup —
+        # pin them so the NER stage runs once per batch, not twice
+        triples = explode_triples(batch_df).localCheckpoint()
+        surfaces = node_surfaces(triples)
+        if last_applied >= 0:
+            links = link_surfaces_incremental(
+                sess,
+                sess.read.parquet(
+                    _links_version_path(state_dir, last_applied)
+                ),
+                surfaces,
+                cfg,
+            )
+        else:
+            links = link_surfaces(sess, surfaces, cfg)
+        links_path = _links_version_path(state_dir, batch_id)
+        links.write.mode("overwrite").parquet(links_path)
+        links_dir = os.path.join(state_dir, LINKS_DIR)
+        for d in os.listdir(links_dir):  # prune superseded link versions
+            if d.startswith("v") and d not in (
+                f"v{last_applied}", f"v{batch_id}",
+            ):
+                shutil.rmtree(os.path.join(links_dir, d), ignore_errors=True)
+        canon = canonicalize(sess.read.parquet(links_path))
+        return materialize_edges(triples, canon, cfg)
+
+    return _stream_log_maintenance(
+        spark,
+        input_dir,
+        state_dir,
+        checkpoint_dir,
+        make_increment=make_increment,
+        rollup=lambda df: merge_edge_increments(df, cfg=cfg),
+        cfg=cfg,
+        max_files_per_trigger=max_files_per_trigger,
+        await_termination=await_termination,
+        compact_every=compact_every,
+        op_name="stream_pipeline_log",
         retain_snapshots=retain_snapshots,
     )
