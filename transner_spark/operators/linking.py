@@ -14,9 +14,12 @@ Scale design:
 - normalization of alias surfaces (accent strip etc.) happens driver-side
   with the SAME kernel function mentions were normalized with
   (kernels/triples.normalize_surface), so keys agree bit-for-bit;
-- for alias dictionaries too large to broadcast, swap the broadcast hint
-  for a shuffled hash join + AQE skew handling; the gram inverted index
-  itself is the LSH-free blocking structure and scales linearly.
+- for alias dictionaries too large to broadcast, set
+  ``PipelineConfig(link_broadcast_dims=False)``: the hints drop away and
+  Catalyst/AQE pick a shuffled join with runtime skew splitting
+  (value-identical output, pinned by tests/test_linking_shuffle_path.py);
+  the gram inverted index itself is the LSH-free blocking structure and
+  scales linearly.
 
 Tie-breaks replicate kernels/linking.py exactly: score desc, entity_key
 asc, alias asc; duplicate normalized aliases resolve to min entity_key.
@@ -171,9 +174,17 @@ def link_surfaces(
     dictionary."""
     cfg = cfg or PipelineConfig()
 
+    # cfg.link_broadcast_dims=False drops the hints: a web-scale alias
+    # dictionary that can't broadcast runs the SAME logical plan as a
+    # shuffled join, with AQE's runtime skew splitting covering the hot
+    # gram keys the broadcast path never shuffles at all. Value-identity
+    # of the two paths is pinned by tests/test_linking_shuffle_path.py.
+    def _dim_hint(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if cfg.link_broadcast_dims else df
+
     exact_dim = exact_alias_dim(spark, alias_dim)
     exact = surfaces.join(
-        F.broadcast(exact_dim),
+        _dim_hint(exact_dim),
         surfaces["norm_key"] == exact_dim["norm_alias"],
         "left",
     ).select(
@@ -231,7 +242,7 @@ def link_surfaces(
         F.explode("grams").alias("gram"),
     )
     pair_scores = (
-        mention_grams.join(F.broadcast(alias_gram_dim(spark, n, alias_dim)), "gram")
+        mention_grams.join(_dim_hint(alias_gram_dim(spark, n, alias_dim)), "gram")
         .groupBy("norm_key", "alias_id", "entity_key", "alias", "m_n", "a_n")
         .agg(F.count(F.lit(1)).alias("inter"))
         .withColumn(
