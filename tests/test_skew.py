@@ -95,3 +95,59 @@ def test_profile_differential_vs_pandas(spark, tiny_df):
     )
     assert got["share"].tolist() == pytest.approx(want["share"].tolist())
     assert got["skew_x"].tolist() == pytest.approx(want["skew_x"].tolist())
+
+
+def _triples_df(spark, rows):
+    # minimal triple shape materialize_edges consumes: types/norms + ts
+    from datetime import datetime
+
+    data = [
+        (s, "MISC", s, p, o, "MISC", o, datetime(2026, 1, 1, 0, 0, i % 60))
+        for i, (s, p, o) in enumerate(rows)
+    ]
+    return spark.createDataFrame(
+        data,
+        "subj_norm string, subj_type string, subj string, pred string, "
+        "obj_type string, obj string, obj_norm string, ts timestamp",
+    )
+
+
+def test_auto_salt_closes_the_loop(spark):
+    """materialize_edges_auto_salt: the profiler's recommendation drives
+    the rollup salt — a hot-key corpus picks a larger salt than a
+    uniform one, and both produce edges identical to the fixed-salt
+    rollup."""
+    from transner_spark.operators.materialize import (
+        materialize_edges,
+        materialize_edges_auto_salt,
+    )
+
+    canon = spark.createDataFrame(
+        [("surface:never", "never")], "node_id string, canon_id string"
+    )
+
+    hot = _triples_df(
+        spark, [("hub", "p", "spoke")] * 40 + [(f"s{i}", "p", f"o{i}") for i in range(5)]
+    )
+    uniform = _triples_df(spark, [(f"s{i}", "p", f"o{i}") for i in range(30)])
+
+    def snap(df):
+        return sorted(
+            map(
+                tuple,
+                df.select(
+                    "subj_id", "pred", "obj_id", "weight", "first_ts", "last_ts"
+                ).collect(),
+            )
+        )
+
+    hot_edges, hot_salt = materialize_edges_auto_salt(
+        hot, canon, rows_per_task=8
+    )
+    uni_edges, uni_salt = materialize_edges_auto_salt(
+        uniform, canon, rows_per_task=8
+    )
+    assert hot_salt == 5  # ceil(40 / 8): the histogram chose it
+    assert uni_salt == 1  # uniform corpus: salting overhead removed
+    assert snap(hot_edges) == snap(materialize_edges(hot, canon))
+    assert snap(uni_edges) == snap(materialize_edges(uniform, canon))

@@ -19,6 +19,8 @@ Skew strategy (north rule: "partitioned by subject-hash with salting"):
 
 from __future__ import annotations
 
+from dataclasses import replace
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -47,20 +49,22 @@ def _resolve(
     ).drop(f"{side}_node", f"{side}_canon")
 
 
-def materialize_edges(
-    triples: DataFrame,
-    canon: DataFrame,
-    cfg: PipelineConfig | None = None,
-    broadcast_canon: bool = True,
-    salted: bool = True,
+def _resolved_for_rollup(
+    triples: DataFrame, canon: DataFrame, broadcast_canon: bool = True
 ) -> DataFrame:
-    """triples + canon → edges(subj_id, pred, obj_id, weight, first_ts,
-    last_ts, bucket)."""
-    cfg = cfg or PipelineConfig()
+    """Both triple sides resolved through the canon map, projected to
+    the edge-rollup columns — shared by the one-shot rollup and the
+    auto-salt path (which profiles this exact frame first)."""
     resolved = _resolve(triples, canon, "subj", broadcast_canon)
     resolved = _resolve(resolved, canon, "obj", broadcast_canon)
-    resolved = resolved.select("subj_id", "pred", "obj_id", "ts")
+    return resolved.select("subj_id", "pred", "obj_id", "ts")
 
+
+def _edge_rollup(
+    resolved: DataFrame, cfg: PipelineConfig, salted: bool
+) -> DataFrame:
+    """The edge aggregate over a resolved frame: two-phase salted (hot
+    edges bounded per task) or plain one-shuffle."""
     if salted:
         partial = (
             resolved.withColumn(
@@ -88,6 +92,60 @@ def materialize_edges(
     return edges.withColumn(
         "bucket", F.pmod(F.hash("subj_id"), F.lit(cfg.edge_buckets))
     )
+
+
+def materialize_edges(
+    triples: DataFrame,
+    canon: DataFrame,
+    cfg: PipelineConfig | None = None,
+    broadcast_canon: bool = True,
+    salted: bool = True,
+) -> DataFrame:
+    """triples + canon → edges(subj_id, pred, obj_id, weight, first_ts,
+    last_ts, bucket)."""
+    cfg = cfg or PipelineConfig()
+    return _edge_rollup(
+        _resolved_for_rollup(triples, canon, broadcast_canon), cfg, salted
+    )
+
+
+def materialize_edges_auto_salt(
+    triples: DataFrame,
+    canon: DataFrame,
+    cfg: PipelineConfig | None = None,
+    broadcast_canon: bool = True,
+    rows_per_task: int = 1_000_000,
+) -> tuple[DataFrame, int]:
+    """Self-tuning edge rollup — the skew loop closed: profile the
+    ACTUAL rollup key (operators/skew.key_stats over the resolved
+    frame), derive the minimum salt fan-out that caps the hottest edge
+    at ``rows_per_task`` rows per task, and materialize with exactly
+    that salt. Returns ``(edges, chosen_salt)`` so callers can record
+    the decision; a uniform corpus gets salt 1 (the two-phase overhead
+    removed entirely), a hot-key corpus gets whatever its histogram
+    demands — never a hand-set constant that was tuned on last month's
+    distribution.
+
+    The profile is one count-rollup shuffle on the same key the real
+    aggregate uses, reduced to a SINGLE driver row (a scalar planning
+    decision, same class as AQE's runtime stats — not a data collect);
+    the resolved frame is localCheckpoint-pinned so the canon joins run
+    once, shared by the profile and the rollup. Output is value-
+    identical to ``materialize_edges`` under ANY salt
+    (tests/test_skew.py pins a hot-key corpus choosing a larger salt
+    with identical edges)."""
+    import math
+
+    from transner_spark.operators.skew import key_stats
+
+    cfg = cfg or PipelineConfig()
+    resolved = _resolved_for_rollup(
+        triples, canon, broadcast_canon
+    ).localCheckpoint()
+    row = key_stats(resolved, ["subj_id", "pred", "obj_id"]).collect()[0]
+    salt = max(1, math.ceil((row["max_cnt"] or 0) / rows_per_task))
+    tuned = replace(cfg, salt_partitions=salt)
+    return _edge_rollup(resolved, tuned, salted=salt > 1), salt
 
 
 def merge_edge_increments(
