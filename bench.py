@@ -209,20 +209,31 @@ def run_pipeline_timed(
     timings: dict[str, float] = {}
     rss: dict[str, float] = {}
     extras: dict[str, float] = {}
+    extras_spread: dict[str, list[float]] = {}
 
     if measure_kernel:
-        # Kernel-only instrumentation pass (plain .count(), no persist):
-        # separates NER-kernel time from cache-write cost in the
-        # "annotate" stage below, and absorbs the one-time first-full-
-        # pass JVM ramp (~0.7s at sf0.1: heap growth + full-batch JIT
-        # that the sampled warm-up can't reach), so the timed stages
-        # measure steady state as documented. Reported as
-        # "annotate_kernel" in the queries map; excluded from the wall
-        # total — a production run executes annotate once.
-        ek = {}
-        with stage("annotate_kernel", ek, rss):
-            annotate_turns(transcripts).count()
-        extras["annotate_kernel"] = ek["annotate_kernel"]
+        # Kernel-only instrumentation passes (plain .count(), no
+        # persist): separates NER-kernel time from cache-write cost in
+        # the "annotate" stage below. MIN-OF-3 with recorded spread
+        # (VERDICT r4): rep 1 still absorbs the one-time first-full-pass
+        # JVM ramp (~0.7s at sf0.1: heap growth + full-batch JIT the
+        # sampled warm-up can't reach) so the downstream stages stay
+        # steady-state, but the RECORDED number is now the min of three
+        # — a ramp can no longer masquerade as a kernel regression.
+        # Reported as "annotate_kernel" in the queries map; excluded
+        # from the wall total — a production run executes annotate once.
+        durs: list[float] = []
+        peak = 0.0
+        for _ in range(3):
+            ek: dict[str, float] = {}
+            ek_rss: dict[str, float] = {}
+            with stage("annotate_kernel", ek, ek_rss):
+                annotate_turns(transcripts).count()
+            durs.append(ek["annotate_kernel"])
+            peak = max(peak, ek_rss["annotate_kernel"])
+        rss["annotate_kernel"] = peak
+        extras["annotate_kernel"] = min(durs)
+        extras_spread["annotate_kernel"] = [round(d, 3) for d in sorted(durs)]
 
     with stage("annotate", timings, rss):
         annotated = annotate_turns(transcripts).persist(CACHE)
@@ -257,6 +268,7 @@ def run_pipeline_timed(
     return {
         "timings": timings,
         "extras": extras,
+        "extras_spread": extras_spread,
         "rss": rss,
         "total": total,
         "turns": n_turns,
@@ -352,16 +364,19 @@ def run_trainops_timed(
         train_shards,
     )
 
+    # per-op stages (VERDICT r4: a 3x regression in any single op used
+    # to hide inside one six-op sum) — each gets its own min-of-reps +
+    # spread row in the record
     ev = eval_split(docs)
     measure(
-        "curation",
-        lambda: decontaminate(docs.where(~ev), docs.where(ev)).count()
-        + sample_quota(docs).count()
-        + sample_to_mixture(docs).count()
-        + doc_repetition(docs).count()
-        + pack_sequences(docs).count()
-        + train_shards(docs).count(),
+        "decontaminate",
+        lambda: decontaminate(docs.where(~ev), docs.where(ev)).count(),
     )
+    measure("sample_quota", lambda: sample_quota(docs).count())
+    measure("sample_to_mixture", lambda: sample_to_mixture(docs).count())
+    measure("doc_repetition", lambda: doc_repetition(docs).count())
+    measure("pack_sequences", lambda: pack_sequences(docs).count())
+    measure("train_shards", lambda: train_shards(docs).count())
     from transner_spark.operators.textops import (
         VOCAB_GATE_K,
         tfidf_keywords,
@@ -468,26 +483,35 @@ def main() -> None:
     workdir = tempfile.mkdtemp(prefix="transner_bench_")
     try:
         spark = build_session(f"local[{cpus}]", cpus)
-        # two full pipeline passes, per-stage MIN (same one-sided-noise
+        # THREE full pipeline passes, per-stage MIN (same one-sided-noise
         # rationale as the trainops reps — run_trainops_timed docstring;
         # the first pass also absorbs any ramp the sampled warm-up
-        # missed). Per-stage [run1, run2] spread goes in the record.
-        r1 = run_pipeline_timed(spark, sf_dir, workdir, measure_kernel=True)
-        r2 = run_pipeline_timed(
-            spark, sf_dir, os.path.join(workdir, "r2"), measure_kernel=False
-        )
-        res = r1
+        # missed). Two passes proved too thin against this host's bursty
+        # stalls — the r2→r4 driver-record wall "drift" (19.62→21.64s on
+        # an unchanged chain) sat inside the per-stage rep spread; a
+        # third rep tightens the min (round-5 drift investigation,
+        # BENCH.md). Per-stage sorted [r1, r2, r3] spread goes in the
+        # record.
+        runs = [run_pipeline_timed(spark, sf_dir, workdir, measure_kernel=True)]
+        for i in (2, 3):
+            runs.append(
+                run_pipeline_timed(
+                    spark, sf_dir, os.path.join(workdir, f"r{i}"),
+                    measure_kernel=False,
+                )
+            )
+        res = runs[0]
         res["pipeline_spread_s"] = {
-            k: [round(r1["timings"][k], 3), round(r2["timings"][k], 3)]
-            for k in r1["timings"]
+            k: sorted(round(r["timings"][k], 3) for r in runs)
+            for k in res["timings"]
         }
         res["timings"] = {
-            k: min(r1["timings"][k], r2["timings"][k]) for k in r1["timings"]
+            k: min(r["timings"][k] for r in runs) for k in res["timings"]
         }
-        # r1's rss also holds the kernel-only pass (absent from r2)
+        # runs[0]'s rss also holds the kernel-only pass (absent later)
         res["rss"] = {
-            k: max(r1["rss"][k], r2["rss"].get(k, r1["rss"][k]))
-            for k in r1["rss"]
+            k: max(r["rss"].get(k, res["rss"][k]) for r in runs)
+            for k in res["rss"]
         }
         res["total"] = sum(res["timings"].values())
         res["turns_per_sec"] = res["turns"] / res["total"]
@@ -512,11 +536,15 @@ def main() -> None:
             },
             "trainops_counts": tops["counts"],
             # per-op [min, median, max] over TRAINOPS_REPS cold-cache
-            # reps in the isolated trainops JVM, and per-stage
-            # [run1, run2] over the two pipeline passes — the noise
-            # floor is in the record, not in out-of-band reruns
+            # reps in the isolated trainops JVM, per-stage [run1, run2]
+            # over the two pipeline passes, and min-of-3 sorted reps for
+            # annotate_kernel — the noise floor is in the record, not in
+            # out-of-band reruns; NO single-shot timing anywhere
             "trainops_spread_s": tops["spread"],
-            "pipeline_spread_s": res["pipeline_spread_s"],
+            "pipeline_spread_s": {
+                **res.get("extras_spread", {}),
+                **res["pipeline_spread_s"],
+            },
             # reference bench protocol's memory axis (benchmarks.py:59-79
             # reports max/min/avg MiB over per-run memory_usage samples):
             # per-stage peak process-tree RSS + the same three aggregates
