@@ -244,13 +244,15 @@ def main() -> None:
 
     _abt = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    audit(
-        "linking_shuffled_dims",
-        link_surfaces(
-            spark, node_surfaces(t), _PC(link_broadcast_dims=False)
-        ),
-    )
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", _abt)
+    try:
+        audit(
+            "linking_shuffled_dims",
+            link_surfaces(
+                spark, node_surfaces(t), _PC(link_broadcast_dims=False)
+            ),
+        )
+    finally:  # never leak '-1' into the remaining audits
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", _abt)
     part = Fn.pmod(Fn.crc32(Fn.col("conv_id")), Fn.lit(2))
     audit(
         "merge_edge_increments",

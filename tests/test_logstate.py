@@ -588,6 +588,23 @@ def test_stream_pipeline_log_equals_batch(spark, tiny_pdf, tiny_df, log_dirs):
     assert _snap(read_pipeline_edges(spark, log_dirs["state"])) == before
 
 
+def test_stream_pipeline_log_link_retention(spark, tiny_pdf, log_dirs):
+    """Link-version pruning follows the edge log's snapshot retention:
+    with retain_snapshots=2, the newest two committed link versions
+    survive (they pair with the retained edge snapshots for as-of
+    reads) plus nothing else."""
+    from transner_spark.streaming.logstate import LINKS_DIR, stream_pipeline_log
+
+    for lo, hi, name in [(0, 2, "b0"), (2, 3, "b1"), (3, 4, "b2"), (4, 5, "b3")]:
+        _write_batch(spark, tiny_pdf, log_dirs["in"], lo, hi, name)
+        stream_pipeline_log(
+            spark, log_dirs["in"] + "/*", log_dirs["state"], log_dirs["cp"],
+            retain_snapshots=2,
+        )
+    live = sorted(os.listdir(os.path.join(log_dirs["state"], LINKS_DIR)))
+    assert live == ["v1", "v2", "v3"]  # newest 2 committed + current
+
+
 def test_stream_pipeline_log_fresh_checkpoint_fails_loud(
     spark, tiny_pdf, log_dirs
 ):

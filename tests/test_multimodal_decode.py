@@ -109,6 +109,12 @@ def test_ppm_header_comments_and_whitespace():
         (b"P6\n2 x\n255\n" + bytes(12), "non-numeric"),
         (b"P6\n2 2", "truncated PPM header"),
         (b"P6\n0 2\n255\n", "bad PPM dimensions"),
+        # maxval must be followed by exactly ONE whitespace byte — a
+        # header truncated right after maxval must be a HEADER
+        # diagnosis, not a confusing raster-truncation error (a non-ws
+        # byte there is absorbed into the maxval token and fails as
+        # non-numeric instead, also a header diagnosis)
+        (b"P6\n2 2\n255", "followed by one whitespace"),
     ],
 )
 def test_ppm_malformed_fails_loud(raw, msg):

@@ -102,7 +102,7 @@ def _triples_df(spark, rows):
     from datetime import datetime
 
     data = [
-        (s, "MISC", s, p, o, "MISC", o, datetime(2026, 1, 1, 0, 0, i % 60))
+        (s, "MISC", s, p, "MISC", o, o, datetime(2026, 1, 1, 0, 0, i % 60))
         for i, (s, p, o) in enumerate(rows)
     ]
     return spark.createDataFrame(

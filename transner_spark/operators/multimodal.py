@@ -216,7 +216,18 @@ def _ppm_header(content: bytes, off: int) -> tuple[int, int, int]:
         raise ValueError(f"bad PPM dimensions {w}x{h}")
     if maxv != 255:
         raise ValueError(f"unsupported PPM maxval {maxv}; need 255")
-    return w, h, o + 1  # exactly one whitespace byte after maxval
+    # the spec demands EXACTLY one whitespace byte after maxval — verify
+    # it rather than blindly skipping: a header that ENDS at maxval
+    # (token reader leaves o at EOF; any non-ws byte would have been
+    # absorbed into the maxval token and failed as non-numeric) now
+    # fails with a header diagnosis instead of a confusing
+    # raster-truncation error downstream
+    if content[o : o + 1] not in (b" ", b"\t", b"\r", b"\n"):
+        raise ValueError(
+            "PPM maxval must be followed by one whitespace byte, got "
+            f"{content[o:o + 1]!r}"
+        )
+    return w, h, o + 1
 
 
 def decode_ppm(content: bytes) -> bytes:
@@ -487,11 +498,15 @@ def decode_features(assets: DataFrame) -> DataFrame:
                 batch["asset_id"], batch["media_type"], batch["content"]
             ):
                 aid, raw = int(asset_id), bytes(content)
-                decoded = decode_media(mt, raw)
-                _stats_row(out, aid, mt, "full", decoded)
                 if mt == "video":
-                    for f, frame in enumerate(decode_ppm_stream(raw)):
+                    # one parse serves both row kinds (decode_media on a
+                    # video would re-walk the identical frame headers)
+                    frames = decode_ppm_stream(raw)
+                    _stats_row(out, aid, mt, "full", b"".join(frames))
+                    for f, frame in enumerate(frames):
                         _stats_row(out, aid, mt, f"frame:{f}", frame)
+                else:
+                    _stats_row(out, aid, mt, "full", decode_media(mt, raw))
             yield pd.DataFrame(out)
 
     return assets.select("asset_id", "media_type", "content").mapInPandas(

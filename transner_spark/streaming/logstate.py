@@ -1071,11 +1071,29 @@ def stream_pipeline_log(
             links = link_surfaces(sess, surfaces, cfg)
         links_path = _links_version_path(state_dir, batch_id)
         links.write.mode("overwrite").parquet(links_path)
+        # prune link versions in step with the edge log's snapshot
+        # retention: keep the newest ``retain_snapshots`` COMMITTED
+        # versions (ids <= last_applied — they pair with the retained
+        # edge snapshots for as-of reads) plus this in-flight one.
+        # Readers holding a lazy plan across more than the retention
+        # window fail loud on the missing file — the same contract as
+        # expired edge-log snapshots (review r5 finding 1).
         links_dir = os.path.join(state_dir, LINKS_DIR)
-        for d in os.listdir(links_dir):  # prune superseded link versions
-            if d.startswith("v") and d not in (
-                f"v{last_applied}", f"v{batch_id}",
-            ):
+        committed = sorted(
+            (
+                int(d[1:])
+                for d in os.listdir(links_dir)
+                if d.startswith("v")
+                and d[1:].isdigit()
+                and int(d[1:]) <= last_applied
+            ),
+            reverse=True,
+        )
+        keep = {f"v{b}" for b in committed[:retain_snapshots]} | {
+            f"v{batch_id}"
+        }
+        for d in os.listdir(links_dir):
+            if d.startswith("v") and d not in keep:
                 shutil.rmtree(os.path.join(links_dir, d), ignore_errors=True)
         canon = canonicalize(sess.read.parquet(links_path))
         return materialize_edges(triples, canon, cfg)
