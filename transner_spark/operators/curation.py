@@ -90,15 +90,26 @@ def decontaminate(
     side explodes its distinct shingles and aggregates ONCE per doc_id,
     counting total and hit grams in the same agg (no rejoin). Short docs
     contribute their whole text as one shingle (with_shingles), so every
-    document gets a row."""
+    document gets a row. The train side is fan_out-repartitioned before
+    shingling (the CPU-heavy stage — same posture as the minhash/jaccard
+    dedups) so an under-partitioned corpus file doesn't serialize it."""
+    from transner_spark.functions.partitioning import fan_out
+
+    # explode_OUTER on purpose: plain explode makes Catalyst infer a
+    # `size(shingles) > 0` filter and push it below the projections,
+    # INLINING the whole gram transform a second time (measured ~3.5x on
+    # the sf0.1 corpus). word_shingles guarantees >= 1 element per doc
+    # (short docs get the whole-text shingle), so the inferred filter is
+    # vacuous and outer explode is row-identical — minus the double
+    # construction.
     ev = (
         with_shingles(eval_docs, n)
-        .select(F.explode("shingles").alias("gram"))
+        .select(F.explode_outer("shingles").alias("gram"))
         .distinct()
         .withColumn("hit", F.lit(1).cast("long"))
     )
-    ex = with_shingles(train, n).select(
-        "doc_id", F.explode("shingles").alias("gram")
+    ex = with_shingles(fan_out(train), n).select(
+        "doc_id", F.explode_outer("shingles").alias("gram")
     )
     return (
         ex.join(F.broadcast(ev), "gram", "left")
@@ -644,12 +655,17 @@ def doc_repetition(docs: DataFrame, n: int = REPETITION_NGRAM) -> DataFrame:
 
     Zero shuffles: the whole computation is a per-row fold over the
     sorted n-gram array (see _run_fold); fractions are one IEEE division
-    over exact ints, rounded at 6 for engine-stable gate hashes."""
-    grams = word_grams(ws_tokens(F.col("text")), n)
-    st = _run_fold(F.array_sort(grams))
-    ng = F.size(grams).cast("long")
+    over exact ints, rounded at 6 for engine-stable gate hashes. Tokens
+    and grams are projected into concrete columns before the fold (the
+    word_grams contract — and grams feed three output expressions, so an
+    inline expression would run the constructor three times)."""
+    grams = word_grams(F.col("_toks"), n)
+    st = _run_fold(F.array_sort(F.col("_grams")))
+    ng = F.size(F.col("_grams")).cast("long")
     denom = F.greatest(ng, F.lit(1).cast("long"))
     return docs.select(
+        "doc_id", ws_tokens(F.col("text")).alias("_toks")
+    ).select("doc_id", grams.alias("_grams")).select(
         "doc_id",
         ng.alias("n_ngrams"),
         st["top_count"].alias("top_ngram_count"),

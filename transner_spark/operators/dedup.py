@@ -84,31 +84,43 @@ def word_grams(toks: Column, n: int) -> Column:
     """ALL word n-grams in document order — the ONE gram constructor
     shared by the dedup shingles and curation's repetition metrics, so
     the gram spaces cannot diverge. No dedup, no short-doc fallback:
-    fewer than n tokens yields an empty array."""
-    def gram(i: Column) -> Column:
-        return F.concat_ws(
-            " ", *[F.element_at(toks, i + k) for k in range(n)]
-        )
+    fewer than n tokens yields an empty array.
 
+    Construction is ``array_join(slice(toks, i, n))`` — ONE interpreted
+    node per gram. Higher-order functions run outside whole-stage
+    codegen with no common-subexpression elimination, so the obvious
+    ``concat_ws(element_at(toks, i+k) for k)`` shape re-evaluates the
+    ``toks`` child n times PER GRAM: measured 29.4s → 3.9s for the sf0.1
+    4-gram explode on one core (round-5 decontaminate hotspot). For the
+    same reason callers must pass ``toks`` as a MATERIALIZED array
+    column (project it first), never the raw ``split()`` expression —
+    that re-split costs another ~3x."""
     return F.when(
         F.size(toks) < n, F.array().cast("array<string>")
     ).otherwise(
-        F.transform(F.sequence(F.lit(1), F.size(toks) - (n - 1)), gram)
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        )
     )
 
 
 def word_shingles(toks: Column, n: int) -> Column:
     """Distinct word n-gram shingles; short docs yield one whole-text
-    shingle so every document lands in some bucket."""
+    shingle so every document lands in some bucket. Same materialized-
+    column contract as word_grams."""
     return F.when(
         F.size(toks) < n, F.array(F.concat_ws(" ", toks))
     ).otherwise(F.array_distinct(word_grams(toks, n)))
 
 
 def with_shingles(docs: DataFrame, n: int) -> DataFrame:
+    # tokens projected into a concrete column BEFORE the gram transform
+    # (the word_grams contract): keeps the split out of the interpreted
+    # higher-order expression
     return docs.select(
-        "doc_id", word_shingles(ws_tokens(F.col("text")), n).alias("shingles")
-    )
+        "doc_id", ws_tokens(F.col("text")).alias("_toks")
+    ).select("doc_id", word_shingles(F.col("_toks"), n).alias("shingles"))
 
 
 def _pair_jaccard(pairs: DataFrame, sh: DataFrame) -> DataFrame:
