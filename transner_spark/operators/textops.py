@@ -187,7 +187,12 @@ def doc_fingerprint(docs: DataFrame, k: int = FINGERPRINT_K) -> DataFrame:
     whitespace-normalized lowercase text, each hashed with h60; the
     fingerprint is the min hash under two independent seeds (a 2-row
     winnowing sketch), plus the distinct-shingle cardinality."""
-    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    # normalized text materialized BEFORE the shingle transform: a
+    # higher-order lambda runs interpreted with no common-subexpression
+    # elimination, so an inline `norm` would re-run the regex once per
+    # character position — O(len^2) per doc (the round-5 decontaminate
+    # pathology, operators/dedup.word_grams)
+    norm = F.col("_norm")
     shingles = F.when(F.length(norm) < k, F.array(norm)).otherwise(
         F.array_distinct(
             F.transform(
@@ -196,7 +201,12 @@ def doc_fingerprint(docs: DataFrame, k: int = FINGERPRINT_K) -> DataFrame:
             )
         )
     )
-    df = docs.select("doc_id", shingles.alias("shingles"))
+    df = docs.select(
+        "doc_id",
+        F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")).alias(
+            "_norm"
+        ),
+    ).select("doc_id", shingles.alias("shingles"))
     return df.select(
         "doc_id",
         F.size("shingles").cast("long").alias("n_shingles"),
