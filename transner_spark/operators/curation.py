@@ -105,12 +105,13 @@ def decontaminate(
     ev = (
         with_shingles(eval_docs, n)
         .select(F.explode_outer("shingles").alias("gram"))
+        .where(F.col("gram").isNotNull())
         .distinct()
         .withColumn("hit", F.lit(1).cast("long"))
     )
     ex = with_shingles(fan_out(train), n).select(
         "doc_id", F.explode_outer("shingles").alias("gram")
-    )
+    ).where(F.col("gram").isNotNull())
     return (
         ex.join(F.broadcast(ev), "gram", "left")
         .groupBy("doc_id")
@@ -660,17 +661,26 @@ def doc_repetition(docs: DataFrame, n: int = REPETITION_NGRAM) -> DataFrame:
     word_grams contract — and grams feed three output expressions, so an
     inline expression would run the constructor three times)."""
     grams = word_grams(F.col("_toks"), n)
-    st = _run_fold(F.array_sort(F.col("_grams")))
-    ng = F.size(F.col("_grams")).cast("long")
+    st = F.col("_st")
+    ng = F.col("_ng")
     denom = F.greatest(ng, F.lit(1).cast("long"))
-    return docs.select(
-        "doc_id", ws_tokens(F.col("text")).alias("_toks")
-    ).select("doc_id", grams.alias("_grams")).select(
-        "doc_id",
-        ng.alias("n_ngrams"),
-        st["top_count"].alias("top_ngram_count"),
-        st["dup_occ"].alias("dup_ngram_occurrences"),
-        st["dup_kinds"].alias("dup_ngram_kinds"),
-        F.round(st["top_count"] / denom, 6).alias("top_ngram_frac"),
-        F.round(st["dup_occ"] / denom, 6).alias("dup_ngram_frac"),
+    return (
+        docs.select("doc_id", ws_tokens(F.col("text")).alias("_toks"))
+        .select("doc_id", grams.alias("_grams"))
+        # the fold struct feeds five output expressions — materialize it
+        # once (interpreted aggregate; no CSE inside the projection)
+        .select(
+            "doc_id",
+            F.size(F.col("_grams")).cast("long").alias("_ng"),
+            _run_fold(F.array_sort(F.col("_grams"))).alias("_st"),
+        )
+        .select(
+            "doc_id",
+            ng.alias("n_ngrams"),
+            st["top_count"].alias("top_ngram_count"),
+            st["dup_occ"].alias("dup_ngram_occurrences"),
+            st["dup_kinds"].alias("dup_ngram_kinds"),
+            F.round(st["top_count"] / denom, 6).alias("top_ngram_frac"),
+            F.round(st["dup_occ"] / denom, 6).alias("dup_ngram_frac"),
+        )
     )

@@ -174,7 +174,7 @@ def encode_ppm(width: int, height: int, pixels: bytes) -> bytes:
     return f"P6\n{width} {height}\n255\n".encode("ascii") + pixels
 
 
-_PPM_WS = b" \t\r\n"
+_PPM_WS = (b" ", b"\t", b"\r", b"\n")  # tuple: b"" (EOF) must NOT match
 
 
 def _ppm_header(content: bytes, off: int) -> tuple[int, int, int]:
@@ -186,7 +186,7 @@ def _ppm_header(content: bytes, off: int) -> tuple[int, int, int]:
     def token(o: int) -> tuple[bytes, int]:
         while o < len(content):
             c = content[o : o + 1]
-            if c in (b" ", b"\t", b"\r", b"\n"):
+            if c in _PPM_WS:
                 o += 1
             elif c == b"#":
                 while o < len(content) and content[o : o + 1] != b"\n":
@@ -194,9 +194,7 @@ def _ppm_header(content: bytes, off: int) -> tuple[int, int, int]:
             else:
                 break
         start = o
-        while o < len(content) and content[o : o + 1] not in (
-            b" ", b"\t", b"\r", b"\n",
-        ):
+        while o < len(content) and content[o : o + 1] not in _PPM_WS:
             o += 1
         if start == o:
             raise ValueError("truncated PPM header")
@@ -222,7 +220,7 @@ def _ppm_header(content: bytes, off: int) -> tuple[int, int, int]:
     # absorbed into the maxval token and failed as non-numeric) now
     # fails with a header diagnosis instead of a confusing
     # raster-truncation error downstream
-    if content[o : o + 1] not in (b" ", b"\t", b"\r", b"\n"):
+    if content[o : o + 1] not in _PPM_WS:
         raise ValueError(
             "PPM maxval must be followed by one whitespace byte, got "
             f"{content[o:o + 1]!r}"

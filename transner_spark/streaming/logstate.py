@@ -969,6 +969,25 @@ def _links_version_path(state_dir: str, batch_id: int) -> str:
     return os.path.join(state_dir, LINKS_DIR, f"v{batch_id}")
 
 
+def _live_link_versions(state_dir: str, last_applied: int) -> list[int]:
+    """Committed link-version ids (<= last applied batch), ascending —
+    the ONE definition of committed-ness shared by the pruner and the
+    as-of reader. Fails loud (RuntimeError, with remediation) when the
+    state has no links/ directory at all — e.g. an edge-only substrate
+    built by stream_edge_increments_log."""
+    links_dir = os.path.join(state_dir, LINKS_DIR)
+    if not os.path.isdir(links_dir):
+        raise RuntimeError(
+            f"state dir {state_dir!r} has no link state ({LINKS_DIR}/) — "
+            "full-chain readers need a state built by stream_pipeline_log."
+        )
+    return sorted(
+        int(d[1:])
+        for d in os.listdir(links_dir)
+        if d.startswith("v") and d[1:].isdigit() and int(d[1:]) <= last_applied
+    )
+
+
 def read_pipeline_links(spark: SparkSession, state_dir: str) -> DataFrame:
     """The maintained link table at the last COMMITTED batch (resolved
     from the edge log's CURRENT pointer — the link snapshot and the edge
@@ -977,6 +996,7 @@ def read_pipeline_links(spark: SparkSession, state_dir: str) -> DataFrame:
     _, last_applied, _ = _read_log_current(state_dir)
     if last_applied < 0:
         raise ValueError(f"no committed pipeline state in {state_dir!r}")
+    _live_link_versions(state_dir, last_applied)  # loud links/ check
     return spark.read.parquet(_links_version_path(state_dir, last_applied))
 
 
@@ -998,6 +1018,50 @@ def read_pipeline_edges(
 
     edges = read_edge_log(spark, state_dir, cfg)
     canon = canonicalize(read_pipeline_links(spark, state_dir))
+    return reresolve_edges(edges, canon, cfg)
+
+
+def read_pipeline_links_asof(
+    spark: SparkSession, state_dir: str, batch_id: int
+) -> DataFrame:
+    """The maintained link table AS OF ``batch_id`` (newest committed
+    version ≤ it — the same newest-≤-b semantics as the edge log's
+    snapshot resolution). Fails loud when the version has been pruned by
+    the retention window, never answers from a different batch's
+    vocabulary."""
+    _, last_applied, _ = _read_log_current(state_dir)
+    if last_applied < 0:
+        raise RuntimeError(f"no committed pipeline state in {state_dir!r}")
+    live = _live_link_versions(state_dir, last_applied)
+    eligible = [b for b in live if b <= batch_id]
+    if not eligible:
+        raise RuntimeError(
+            f"no link version at or before batch {batch_id} in "
+            f"{state_dir!r} — it has been pruned by the retention "
+            "window; rerun the writer with a larger retain_snapshots "
+            "to keep history this deep."
+        )
+    return spark.read.parquet(_links_version_path(state_dir, max(eligible)))
+
+
+def read_pipeline_edges_asof(
+    spark: SparkSession,
+    state_dir: str,
+    batch_id: int,
+    cfg: PipelineConfig | None = None,
+) -> DataFrame:
+    """Time travel over the FULL pipeline state: the edge log AS OF
+    ``batch_id`` re-resolved through the canon map refreshed from the
+    link table AS OF the same batch — edges and linking state stay
+    mutually consistent at every retained point in history (link
+    versions are pruned in step with edge-snapshot retention), so the
+    as-of read equals what ``read_pipeline_edges`` returned when that
+    batch was live."""
+    from transner_spark.operators.canonicalize import canonicalize
+    from transner_spark.operators.materialize import reresolve_edges
+
+    edges = read_edge_log_asof(spark, state_dir, batch_id, cfg)
+    canon = canonicalize(read_pipeline_links_asof(spark, state_dir, batch_id))
     return reresolve_edges(edges, canon, cfg)
 
 
@@ -1078,20 +1142,17 @@ def stream_pipeline_log(
         # Readers holding a lazy plan across more than the retention
         # window fail loud on the missing file — the same contract as
         # expired edge-log snapshots (review r5 finding 1).
+        # max(1, retain): the edge substrate's _prune clamps the same
+        # way — retain_snapshots=0 must never delete v{last_applied}
+        # while it is still the committed recovery/serving version
+        # (review r5b finding 1)
         links_dir = os.path.join(state_dir, LINKS_DIR)
-        committed = sorted(
-            (
-                int(d[1:])
-                for d in os.listdir(links_dir)
-                if d.startswith("v")
-                and d[1:].isdigit()
-                and int(d[1:]) <= last_applied
-            ),
-            reverse=True,
+        committed = list(
+            reversed(_live_link_versions(state_dir, last_applied))
         )
-        keep = {f"v{b}" for b in committed[:retain_snapshots]} | {
-            f"v{batch_id}"
-        }
+        keep = {
+            f"v{b}" for b in committed[: max(1, retain_snapshots)]
+        } | {f"v{batch_id}"}
         for d in os.listdir(links_dir):
             if d.startswith("v") and d not in keep:
                 shutil.rmtree(os.path.join(links_dir, d), ignore_errors=True)
