@@ -52,6 +52,24 @@ def ws_tokens(col: F.Column) -> F.Column:
         .otherwise(F.split(F.trim(col), r"\s+"))
 
 
+
+def exploded_tokens(docs: DataFrame, alias: str = "token") -> DataFrame:
+    """(doc_id?, <alias>): one row per whitespace token — tokens
+    materialized into a column BEFORE the explode, as explode_outer +
+    NULL filter. Plain explode over the raw split() expression makes
+    Catalyst infer a `size > 0` filter, push it below the projection,
+    and re-run the split per row (the round-5 decontaminate pathology);
+    outer explode skips the inference and the post-generate NULL filter
+    restores identical rows (empty/NULL text contributes nothing).
+    Measured ~12% off the sf0.1 token census."""
+    cols = ["doc_id"] if "doc_id" in docs.columns else []
+    return (
+        docs.select(*cols, ws_tokens(F.col("text")).alias("_t"))
+        .select(*cols, F.explode_outer("_t").alias(alias))
+        .where(F.col(alias).isNotNull())
+    )
+
+
 def quality_from_counts(
     n_ws: F.Column, n_bpe: F.Column, n_punct: F.Column, n_stop: F.Column
 ) -> F.Column:
@@ -240,7 +258,7 @@ def vocab_topk(docs: DataFrame, k: int = VOCAB_TOPK) -> DataFrame:
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     return (
-        docs.select(F.explode(ws_tokens(F.col("text"))).alias("token"))
+        exploded_tokens(docs.select("text"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).cast("long").alias("freq"))
         .orderBy(F.col("freq").desc(), F.col("token").asc())
@@ -277,9 +295,7 @@ def tfidf_keywords(docs: DataFrame, k: int = KEYWORDS_K) -> DataFrame:
         raise ValueError(f"k must be >= 1, got {k}")
     from pyspark.sql import Window
 
-    toks = docs.select(
-        "doc_id", F.explode(ws_tokens(F.col("text"))).alias("term")
-    )
+    toks = exploded_tokens(docs.select("doc_id", "text"), alias="term")
     tf = toks.groupBy("doc_id", "term").agg(
         F.count(F.lit(1)).cast("long").alias("tf")
     ).localCheckpoint()
@@ -359,7 +375,7 @@ def token_drift(
 
     def counts(docs: DataFrame, name: str) -> DataFrame:
         return (
-            docs.select(F.explode(ws_tokens(F.col("text"))).alias("token"))
+            exploded_tokens(docs.select("text"))
             .groupBy("token")
             .agg(F.count(F.lit(1)).cast("long").alias(name))
         )
