@@ -935,6 +935,17 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_exact(_docs(spark, sf_dir))
 
 
+def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-overlap dedup (round 5): pairs sharing a >= K-char
+    normalized substring, joined on the substring VALUE itself (no hash,
+    no collision verify) with the distinct-shared-window count. The
+    verbatim-boilerplate complement of the token-set dedups; oracle
+    re-derives the window sets by lateral substr in DuckDB."""
+    from transner_spark.operators.dedup import dedup_substring
+
+    return dedup_substring(_docs(spark, sf_dir))
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from transner_spark.operators.dedup import dedup_minhash_lsh
 
@@ -2122,6 +2133,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ≥2-green-driver-rows rule.
         "token_drift": q_token_drift,
         "mm_decode": q_mm_decode,
+        # exact substring-overlap dedup — new round-5 operator; victim:
+        # entity_profiles (green r03+r04), whose serving view stays
+        # value-checked in-window by entity_profiles_incremental (same
+        # full-profile SQL oracle, re-derived from merged partials)
+        "dedup_substring": q_dedup_substring,
         # full-chain streaming gate; supersedes the per-stage
         # stream_mentions_batch_eq slot (green r02+r04 — rotates to the
         # tail; its NER-stage semantics are the first link of this chain)
@@ -2172,7 +2188,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_edges_e2e": q_kg_edges_e2e,
         "kg_edges_maintenance": q_kg_edges_maintenance,
         "walk_skipgrams": q_walk_skipgrams,
-        "entity_profiles": q_entity_profiles,
         "mentions_ner": q_mentions_ner,
         "mentions_regex": q_mentions_regex,
         "graf_merge": q_graf_merge,
@@ -2258,6 +2273,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # mm_decode gate
         "pipeline_lineage": q_pipeline_lineage,
         "kmeans_cells": q_kmeans_cells,
+        # rotated out for round 5 (green r03+r04): its exact serving
+        # view stays value-checked in-window via
+        # entity_profiles_incremental (same SQL oracle) — slot went to
+        # the new dedup_substring operator
+        "entity_profiles": q_entity_profiles,
         # rotated out for round 5 (green r02+r04): superseded in-window
         # by the full-chain stream_pipeline_e2e gate, whose first stage
         # IS this gate's incremental-NER semantics

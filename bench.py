@@ -389,6 +389,9 @@ def run_trainops_timed(
         + tfidf_keywords(docs).count(),
     )
     measure("dedup_minhash", lambda: dedup_minhash_lsh(docs).count())
+    from transner_spark.operators.dedup import dedup_substring
+
+    measure("dedup_substring", lambda: dedup_substring(docs).count())
     measure("dedup_simhash", lambda: dedup_simhash(docs).count())
     measure("ann_lsh", lambda: ann_lsh(spark, emb).count())
     measure("ann_ivf", lambda: ann_ivf(spark, emb).count())

@@ -83,6 +83,9 @@ def main() -> None:
     audit("pack_sequences", pack_sequences(docs))
     audit("dedup_exact", dedup_exact(docs))
     audit("dedup_minhash_lsh", dedup_minhash_lsh(docs))
+    from transner_spark.operators.dedup import dedup_substring
+
+    audit("dedup_substring", dedup_substring(docs))
     audit("dedup_simhash", dedup_simhash(docs))
     audit("dedup_embedding_cosine", dedup_embedding_cosine(emb))
     audit("ann_bruteforce", ann_bruteforce(emb))

@@ -439,3 +439,74 @@ def test_token_drift_vs_twin(spark):
     assert got[0][0] == "d" and got[0][1] == 0 and got[0][2] == 5
     with pytest.raises(ValueError):
         token_drift(mk(old_texts), mk(new_texts), k=0)
+
+
+def _substr_reference(rows, k):
+    import re
+    wins = {}
+    for doc_id, text in rows:
+        nt = re.sub(r"\s+", " ", text.strip()).lower()
+        if len(nt) >= k:
+            wins[doc_id] = {nt[i:i + k] for i in range(len(nt) - k + 1)}
+    pairs = {}
+    ids = sorted(wins)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            n = len(wins[a] & wins[b])
+            if n:
+                pairs[(a, b)] = n
+    return pairs
+
+
+def test_dedup_substring_matches_python_twin(spark):
+    from transner_spark.operators.dedup import dedup_substring
+
+    rows = [
+        (1, "The quick brown fox jumps over the lazy dog tonight"),
+        (2, "the   QUICK brown fox jumps over a sleeping cat today"),  # shares a run, case/ws-normalized
+        (3, "completely unrelated text with no overlap at all here"),
+        (4, "short"),                                   # < k chars: no windows
+        (5, "The quick brown fox jumps over the lazy dog tonight"),  # exact dup of 1
+    ]
+    df = spark.createDataFrame(
+        [(i, t, "en", "src", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["n_shared_windows"]
+        for r in dedup_substring(df, k=20).collect()
+    }
+    assert got == _substr_reference(rows, 20)
+    assert (1, 5) in got           # verbatim dup found
+    assert (1, 2) in got           # shared run across case/ws differences
+    assert all(4 not in p and 3 not in p for p in got)
+
+
+def test_dedup_substring_guard_and_sampling(spark):
+    from transner_spark.operators.dedup import dedup_substring
+
+    boiler = "x" * 40  # one hot window set shared by every doc
+    df = spark.createDataFrame(
+        [(i, boiler, "en", "s", 40) for i in range(6)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    with pytest.raises(Exception, match="max_block_rows|dedup_substring"):
+        dedup_substring(df, k=20, max_docs_per_window=3).collect()
+    # sampling keeps/drops windows by CONTENT hash — both members of a
+    # pair decide identically, so surviving pairs keep exact counts
+    from transner_spark.operators.dedup import substring_windows
+
+    rows = [(1, "a" * 30 + " middle text " + "b" * 30),
+            (2, "a" * 30 + " other words " + "b" * 30)]
+    df2 = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    full = {(r["doc_id"], r["win"]) for r in substring_windows(df2, 20).collect()}
+    samp = {(r["doc_id"], r["win"])
+            for r in substring_windows(df2, 20, sample_mod=3).collect()}
+    assert samp < full
+    kept = {w for _, w in samp}
+    assert all((1, w) in samp and (2, w) in samp
+               for w in kept
+               if (1, w) in full and (2, w) in full)

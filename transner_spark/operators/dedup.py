@@ -610,3 +610,100 @@ def dedup_embedding_cosine(
         .where(F.col("cosine") >= threshold)
         .select("vec_a", "vec_b", "label", F.round("cosine", 6).alias("cosine"))
     )
+
+
+# ---------------------------------------------------------------- substring
+SUBSTR_K = 20            # exact-match window width (chars, normalized)
+SUBSTR_MAX_DOCS = 64     # fail-loud cap: docs sharing one window
+
+
+def substring_windows(
+    docs: DataFrame, k: int = SUBSTR_K, sample_mod: int = 1
+) -> DataFrame:
+    """(doc_id, win): every distinct k-char window of the whitespace-
+    normalized lowercase text — the fingerprint set behind exact
+    substring-overlap dedup (the "train-data dedup by long exact match"
+    family: two docs share a window IFF they share an exact substring of
+    length >= k, so the join key is the substring ITSELF and no hash-
+    collision verify step exists). Docs shorter than k contribute
+    nothing (guarded: Spark's sequence() runs DESCENDING when stop <
+    start, which would silently fabricate windows).
+
+    The normalized text is materialized into a column before the window
+    transform and the explode is outer + NULL-filtered — both for the
+    interpreted-lambda / inferred-filter reasons documented on
+    word_grams and exploded_tokens.
+
+    ``sample_mod=p > 1`` keeps only windows with h60(win) % p == 0 —
+    the sampling knob for 100 TB corpora where len(text) rows per doc
+    is too dense: both docs keep or drop a window IDENTICALLY (the
+    decision hashes the content), so sampling never creates asymmetric
+    misses; a shared substring of length L >= k carries L-k+1 windows
+    and survives with probability ~1-(1-1/p)^(L-k+1) — choose p <<
+    L_target - k. Exact (p=1) is the gate/baseline configuration."""
+    if k < 2:
+        raise ValueError(f"window width k must be >= 2, got {k}")
+    if sample_mod < 1:
+        raise ValueError(f"sample_mod must be >= 1, got {sample_mod}")
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    wins = F.when(
+        F.length(F.col("_norm")) < k, F.array().cast("array<string>")
+    ).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.length(F.col("_norm")) - (k - 1)),
+                lambda i: F.col("_norm").substr(i, F.lit(k)),
+            )
+        )
+    )
+    out = (
+        docs.select("doc_id", norm.alias("_norm"))
+        .select("doc_id", F.explode_outer(wins).alias("win"))
+        .where(F.col("win").isNotNull())
+    )
+    if sample_mod > 1:
+        out = out.where(F.pmod(h60(F.col("win")), F.lit(sample_mod)) == 0)
+    return out
+
+
+def dedup_substring(
+    docs: DataFrame,
+    k: int = SUBSTR_K,
+    max_docs_per_window: int = SUBSTR_MAX_DOCS,
+    sample_mod: int = 1,
+) -> DataFrame:
+    """(doc_a, doc_b, n_shared_windows): document pairs sharing at least
+    one exact substring of length >= ``k`` normalized chars, with the
+    count of distinct shared windows (a lower-bound proxy for how much
+    text the pair shares — L shared chars ≈ L - k + 1 shared windows).
+    The exact-substring complement of the token-set methods: minhash/
+    jaccard score BAG overlap and miss verbatim boilerplate embedded in
+    otherwise-different documents; this finds exactly that.
+
+    Shape: one narrow window map + explode, ONE shuffle on the window
+    value, self-join per window, one pair agg. The self-join is
+    quadratic per window by construction, so a window shared by more
+    than ``max_docs_per_window`` docs fails LOUD in-plan
+    (the _block_guard posture; boilerplate that common is a corpus
+    problem to fix upstream, not a pair list to materialize), and
+    ``sample_mod`` (see substring_windows) is the density knob at
+    100 TB scale — fan_out keeps an under-partitioned corpus from
+    serializing the window construction."""
+    from transner_spark.functions.partitioning import fan_out
+
+    w = substring_windows(fan_out(docs), k, sample_mod)
+    guarded = _block_guard(
+        w,
+        "win",
+        max_docs_per_window,
+        "dedup_substring",
+        "dedup_substring(sample_mod=p) or upstream boilerplate removal",
+    )
+    a = guarded.select(F.col("doc_id").alias("doc_a"), "win")
+    b = guarded.select(F.col("doc_id").alias("doc_b"), "win")
+    return (
+        a.join(b, "win")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_windows"))
+    )

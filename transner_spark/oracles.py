@@ -281,6 +281,8 @@ def dedup_oracles(docs: str, emb: str) -> dict[str, str]:
     ON x.band_idx = y.band_idx AND x.band_key = y.band_key
    AND x.doc_id < y.doc_id
 )"""
+    from transner_spark.operators.dedup import SUBSTR_K
+
     return {
         "dedup_exact": f"""
 SELECT doc_id,
@@ -289,6 +291,26 @@ SELECT doc_id,
     PARTITION BY {norm_text}
     ORDER BY doc_id) = 1 AS keep
 FROM read_parquet('{docs}')
+""",
+        # exact substring-overlap pairs: the window set is re-derived
+        # with a lateral range + substr (independent of Spark's
+        # higher-order transform), joined on the substring VALUE — the
+        # same no-collision-verify-needed property as the Spark side
+        "dedup_substring": f"""
+WITH d AS (
+  SELECT doc_id,
+         lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS nt
+  FROM read_parquet('{docs}')
+), w AS (
+  SELECT DISTINCT doc_id,
+    unnest([substr(nt, CAST(i AS INT), {SUBSTR_K})
+            for i in range(1, length(nt) - {SUBSTR_K} + 2)]) AS win
+  FROM d WHERE length(nt) >= {SUBSTR_K}
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(count(*) AS BIGINT) AS n_shared_windows
+FROM w a JOIN w b ON a.win = b.win AND a.doc_id < b.doc_id
+GROUP BY 1, 2
 """,
         "dedup_minhash_lsh": f"""
 WITH {minhash_pairs}
