@@ -604,6 +604,20 @@ def test_stream_pipeline_log_link_retention(spark, tiny_pdf, log_dirs):
     live = sorted(os.listdir(os.path.join(log_dirs["state"], LINKS_DIR)))
     assert live == ["v1", "v2", "v3"]  # newest 2 committed + current
 
+    # full-chain time travel: AS OF batch 2 = the batch derivation over
+    # the first three arrivals (turn_idx < 4), with the canon map from
+    # the SAME point in history
+    from transner_spark.streaming.logstate import read_pipeline_edges_asof
+
+    tiny_df = spark.createDataFrame(tiny_pdf)
+    prefix = tiny_df.where(F.col("turn_idx") < 4)
+    want = _snap(_batch_edges(tiny_df, _canon(spark, prefix), 0, 4))
+    got = _snap(read_pipeline_edges_asof(spark, log_dirs["state"], 2))
+    assert got == want
+    # pruned history fails loud, never answers from another batch
+    with pytest.raises(RuntimeError, match="retention window"):
+        read_pipeline_edges_asof(spark, log_dirs["state"], 0).collect()
+
 
 def test_stream_pipeline_log_fresh_checkpoint_fails_loud(
     spark, tiny_pdf, log_dirs
