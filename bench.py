@@ -314,7 +314,11 @@ def run_trainops_timed(
     minhash passes in one fresh JVM), hence ``warm_reps`` full-size
     passes per op before the clock starts and no separate slice
     warm-up."""
-    from transner_spark.operators.dedup import dedup_minhash_lsh, dedup_simhash
+    from transner_spark.operators.dedup import (
+        dedup_minhash_lsh,
+        dedup_simhash,
+        dedup_substring,
+    )
     from transner_spark.operators.simsearch import ann_ivf, ann_lsh
     from transner_spark.operators.textops import doc_fingerprint, lang_id, text_stats
 
@@ -389,9 +393,14 @@ def run_trainops_timed(
         + tfidf_keywords(docs).count(),
     )
     measure("dedup_minhash", lambda: dedup_minhash_lsh(docs).count())
-    from transner_spark.operators.dedup import dedup_substring
-
-    measure("dedup_substring", lambda: dedup_substring(docs).count())
+    # cap raised for the BENCH stage only: sf0.1's hottest window sits at
+    # 57 docs vs the operator's 64 default — 11% headroom is too thin for
+    # a measurement harness (a slightly hotter regenerated corpus would
+    # abort the whole trainops pass); the gate keeps the strict default
+    measure(
+        "dedup_substring",
+        lambda: dedup_substring(docs, max_docs_per_window=256).count(),
+    )
     measure("dedup_simhash", lambda: dedup_simhash(docs).count())
     measure("ann_lsh", lambda: ann_lsh(spark, emb).count())
     measure("ann_ivf", lambda: ann_ivf(spark, emb).count())

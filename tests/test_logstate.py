@@ -588,7 +588,7 @@ def test_stream_pipeline_log_equals_batch(spark, tiny_pdf, tiny_df, log_dirs):
     assert _snap(read_pipeline_edges(spark, log_dirs["state"])) == before
 
 
-def test_stream_pipeline_log_link_retention(spark, tiny_pdf, log_dirs):
+def test_stream_pipeline_log_link_retention(spark, tiny_pdf, tiny_df, log_dirs):
     """Link-version pruning follows the edge log's snapshot retention:
     with retain_snapshots=2, the newest two committed link versions
     survive (they pair with the retained edge snapshots for as-of
@@ -609,7 +609,6 @@ def test_stream_pipeline_log_link_retention(spark, tiny_pdf, log_dirs):
     # the SAME point in history
     from transner_spark.streaming.logstate import read_pipeline_edges_asof
 
-    tiny_df = spark.createDataFrame(tiny_pdf)
     prefix = tiny_df.where(F.col("turn_idx") < 4)
     want = _snap(_batch_edges(tiny_df, _canon(spark, prefix), 0, 4))
     got = _snap(read_pipeline_edges_asof(spark, log_dirs["state"], 2))

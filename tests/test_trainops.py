@@ -445,7 +445,10 @@ def _substr_reference(rows, k):
     import re
     wins = {}
     for doc_id, text in rows:
-        nt = re.sub(r"\s+", " ", text.strip()).lower()
+        # mirror the ENGINE semantics exactly: trim() strips SPACES only
+        # (a leading tab survives as a leading collapsed space), then
+        # whitespace runs collapse to one space
+        nt = re.sub(r"\s+", " ", text.strip(" ")).lower()
         if len(nt) >= k:
             wins[doc_id] = {nt[i:i + k] for i in range(len(nt) - k + 1)}
     pairs = {}
@@ -467,6 +470,9 @@ def test_dedup_substring_matches_python_twin(spark):
         (3, "completely unrelated text with no overlap at all here"),
         (4, "short"),                                   # < k chars: no windows
         (5, "The quick brown fox jumps over the lazy dog tonight"),  # exact dup of 1
+        # leading tab: trim() keeps it, the collapse turns it into a
+        # LEADING SPACE — the twin must see the same extra window
+        (6, "\tThe quick brown fox jumps over the lazy dog tonight"),
     ]
     df = spark.createDataFrame(
         [(i, t, "en", "src", len(t)) for i, t in rows],
@@ -478,6 +484,10 @@ def test_dedup_substring_matches_python_twin(spark):
     }
     assert got == _substr_reference(rows, 20)
     assert (1, 5) in got           # verbatim dup found
+    # leading tab → leading SPACE on both engines AND the twin: doc 6 is
+    # " " + doc 1, so every doc-1 window is shared (equal counts) and
+    # doc 6 additionally owns the one leading-space window
+    assert got[(1, 6)] == got[(1, 5)]
     assert (1, 2) in got           # shared run across case/ws differences
     assert all(4 not in p and 3 not in p for p in got)
 

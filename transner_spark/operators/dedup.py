@@ -405,7 +405,12 @@ MAX_BLOCK_ROWS = 10_000  # quadratic-baseline guard (see _block_guard)
 
 
 def _block_guard(
-    blocked: DataFrame, block_col: str, max_block_rows: int, op: str, twin: str
+    blocked: DataFrame,
+    block_col: str,
+    max_block_rows: int,
+    op: str,
+    twin: str,
+    knob: str = "max_block_rows",
 ) -> DataFrame:
     """Fail-loud cap for the exact (quadratic-within-block) baselines:
     any block larger than ``max_block_rows`` raises AT EXECUTION TIME
@@ -426,9 +431,9 @@ def _block_guard(
     )
     msg = F.concat(
         F.lit(
-            f"{op}: block exceeds max_block_rows={max_block_rows} "
+            f"{op}: block exceeds {knob}={max_block_rows} "
             f"(quadratic verify would explode at scale) — use {twin} "
-            "(the LSH scale path) or raise max_block_rows; block="
+            f"or raise {knob}; block="
         ),
         F.col(block_col).cast("string"),
         F.lit(" rows="),
@@ -464,7 +469,8 @@ def dedup_ngram_jaccard(
         ).alias("block"),
     )
     blocked = _block_guard(
-        blocked, "block", max_block_rows, "dedup_ngram_jaccard", "dedup_minhash_lsh"
+        blocked, "block", max_block_rows, "dedup_ngram_jaccard",
+        "dedup_minhash_lsh (the LSH scale path)",
     )
     a, b = blocked.alias("a"), blocked.alias("b")
     pairs = a.join(
@@ -591,7 +597,7 @@ def dedup_embedding_cosine(
     )
     e = _block_guard(
         e, "label", max_block_rows, "dedup_embedding_cosine",
-        "dedup_embedding_cosine_lsh",
+        "dedup_embedding_cosine_lsh (the LSH scale path)",
     )
     a, b = e.alias("a"), e.alias("b")
     cos = _dot(F.col("a.emb"), F.col("b.emb")) / (F.col("a.nrm") * F.col("b.nrm"))
@@ -698,6 +704,7 @@ def dedup_substring(
         max_docs_per_window,
         "dedup_substring",
         "dedup_substring(sample_mod=p) or upstream boilerplate removal",
+        knob="max_docs_per_window",
     )
     a = guarded.select(F.col("doc_id").alias("doc_a"), "win")
     b = guarded.select(F.col("doc_id").alias("doc_b"), "win")

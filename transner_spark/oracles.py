@@ -10,7 +10,11 @@ DuckDB ``CAST(('0x'||substr(md5(x),1,15)) AS BIGINT)``.
 Dialect notes baked in here:
 - DuckDB ``regexp_replace`` needs the ``'g'`` flag (Spark is global);
 - DuckDB ``list_reduce`` has no init value → ``list_prepend(0, ...)``;
-- empty list literals need an explicit cast.
+- empty list literals need an explicit cast;
+- whitespace is the EXPLICIT class ``[ \\t\\n\\v\\f\\r]`` everywhere,
+  never ``\\s``: Java's ``\\s`` (the Spark side) includes vertical tab
+  while RE2's does not, so a ``\\x0B`` in a document would silently
+  normalize differently on the two engines.
 """
 
 from __future__ import annotations
@@ -48,7 +52,7 @@ def _in_list(words) -> str:
 
 _TOKS = (
     "CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[]) "
-    "ELSE regexp_split_to_array(trim(text), '\\s+') END"
+    "ELSE regexp_split_to_array(trim(text), '[ \\t\\n\\v\\f\\r]+') END"
 )
 
 
@@ -72,7 +76,7 @@ def textops_oracles(docs: str) -> dict[str, str]:
         (len(list_filter(toks, t -> lower(t) IN {_in_list(STOPWORDS)}))
          / greatest(len(toks), 1)) * 5.0)),
     6)"""
-    norm_hash = _h60("lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))")
+    norm_hash = _h60("lower(regexp_replace(trim(text), '[ \\t\\n\\v\\f\\r]+', ' ', 'g'))")
     from transner_spark.operators.textops import (
         DRIFT_TOPK,
         KEYWORDS_K,
@@ -215,7 +219,7 @@ FROM b
 """,
         "doc_fingerprint": f"""
 WITH n AS (
-  SELECT doc_id, lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS nt
+  SELECT doc_id, lower(regexp_replace(trim(text), '[ \\t\\n\\v\\f\\r]+', ' ', 'g')) AS nt
   FROM read_parquet('{docs}')
 ), s AS (
   SELECT doc_id,
@@ -261,7 +265,7 @@ def dedup_oracles(docs: str, emb: str) -> dict[str, str]:
         "[CAST({x}[i] AS DOUBLE) * CAST({y}[i] AS DOUBLE) "
         "for i in range(1, len({x}) + 1)]), (acc, v) -> acc + v)"
     )
-    norm_text = _h60("lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))")
+    norm_text = _h60("lower(regexp_replace(trim(text), '[ \\t\\n\\v\\f\\r]+', ' ', 'g'))")
     minhash_pairs = f"""{_shingle_cte(docs, 3)}, hs AS (
   SELECT doc_id, sh,
     [CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT) for x in sh] AS h32s
@@ -299,7 +303,7 @@ FROM read_parquet('{docs}')
         "dedup_substring": f"""
 WITH d AS (
   SELECT doc_id,
-         lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS nt
+         lower(regexp_replace(trim(text), '[ \\t\\n\\v\\f\\r]+', ' ', 'g')) AS nt
   FROM read_parquet('{docs}')
 ), w AS (
   SELECT DISTINCT doc_id,
@@ -798,7 +802,7 @@ GROUP BY 1
 """,
         "region_containment": f"""
 WITH t0 AS (
-  SELECT doc_id, trim(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS text
+  SELECT doc_id, trim(regexp_replace(trim(text), '[ \\t\\n\\v\\f\\r]+', ' ', 'g')) AS text
   FROM read_parquet('{docs}')
 ), t AS (
   SELECT doc_id, {_TOKS} AS toks FROM t0
@@ -1016,7 +1020,7 @@ tok0 AS (
   SELECT article_id, line_no,
          unnest([{{'t': t[i], 'i': i}} for i in range(1, len(t) + 1)]) AS u
   FROM (SELECT article_id, line_no,
-               regexp_split_to_array(text, '\\s+') AS t  -- line.split()
+               regexp_split_to_array(text, '[ \\t\\n\\v\\f\\r]+') AS t  -- line.split()
         FROM art)
 ),
 toks AS (
@@ -1107,7 +1111,7 @@ def inline_annotation_oracles(docs: str) -> dict[str, str]:
     ann_fold = f"""
 d AS (SELECT doc_id, text FROM read_parquet('{docs}')),
 wv AS (SELECT DISTINCT u.w AS w
-       FROM d, unnest(regexp_split_to_array(text, '\\s+')) u(w)
+       FROM d, unnest(regexp_split_to_array(text, '[ \\t\\n\\v\\f\\r]+')) u(w)
        WHERE u.w <> ''),
 e AS (SELECT w AS key, ['PER', 'LOC', 'ORG'][({h_ty} % 3) + 1] AS ty
       FROM wv WHERE {h_sel} % 3 = 0),
@@ -1141,7 +1145,7 @@ l0 AS (
 l AS (SELECT doc_id, u.i - 1 AS src_line, u.x AS line FROM l0),
 wl AS (
   SELECT doc_id, src_line,
-         list_filter(regexp_split_to_array(line, '\\s+'), x -> x <> '') AS ws
+         list_filter(regexp_split_to_array(line, '[ \\t\\n\\v\\f\\r]+'), x -> x <> '') AS ws
   FROM l
 ),
 sm AS (
