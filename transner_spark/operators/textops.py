@@ -86,9 +86,12 @@ def quality_from_counts(
     )
 
 
-def quality_expr(text: F.Column) -> F.Column:
-    """Quality score straight from a text column."""
-    toks = ws_tokens(text)
+def quality_expr(text: F.Column, toks: F.Column | None = None) -> F.Column:
+    """Quality score from a text column. Pass ``toks`` as a MATERIALIZED
+    token column when available (the word_grams contract: the size and
+    the interpreted stopword filter would otherwise each re-run the
+    split)."""
+    toks = ws_tokens(text) if toks is None else toks
     return quality_from_counts(
         F.size(toks),
         F.size(F.regexp_extract_all(text, F.lit(BPE_PATTERN), F.lit(0))),
@@ -97,9 +100,12 @@ def quality_expr(text: F.Column) -> F.Column:
     )
 
 
-def lang_pred_expr(text: F.Column) -> F.Column:
-    """Marker-word language prediction as a reusable Column expression."""
-    toks = F.transform(ws_tokens(text), F.lower)
+def lang_pred_expr(text: F.Column, ltoks: F.Column | None = None) -> F.Column:
+    """Marker-word language prediction as a reusable Column expression.
+    Pass ``ltoks`` (lowercased tokens) as a materialized column when
+    available — the five per-language filters would otherwise each
+    re-run the split+lower."""
+    toks = F.transform(ws_tokens(text), F.lower) if ltoks is None else ltoks
     counts = {
         lang: F.size(F.filter(toks, lambda t: t.isin(*words))).cast("long")
         for lang, words in sorted(LANG_MARKERS.items())
@@ -114,8 +120,11 @@ def lang_pred_expr(text: F.Column) -> F.Column:
 def text_stats(docs: DataFrame) -> DataFrame:
     """Per-document token counts, punctuation/stopword ratios, and a
     deterministic quality score (the length/punct/stopword heuristic a
-    pretraining-data filter would threshold on)."""
-    toks = ws_tokens(F.col("text"))
+    pretraining-data filter would threshold on). Tokens are materialized
+    once (word_grams contract) — size / stopword filter / char-sum each
+    consume the column, not a re-split."""
+    docs = docs.select("doc_id", "text", ws_tokens(F.col("text")).alias("_toks"))
+    toks = F.col("_toks")
     n_ws = F.size(toks)
     n_bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_PATTERN), F.lit(0)))
     n_punct = F.size(F.regexp_extract_all(F.col("text"), F.lit(PUNCT_PATTERN), F.lit(0)))
@@ -138,8 +147,15 @@ def text_stats(docs: DataFrame) -> DataFrame:
 
 def lang_id(docs: DataFrame) -> DataFrame:
     """Marker-word language ID: occurrence count per language's marker
-    list; argmax with alphabetical tie-break; 'und' when nothing hits."""
-    toks = F.transform(ws_tokens(F.col("text")), F.lower)
+    list; argmax with alphabetical tie-break; 'und' when nothing hits.
+    Lowered tokens materialize once; the five marker filters read the
+    column."""
+    docs = docs.select(
+        "doc_id", "lang", ws_tokens(F.col("text")).alias("_toks")
+    ).select(
+        "doc_id", "lang", F.transform("_toks", F.lower).alias("_ltoks")
+    )
+    toks = F.col("_ltoks")
     def _marker_count(words: tuple[str, ...]) -> F.Column:
         return F.size(F.filter(toks, lambda t: t.isin(*words))).cast("long")
 
@@ -182,8 +198,14 @@ def corpus_filter(
 
     norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
     w = Window.partitionBy(h60(norm)).orderBy("doc_id")
-    quality = quality_expr(F.col("text"))
-    pred = lang_pred_expr(F.col("text"))
+    docs = docs.select(
+        "doc_id", "text", ws_tokens(F.col("text")).alias("_toks")
+    ).select(
+        "doc_id", "text", "_toks",
+        F.transform("_toks", F.lower).alias("_ltoks"),
+    )
+    quality = quality_expr(F.col("text"), F.col("_toks"))
+    pred = lang_pred_expr(F.col("text"), F.col("_ltoks"))
     lang_ok = (
         pred != "und" if allowed_langs is None else pred.isin(*allowed_langs)
     )
